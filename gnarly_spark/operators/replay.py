@@ -1,0 +1,114 @@
+"""Batch replay: changelog -> final pages table (the engine's core fold).
+
+Replaces the reference's imperative patch-replay machinery
+(Ourbit.resumeFromTxId at packages/gnarly-core/src/ourbit/Ourbit.ts:121-135,
+rollback at :152-167, patch inversion at src/utils.ts:77-112) with a single
+declarative program:
+
+    exclude reverted blocks  (broadcast anti-join — the revert set is tiny,
+                              bounded by the reorg-retention window)
+    last-writer-wins per url (map-side-combining max_by aggregate)
+    drop deleted urls
+    extract text             (AFTER dedup — only winners pay the UDF)
+
+Scale notes (100 TB / 10^10 events):
+- ``max_by(struct(payload), struct(warc_ts, op_seq))`` is an ordinary
+  aggregate, so Spark runs a *partial* aggregation before the shuffle:
+  a hot url (Zipf head holding 10-20%% of events) is pre-reduced to one
+  row per input partition before it ever crosses the wire. This is the
+  two-phase local-then-global reduce the north_star asks for, and it is
+  why the default path is max_by and not a window: ``row_number() OVER
+  (PARTITION BY url ...)`` must co-locate ALL rows of the hot url on one
+  task before ranking. The window variant is kept for comparison/tests.
+- text extraction runs after LWW: at 10^10 events with ~10^8 live urls
+  that is a 100x reduction in pandas-UDF work.
+- filters/projections sit directly on the scan so Catalyst pushes them
+  into parquet/Iceberg (verified in tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gnarly_spark.functions.extraction import extract_text_udf
+
+# Columns of the final pages table (FIXTURES.md F1 / BASELINE.json input_hint)
+PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def reverted_blocks(changelog: DataFrame) -> DataFrame:
+    """Distinct block hashes named by revert events.
+
+    The reorg analog of onBlockInvalidated (Blockstream.ts:179-194). By the
+    retention invariant (ReducerRunner.ts:19 — reorgs deeper than N blocks
+    cannot happen) this set is tiny relative to the changelog, so callers
+    broadcast it.
+    """
+    return (
+        changelog.where(F.col("op") == "revert")
+        .where(F.col("revert_of_block").isNotNull())
+        .select(F.col("revert_of_block").alias("block_hash"))
+        .distinct()
+    )
+
+
+def live_events(changelog: DataFrame) -> DataFrame:
+    """Non-revert events whose block was never reverted.
+
+    Broadcast left-anti join: no shuffle of the big side.
+    """
+    rev = reverted_blocks(changelog)
+    return changelog.where(F.col("op") != "revert").join(
+        F.broadcast(rev), "block_hash", "left_anti"
+    )
+
+
+def last_writer_wins(events: DataFrame, key: str = "url") -> DataFrame:
+    """One winning event per key, ordered by (warc_ts, op_seq).
+
+    Implemented as max_by over a struct ordering key => partial (map-side)
+    aggregation handles hot-key skew without explicit salting. The winning
+    row keeps ALL event columns. Replaces the reference's serialized
+    apply-in-order loop (erc721 LWW at
+    gnarly-reducer-erc721/src/reducer.ts:61-87).
+    """
+    payload = [c for c in events.columns if c != key]
+    return (
+        events.groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(F.col("warc_ts"), F.col("op_seq"))
+            ).alias("_w")
+        )
+        .select(key, "_w.*")
+    )
+
+
+def last_writer_wins_window(events: DataFrame, key: str = "url") -> DataFrame:
+    """Window-based LWW variant (row_number = 1). Same semantics as
+    `last_writer_wins`; kept for plan comparison — the window forces all
+    rows of a key onto one task, so it loses on skewed keys (see module
+    docstring). Tests assert both produce identical results.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc("warc_ts"), F.desc("op_seq"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def final_state(changelog: DataFrame, with_text: bool = True) -> DataFrame:
+    """Full-replay fold: the final pages table (FIXTURES.md F1).
+
+    This is the batch-mode spec the streaming pipeline must agree with
+    bit-for-bit (replay(log) == live state — the reference asserts exactly
+    this at test/Ourbit.spec.ts:170-179).
+    """
+    winners = last_writer_wins(live_events(changelog))
+    pages = winners.where(F.col("op") != "delete")
+    if with_text:
+        pages = pages.withColumn("text", extract_text_udf(F.col("html")))
+        return pages.select(*PAGE_COLUMNS)
+    return pages.select("url", "warc_ts", "html", "lang")

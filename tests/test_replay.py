@@ -1,0 +1,108 @@
+"""Batch replay vs pure-pandas oracle — ports the reference's core
+invariants (SURVEY.md §5): rollback∘apply = identity, replay(log) = state,
+fork-of-depth-k fully undone (Ourbit.spec.ts:155-179,
+Blockstream.spec.ts:249-277)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from gnarly_spark.fixtures import gen_changelog, oracle_final_state
+from gnarly_spark.operators.replay import (
+    final_state,
+    last_writer_wins,
+    last_writer_wins_window,
+    live_events,
+)
+from tests.conftest import assert_pdf_equal
+
+
+def _spark_final(to_spark, pdf, with_text=True):
+    return final_state(to_spark(pdf), with_text=with_text).toPandas()
+
+
+def test_linear_chain_matches_oracle(to_spark):
+    log = gen_changelog(n_blocks=20, events_per_block=5)
+    got = _spark_final(to_spark, log)
+    want = oracle_final_state(log)
+    assert len(want) > 0
+    assert_pdf_equal(got, want, sort_by=["url"])
+
+
+def test_fork_reverted_matches_oracle(to_spark):
+    log = gen_changelog(n_blocks=20, events_per_block=5, fork_depth=3)
+    got = _spark_final(to_spark, log)
+    want = oracle_final_state(log)
+    assert_pdf_equal(got, want, sort_by=["url"])
+
+
+def test_fork_effects_fully_undone(to_spark):
+    """Final state with a reverted fork == final state of a chain that
+    never contained the fork's events (Blockstream.spec.ts:249-277)."""
+    forked = gen_changelog(n_blocks=15, events_per_block=4, fork_depth=2, seed=7)
+    reverted = set(forked.loc[forked.op == "revert", "revert_of_block"])
+    clean = forked[(forked.op != "revert") & (~forked.block_hash.isin(reverted))]
+    got_forked = _spark_final(to_spark, forked)
+    got_clean = _spark_final(to_spark, clean)
+    assert_pdf_equal(got_forked, got_clean, sort_by=["url"])
+
+
+def test_delete_wins_url_absent(to_spark):
+    log = gen_changelog(n_blocks=30, events_per_block=6, seed=3)
+    want = oracle_final_state(log)
+    deleted_last = (
+        log[log.op != "revert"]
+        .sort_values(["warc_ts", "op_seq"])
+        .groupby("url")
+        .tail(1)
+    )
+    deleted_urls = set(deleted_last.loc[deleted_last.op == "delete", "url"])
+    assert deleted_urls, "fixture must contain a url whose last event is delete"
+    got = _spark_final(to_spark, log)
+    assert not (set(got.url) & deleted_urls)
+    assert_pdf_equal(got, want, sort_by=["url"])
+
+
+def test_lww_tie_break_on_op_seq(to_spark):
+    """Events sharing warc_ts resolve by op_seq (contract: (warc_ts, op_seq))."""
+    log = gen_changelog(n_blocks=5, events_per_block=8, n_urls=4, seed=11)
+    dup_ts = log[log.op != "revert"].groupby(["url", "warc_ts"]).size()
+    assert (dup_ts > 1).any(), "fixture must contain same-url same-ts events"
+    got = _spark_final(to_spark, log)
+    want = oracle_final_state(log)
+    assert_pdf_equal(got, want, sort_by=["url"])
+
+
+def test_window_variant_agrees_with_max_by(to_spark):
+    log = gen_changelog(n_blocks=12, events_per_block=6, fork_depth=2, seed=5)
+    ev = live_events(to_spark(log))
+    a = last_writer_wins(ev).toPandas().sort_values("url").reset_index(drop=True)
+    b = (
+        last_writer_wins_window(ev)
+        .select(*a.columns)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert_pdf_equal(a, b)
+
+
+def test_zipf_skewed_fixture(to_spark):
+    """Hot-key fixture (FIXTURES.md F7): skew must not change semantics."""
+    log = gen_changelog(n_blocks=20, events_per_block=10, zipf_s=1.2, seed=9)
+    counts = log[log.op != "revert"].url.value_counts(normalize=True)
+    assert counts.iloc[0] > 0.08, "top url should be hot"
+    got = _spark_final(to_spark, log)
+    want = oracle_final_state(log)
+    assert_pdf_equal(got, want, sort_by=["url"])
+
+
+def test_replay_is_idempotent_under_duplicate_events(to_spark):
+    """Re-delivered (at-least-once) events do not change the final state —
+    the property that makes the streaming MERGE idempotent."""
+    log = gen_changelog(n_blocks=10, events_per_block=5, seed=13)
+    dup = pd.concat([log, log.iloc[: len(log) // 2]], ignore_index=True)
+    assert_pdf_equal(
+        _spark_final(to_spark, dup), _spark_final(to_spark, log), sort_by=["url"]
+    )
