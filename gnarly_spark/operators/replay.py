@@ -85,6 +85,32 @@ def last_writer_wins(events: DataFrame, key: str = "url") -> DataFrame:
     )
 
 
+def last_writer_wins_salted(
+    events: DataFrame, key: str = "url", n_salts: int = 32
+) -> DataFrame:
+    """Explicit two-phase salted LWW (north_star: 'salted key-partitioned
+    merge apply + two-phase local-then-global reduce').
+
+    Phase 1 reduces each (key, salt) locally; phase 2 reduces n_salts rows
+    per key. Semantically identical to `last_writer_wins`; use when the
+    partial-agg path is defeated (e.g. very wide payloads where hash-agg
+    falls back to sort-agg) or to bound per-task state explicitly.
+    """
+    payload = [c for c in events.columns if c != key]
+    ordk = F.struct(F.col("warc_ts"), F.col("op_seq"))
+    phase1 = (
+        events.withColumn("_salt", F.pmod(F.xxhash64(F.col("op_seq")), F.lit(n_salts)))
+        .groupBy(key, "_salt")
+        .agg(F.max_by(F.struct(*payload), ordk).alias("_w"))
+        .select(key, "_w.*")
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(F.max_by(F.struct(*payload), ordk).alias("_w"))
+        .select(key, "_w.*")
+    )
+
+
 def last_writer_wins_window(events: DataFrame, key: str = "url") -> DataFrame:
     """Window-based LWW variant (row_number = 1). Same semantics as
     `last_writer_wins`; kept for plan comparison — the window forces all

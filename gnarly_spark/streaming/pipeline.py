@@ -1,0 +1,399 @@
+"""The CDC ingest pipeline: changelog stream -> lake table, exactly-once.
+
+This is the Spark re-expression of the reference's whole engine loop
+(SURVEY.md §3.2): Blockstream tail -> Ourbit.processTransaction -> reducer
+-> commitTransaction -> typed-store apply (packages/gnarly-core/src/
+Blockstream.ts:157-177, ourbit/Ourbit.ts:60-105,144-150,
+typeStore/Sequelize.ts:28-191), plus reorg rollback (Ourbit.ts:152-167) and
+crash resume (ReducerRunner.ts:63-104) — all as ONE set-oriented
+``foreachBatch`` program:
+
+  per micro-batch (batch_id, events):
+    0. refire guard: batch_id already committed to the target -> skip
+       (exactly-once atop the checkpoint's at-least-once).
+    1. append events to the retained event log (idempotent: one partition
+       dir per batch_id, overwritten on refire) — the analog of gnarly's
+       transactions/patches/operations bookkeeping tables
+       (stores/sequelize.ts:18-99), bounded by the reorg-retention window
+       exactly like saveHistoricalBlock + prune (Blockstream.ts:202-208).
+    2. resolve reverts: blocks named by revert events are dead; the urls
+       they touched are re-adjudicated from
+       (retained log ∪ current target rows ∪ activated undo rows).
+    3. last-writer-wins per affected url (max_by partial agg; optional
+       explicit salting) -> winners.
+    4. extract text ONLY for winning events (vectorized pandas UDF).
+    5. save the prior target rows being replaced to the UNDO log, tagged
+       with the replacing block — the set-oriented form of the reference's
+       per-operation ``oldValue`` + invertOperation (ourbit/types.ts:6-14,
+       utils.ts:77-103): if the replacing block is later reverted, the
+       prior row re-enters LWW as a candidate and resurfaces.
+    6. MERGE upserts + deletes into the lake table keyed on url, with
+       batch_id recorded in the snapshot -> idempotent commit.
+    7. append audit lineage rows (before the commit point, idempotent) +
+       per-batch metrics (after).
+
+State bounding (the reference's BLOCK_RETENTION=100, ReducerRunner.ts:19):
+reorgs deeper than ``retention_blocks`` are impossible by contract, so
+- event-log partitions whose NEWEST block left the window are pruned
+  (none of their events can be reverted, and any prior value they shadow
+  was saved to undo when it was replaced);
+- undo partitions are pruned when their REPLACING blocks leave the window
+  (the revert that would activate them can no longer occur).
+
+Scale notes:
+- Nothing here collects event data to the driver; the only driver-side
+  metadata are bucket ids (bounded by table bucket count) and per-batch
+  stats JSON.
+- The LWW agg is a partial aggregation (map-side combine) => hot-url skew
+  is pre-reduced before shuffle; `salt_partitions` adds an explicit
+  two-phase reduce on top.
+- Backpressure = `maxFilesPerTrigger` on the source (the analog of the
+  fast-forward queue cap 100 at Blockstream.ts:24,106-112).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gnarly_spark.fixtures import CHANGELOG_COLUMNS, CHANGELOG_DDL
+from gnarly_spark.functions.extraction import extract_text_udf
+from gnarly_spark.operators.audit import audit_rows
+from gnarly_spark.operators.replay import last_writer_wins, last_writer_wins_salted
+from gnarly_spark.sinks.lake import ParquetLakeTable
+
+# target-table schema: page columns + lineage columns (block/op_seq of the
+# winning event — needed so a later revert can re-adjudicate the url)
+TARGET_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "_block_hash", "_block_id", "_op_seq"]
+
+# candidate-relation schema used by the per-batch LWW
+_CAND_COLS = ["url", "warc_ts", "op_seq", "op", "html", "lang", "_block_hash", "_block_id", "text", "_src"]
+
+
+
+class CdcIngestPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        target: ParquetLakeTable | None = None,
+        retention_blocks: int = 100,
+        salt_partitions: int | None = None,
+        rename_map: dict[str, str] | None = None,
+        with_text: bool = True,
+    ):
+        self.spark = spark
+        self.work_dir = work_dir.rstrip("/")
+        self.target = target or ParquetLakeTable(
+            spark, os.path.join(self.work_dir, "pages"), key="url"
+        )
+        self.retention_blocks = retention_blocks
+        self.salt_partitions = salt_partitions
+        self.rename_map = rename_map or {}
+        self.with_text = with_text
+        self.log_dir = os.path.join(self.work_dir, "_cdc_log")
+        self.undo_dir = os.path.join(self.work_dir, "_undo")
+        self.audit_dir = os.path.join(self.work_dir, "audit")
+        self.metrics_dir = os.path.join(self.work_dir, "_metrics")
+        self.checkpoint_dir = os.path.join(self.work_dir, "_checkpoint")
+        for d in (self.log_dir, self.undo_dir, self.audit_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # ----- retained bookkeeping dirs (event log / undo log) -------------
+    @staticmethod
+    def _batches_in(dirpath: str) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(dirpath)
+            if d.startswith("batch=")
+        )
+
+    def _read_batched(self, dirpath: str, schema: str | None = None) -> DataFrame | None:
+        batches = self._batches_in(dirpath)
+        if not batches:
+            return None
+        paths = [os.path.join(dirpath, f"batch={b}") for b in batches]
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(*paths)
+        # schema evolution: merge schemas across batches — a column added
+        # mid-stream appears null-filled in older batches
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
+    def _write_batched(
+        self, dirpath: str, df: DataFrame, batch_id: int, stat_col: str
+    ) -> None:
+        """Idempotent per-batch write + stats sidecar used for pruning."""
+        path = os.path.join(dirpath, f"batch={batch_id}")
+        df.write.mode("overwrite").parquet(path)
+        row = df.agg(F.max(stat_col).alias("mx"), F.count("*").alias("n")).collect()[0]
+        with open(os.path.join(path, "_stats.json"), "w") as f:
+            json.dump({"max_block": row.mx, "n": row.n}, f)
+
+    def _prune_batched(self, dirpath: str, horizon: int) -> None:
+        """Drop partitions entirely older than the retention window
+        (≈ deleteHistoricalBlocks, stores/sequelize.ts:232-255)."""
+        for b in self._batches_in(dirpath):
+            try:
+                with open(os.path.join(dirpath, f"batch={b}", "_stats.json")) as f:
+                    mx = json.load(f)["max_block"]
+            except FileNotFoundError:
+                continue
+            if mx is not None and mx < horizon:
+                shutil.rmtree(os.path.join(dirpath, f"batch={b}"))
+
+    # kept for tests / introspection
+    def _log_batches(self) -> list[int]:
+        return self._batches_in(self.log_dir)
+
+    # ----- the per-micro-batch program ---------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        if batch_id in self.target.applied_batch_ids():
+            return  # exactly-once refire guard
+
+        # normalize renamed columns (schema evolution, axis: renamed column)
+        for src, dst in self.rename_map.items():
+            if src in batch_df.columns:
+                batch_df = batch_df.withColumnRenamed(src, dst)
+
+        self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+        log = self._read_batched(self.log_dir)
+
+        # columns added mid-stream (schema evolution) ride along end-to-end:
+        # log -> candidates -> LWW payload -> MERGE (which widens the target)
+        extras = [
+            (f.name, f.dataType.simpleString())
+            for f in log.schema.fields
+            if f.name not in CHANGELOG_COLUMNS
+        ]
+
+        def _extra_cols(df: DataFrame):
+            return [
+                F.col(n) if n in df.columns else F.lit(None).cast(t).alias(n)
+                for n, t in extras
+            ]
+
+        # blocks reverted by ANY retained revert event (old + this batch)
+        reverted = (
+            log.where(F.col("op") == "revert")
+            .where(F.col("revert_of_block").isNotNull())
+            .select(F.col("revert_of_block").alias("block_hash"))
+            .distinct()
+        )
+        new_reverts = (
+            batch_df.where(F.col("op") == "revert")
+            .select(F.col("revert_of_block").alias("block_hash"))
+            .distinct()
+        )
+
+        # urls touched by this batch's events, plus urls whose applied
+        # events are being reverted by this batch (need re-adjudication)
+        affected = (
+            batch_df.where(F.col("op") != "revert")
+            .select("url")
+            .unionByName(
+                log.join(F.broadcast(new_reverts), "block_hash", "left_semi").select("url")
+            )
+            .where(F.col("url").isNotNull())
+            .distinct()
+        )
+
+        # ---- candidate relation for LWW ----
+        # (a) retained live events for affected urls
+        log_cand = (
+            log.where(F.col("op") != "revert")
+            .join(F.broadcast(reverted), "block_hash", "left_anti")
+            .join(affected, "url", "left_semi")
+            .select(
+                "url", "warc_ts", "op_seq", "op", "html", "lang",
+                F.col("block_hash").alias("_block_hash"),
+                F.col("block_id").alias("_block_id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit("log").alias("_src"),
+                *_extra_cols(log),
+            )
+        )
+        parts = [log_cand]
+
+        # (b) current target rows (cover events pruned beyond retention);
+        # a row whose own block just got reverted is excluded
+        tgt = self.target.read() if self.target.current_version() >= 0 else None
+        if tgt is not None and "_op_seq" in tgt.columns:
+            parts.append(
+                tgt.join(affected, "url", "left_semi")
+                .join(
+                    F.broadcast(reverted.withColumnRenamed("block_hash", "_block_hash")),
+                    "_block_hash",
+                    "left_anti",
+                )
+                .select(
+                    "url", "warc_ts",
+                    F.col("_op_seq").alias("op_seq"),
+                    F.lit("target").alias("op"),
+                    "html", "lang", "_block_hash", "_block_id", "text",
+                    F.lit("target").alias("_src"),
+                    *_extra_cols(tgt),
+                )
+            )
+
+        # (c) undo rows activated by a revert of their replacing block —
+        # the prior values that must resurface (oldValue semantics)
+        undo = self._read_batched(self.undo_dir)
+        if undo is not None:
+            parts.append(
+                undo.join(
+                    F.broadcast(
+                        reverted.withColumnRenamed("block_hash", "_replaced_by_block")
+                    ),
+                    "_replaced_by_block",
+                    "left_semi",
+                )
+                .join(
+                    F.broadcast(reverted.withColumnRenamed("block_hash", "_block_hash")),
+                    "_block_hash",
+                    "left_anti",
+                )
+                .join(affected, "url", "left_semi")
+                .select(
+                    "url", "warc_ts",
+                    F.col("_op_seq").alias("op_seq"),
+                    F.lit("undo").alias("op"),
+                    "html", "lang", "_block_hash", "_block_id", "text",
+                    F.lit("undo").alias("_src"),
+                    *_extra_cols(undo),
+                )
+            )
+
+        candidates = parts[0]
+        for p in parts[1:]:
+            candidates = candidates.unionByName(p)
+
+        lww = (
+            last_writer_wins_salted(candidates, n_salts=self.salt_partitions)
+            if self.salt_partitions
+            else last_writer_wins(candidates)
+        )
+        # the winner set is reused three times (upserts, deletes, undo
+        # pairing) — materialize once
+        lww = lww.localCheckpoint(eager=False)
+
+        # winners that change the table: new/resurfaced rows, not deletes,
+        # not the row already in the target
+        upserts = lww.where((F.col("_src") != "target") & (F.col("op") != "delete"))
+        if self.with_text:
+            # extract only where missing (undo rows already carry text);
+            # vectorized pandas UDF over Arrow batches
+            upserts = upserts.withColumn(
+                "text",
+                F.when(F.col("text").isNull(), extract_text_udf(F.col("html"))).otherwise(
+                    F.col("text")
+                ),
+            )
+        upserts = upserts.select(
+            "url", "warc_ts", "html", "text", "lang",
+            "_block_hash", "_block_id",
+            F.col("op_seq").alias("_op_seq"),
+            *[F.col(n) for n, _ in extras],
+        )
+        # deletes: affected urls whose winner is a delete — or that have no
+        # surviving candidate at all (every event reverted)
+        deletes = affected.join(
+            lww.where(F.col("op") != "delete").select("url"), "url", "left_anti"
+        )
+
+        # ---- undo log: save prior target rows being replaced/deleted ----
+        if tgt is not None and "_op_seq" in tgt.columns:
+            replacing = lww.where(F.col("_src") == "log").select(
+                "url",
+                F.col("_block_hash").alias("_replaced_by_block"),
+                F.col("_block_id").alias("_replaced_by_block_id"),
+            )
+            prior = tgt.join(replacing, "url", "inner").select(
+                *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
+            )
+            self._write_batched(self.undo_dir, prior, batch_id, "_replaced_by_block_id")
+
+        # lineage: append-only audit rows (volatile ops — never replayed
+        # into state; FIXTURES.md F5), idempotent, written BEFORE the
+        # commit point so refires cannot lose it
+        audit = audit_rows(batch_df.where(F.col("op").isNotNull()), batch_id=batch_id)
+        audit.write.mode("overwrite").parquet(
+            os.path.join(self.audit_dir, f"batch={batch_id}")
+        )
+
+        # ---- the commit point (idempotent keyed MERGE) ----
+        self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
+
+        n_events = batch_df.count()
+        wall = time.monotonic() - t0
+        metrics = {
+            "batch_id": batch_id,
+            "n_events": n_events,
+            "wall_s": round(wall, 3),
+            "events_per_s": round(n_events / max(wall, 1e-9), 1),
+            "target_version": self.target.current_version(),
+        }
+        with open(os.path.join(self.metrics_dir, f"batch-{batch_id}.json"), "w") as f:
+            json.dump(metrics, f)
+
+        # prune retained state beyond the reorg window
+        known = []
+        for b in self._batches_in(self.log_dir):
+            try:
+                with open(os.path.join(self.log_dir, f"batch={b}", "_stats.json")) as f:
+                    v = json.load(f)["max_block"]
+                    if v is not None:
+                        known.append(v)
+            except FileNotFoundError:
+                pass
+        if known:
+            horizon = max(known) - self.retention_blocks
+            self._prune_batched(self.log_dir, horizon)
+            self._prune_batched(self.undo_dir, horizon)
+
+    # ----- stream wiring ------------------------------------------------
+    def start(
+        self,
+        changelog_dir: str,
+        available_now: bool = True,
+        max_files_per_trigger: int | None = 1,
+        processing_time: str | None = None,
+    ):
+        """Tail the changelog directory as a file stream.
+
+        ``available_now`` processes the backlog then stops (backfill mode,
+        ≈ the fast-forward loop Blockstream.ts:95-129); otherwise the query
+        longpolls like the reference's 5 s subscription (Web3Api.ts:92-100).
+        Crash resume = restart with the same checkpoint dir: offsets are in
+        the WAL and state is in the lake table, so there is no patch replay
+        (ReducerRunner.ts:63-104 collapses into this one option).
+        """
+        reader = self.spark.readStream.schema(CHANGELOG_DDL)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(changelog_dir)
+        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def metrics(self) -> list[dict]:
+        out = []
+        for fn in sorted(os.listdir(self.metrics_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.metrics_dir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def pages(self) -> DataFrame:
+        """User-facing view of the target (lineage columns hidden)."""
+        return self.target.read().select("url", "warc_ts", "html", "text", "lang")

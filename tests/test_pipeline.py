@@ -1,0 +1,187 @@
+"""End-to-end streaming pipeline tests: incremental == full replay ==
+pandas oracle; exactly-once under refires; reorg across micro-batches;
+crash resume from checkpoint. Ports the reference's core invariants
+(Ourbit.spec.ts:155-179, Blockstream.spec.ts:195-277)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from gnarly_spark.fixtures import CHANGELOG_DDL, gen_changelog, oracle_final_state
+from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+from tests.conftest import assert_pdf_equal
+
+PAGE_COLS = ["url", "warc_ts", "text", "lang"]
+
+
+def write_changelog_files(spark, pdf: pd.DataFrame, out_dir: str, n_files: int):
+    """Split a changelog into n sequential parquet files (micro-batch feed)."""
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = (len(pdf) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            spark.createDataFrame(part, schema=CHANGELOG_DDL).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"chunk={i:04d}"))
+
+
+def run_stream(pipeline, changelog_dir):
+    q = pipeline.start(changelog_dir, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+
+
+def _got(pipeline):
+    return (
+        pipeline.pages()
+        .select(*PAGE_COLS)
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+
+
+def _want(log):
+    return oracle_final_state(log)[PAGE_COLS].reset_index(drop=True)
+
+
+def test_incremental_equals_replay_linear(spark, tmp_path):
+    log = gen_changelog(n_blocks=20, events_per_block=5)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=5)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    run_stream(p, src)
+    assert len(p.metrics()) >= 2, "must have processed multiple micro-batches"
+    assert_pdf_equal(_got(p), _want(log))
+
+
+def test_reorg_across_batches(spark, tmp_path):
+    """Fork events and their reverts land in DIFFERENT micro-batches —
+    the incremental revert path (target re-adjudication), not just replay."""
+    log = gen_changelog(n_blocks=16, events_per_block=5, fork_depth=3, seed=21)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=8)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+
+
+def test_refired_batch_is_noop(spark, tmp_path):
+    log = gen_changelog(n_blocks=8, events_per_block=5, seed=3)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    half = len(log) // 2
+    b0 = spark.createDataFrame(log.iloc[:half], schema=CHANGELOG_DDL)
+    b1 = spark.createDataFrame(log.iloc[half:], schema=CHANGELOG_DDL)
+    p.process_batch(b0, 0)
+    p.process_batch(b1, 1)
+    v = p.target.current_version()
+    before = _got(p)
+    p.process_batch(b1, 1)  # foreachBatch refire after simulated crash
+    assert p.target.current_version() == v, "refire must not commit"
+    assert_pdf_equal(_got(p), before)
+    assert_pdf_equal(_got(p), _want(log))
+
+
+def test_crash_resume_from_checkpoint(spark, tmp_path):
+    """Stop after part of the backlog, restart with same checkpoint —
+    offsets in the WAL + state in the lake table = no replay needed."""
+    log = gen_changelog(n_blocks=20, events_per_block=5, seed=17)
+    src = str(tmp_path / "changelog")
+    # phase 1: only first half of the files exist
+    half_rows = len(log) // 2
+    write_changelog_files(spark, log.iloc[:half_rows], src, n_files=4)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    run_stream(p, src)
+    n_batches_phase1 = len(p.metrics())
+    assert n_batches_phase1 >= 2
+    # "crash": new pipeline object (fresh driver), same work/checkpoint dirs
+    p2 = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    # more files arrive
+    more = log.iloc[half_rows:].copy()
+    os.makedirs(src, exist_ok=True)
+    import pyspark.sql.functions as F  # noqa
+
+    for i, start in enumerate(range(0, len(more), 30)):
+        part = more.iloc[start : start + 30]
+        spark.createDataFrame(part, schema=CHANGELOG_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk={100 + i:04d}"))
+    run_stream(p2, src)
+    assert_pdf_equal(_got(p2), _want(log))
+
+
+def test_revert_older_than_retained_prior_value(spark, tmp_path):
+    """A url's newest event is reverted while its PREVIOUS value has been
+    pruned from the event log — the target row must resurface as the
+    winner (the 'candidates include the target' path)."""
+    rows = []
+
+    def ev(op_seq, block_id, op, url, html, revert_of=None):
+        from gnarly_spark.fixtures import EPOCH, block_hash
+
+        rows.append(
+            {
+                "op_seq": op_seq,
+                "block_id": block_id,
+                "block_hash": block_hash(block_id),
+                "parent_hash": block_hash(block_id - 1),
+                "op": op,
+                "url": url,
+                "warc_ts": EPOCH + pd.Timedelta(seconds=60 * block_id),
+                "html": html,
+                "lang": "en",
+                "revert_of_block": revert_of,
+                "reason": "T",
+            }
+        )
+
+    from gnarly_spark.fixtures import block_hash
+
+    ev(1, 0, "insert", "https://u.example/1", b"<p>v1</p>")
+    ev(2, 50, "update", "https://u.example/1", b"<p>v2</p>")
+    ev(3, 51, "revert", None, None, revert_of=block_hash(50))
+    log = pd.DataFrame(rows)
+
+    # retention=5 blocks: by the time the revert arrives, the insert (block 0)
+    # is long pruned from the event log; only the target row remembers v1
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), retention_blocks=5)
+    from gnarly_spark.fixtures import CHANGELOG_DDL as DDL
+
+    p.process_batch(spark.createDataFrame(log.iloc[[0]], schema=DDL), 0)
+    assert p._log_batches() == [0]
+    p.process_batch(spark.createDataFrame(log.iloc[[1]], schema=DDL), 1)
+    assert p._log_batches() == [1], "block-0 batch must be pruned by retention"
+    p.process_batch(spark.createDataFrame(log.iloc[[2]], schema=DDL), 2)
+    got = _got(p)
+    assert got.url.tolist() == ["https://u.example/1"]
+    assert got.text.tolist() == ["v1"], "pre-reorg value must resurface"
+
+
+def test_salted_pipeline_agrees(spark, tmp_path):
+    log = gen_changelog(n_blocks=12, events_per_block=8, zipf_s=1.2, seed=33)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=4)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), salt_partitions=8)
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+
+
+def test_audit_rows_appended_and_deterministic(spark, tmp_path):
+    log = gen_changelog(n_blocks=6, events_per_block=4, seed=2)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=2)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    run_stream(p, src)
+    audit = spark.read.parquet(os.path.join(p.audit_dir, "batch=*")).toPandas()
+    assert len(audit) == len(log)
+    assert audit.uuid.is_unique
+    # deterministic: same event -> same uuid on regeneration
+    from gnarly_spark.operators.audit import audit_rows
+
+    again = audit_rows(
+        spark.createDataFrame(log, schema=CHANGELOG_DDL), batch_id=0
+    ).toPandas()
+    assert set(again.uuid) == set(audit.uuid)
