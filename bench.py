@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is total wall seconds over the headline set. Extra keys report the
+flagship CDC replay throughput (change-events/sec — the BASELINE.json
+metric). Scaling-efficiency evidence (same job at two parallelism levels)
+lives in tools/run_scaling.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "cdc_replay_lww",
+    "cdc_fold_abelian",
+    "cdc_incremental_merge",
+    "a2_lww_latest",
+    "j4_broadcast_enrich",
+    "j_semi_anti",
+    "q1_lineitem_agg",
+    "q3_topk_join",
+    "q5_multijoin",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "sim_bruteforce_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    import __spark_entry__ as entrymod
+    from gnarly_spark.session import get_spark
+
+    spark = get_spark(app_name="gnarly_bench", cpus=cpus, shuffle_partitions=cpus)
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen path once (not timed)
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total wall sec over headline CDC/dedup/similarity/relational queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "flagship_events_per_s": round(n_events / max(timings["cdc_replay_lww"], 1e-9), 1),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

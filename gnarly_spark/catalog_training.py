@@ -1,0 +1,278 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis)
+registered into the driver catalog with DuckDB oracles.
+
+Shared SQL fragments mirror the Spark operators in operators/dedup.py,
+operators/similarity.py and functions/text.py exactly (same normalization,
+same md5-derived hashes, same rounding) so results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gnarly_spark.catalog import _t, register
+
+# normalized text (lower + collapse whitespace) — DuckDB needs the 'g' flag
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# distinct word 3-gram shingles per doc (list comprehension — DuckDB's
+# generate_series can't take lateral column args)
+_SHINGLES_SQL = f"""
+    docs_n AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT id,
+                  unnest([w[g] || ' ' || w[g+1] || ' ' || w[g+2]
+                          for g in range(1, greatest(len(w) - 1, 1))]) AS shingle
+           FROM docs_n)
+"""
+
+_JACCARD_SQL = f"""
+    {_SHINGLES_SQL},
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+               GROUP BY a.id, b.id),
+    jac AS (SELECT id_a, id_b,
+                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from gnarly_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"WITH {_JACCARD_SQL} SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.5",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from gnarly_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_SQL}
+    SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+    FROM sh, generate_series(0, 7) AS t(i) GROUP BY id, i
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """Flattened (id, i, mh) minhash rows — row shape chosen over arrays so
+    the oracle hash is representation-independent."""
+    from gnarly_spark.operators.dedup import shingles
+
+    sh = shingles(_t(spark, sf_dir, "documents"))
+    return (
+        sh.select("id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"), "shingle")
+        .select("id", "i", F.md5(F.concat_ws(":", "i", "shingle")).alias("h"))
+        .groupBy("id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_JACCARD_SQL},
+    mins AS (SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+             FROM sh, generate_series(0, 7) AS t(i) GROUP BY id, i),
+    banded AS (SELECT id, i // 2 AS band,
+                      md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+               FROM mins GROUP BY id, i // 2),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id)
+    SELECT c.id_a, c.id_b, j.jaccard FROM cand c
+    JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+    WHERE j.jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    from gnarly_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS tok
+                  FROM documents),
+    th AS (SELECT id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS th
+           FROM toks WHERE tok != ''),
+    bitsum AS (SELECT id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM th, generate_series(0, 31) AS t(b) GROUP BY id, b)
+    SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM bitsum GROUP BY id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    from gnarly_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id IN (0, 1, 2, 3, 4)),
+    scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                      ROUND(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos
+               FROM embeddings e, q WHERE e.vec_id != q.query_id),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    from gnarly_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+
+
+@register(
+    "sim_neardup_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200 AND b.vec_id < 200
+      AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def sim_neardup_cosine(spark, sf_dir):
+    from gnarly_spark.operators.similarity import neardup_pairs
+
+    return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, max_id=200)
+
+
+# LSH-bucketed ANN: genuinely non-SQL-expressible oracle (deterministic
+# hyperplanes from SHA2 seed) -> rows-only driver check, full semantics
+# tested in tests/test_similarity.py against the brute-force baseline.
+@register("sim_lsh_ann")
+def sim_lsh_ann(spark, sf_dir):
+    from gnarly_spark.operators.similarity import lsh_ann_topk
+
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _count_word_sql(word: str) -> str:
+    return f"len(regexp_extract_all({_NORM}, '\\b{word}\\b'))"
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    return " + ".join(_count_word_sql(w) for w in words)
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_score_sql(["the", "a", "of", "and"])} AS s_en,
+             {_lang_score_sql(["der", "die", "und", "das"])} AS s_de,
+             {_lang_score_sql(["le", "la", "et", "les"])} AS s_fr,
+             {_lang_score_sql(["el", "los", "y", "una"])} AS s_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+                ELSE 'und' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    from gnarly_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm, text,
+             {_lang_score_sql(["the", "a", "of", "and"])} AS stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars
+      FROM documents),
+    tok AS (SELECT *, CASE WHEN norm = '' THEN 0
+                           ELSE len(string_split(norm, ' ')) END AS n_tokens
+            FROM base)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           ROUND(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+           ROUND(0.5 * stop / greatest(n_tokens, 1)
+                 + 0.3 * n_alpha / greatest(n_chars, 1)
+                 + 0.2 * least(n_tokens, 100) / 100, 6) AS quality_score
+    FROM tok
+    """,
+)
+def text_quality(spark, sf_dir):
+    from gnarly_spark.functions.text import quality_features
+
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(CASE WHEN {_NORM} = '' THEN 0
+                     ELSE len(string_split({_NORM}, ' ')) END AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    from gnarly_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    from gnarly_spark.functions.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))

@@ -1,0 +1,98 @@
+"""Text-analysis functions for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All JVM-side column expressions (regexp/md5/size/split — codegen'd, no
+Python). Heuristics are deliberately simple & fully specified so a SQL
+oracle reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gnarly_spark.operators.dedup import normalize_text
+
+# marker stopwords per language (tiny, deterministic heuristic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "una"],
+}
+
+# a BPE-ish token regex: runs of word chars OR single non-space symbols
+TOKEN_REGEX = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def _count_word(col, word: str):
+    """Occurrences of a whole word (\\b boundaries; non-overlapping count is
+    identical in Java regex and RE2, so the oracle agrees)."""
+    return F.size(
+        F.regexp_extract_all(normalize_text(col), F.lit(rf"\b{word}\b"), 0)
+    ).cast("long")
+
+
+def lang_scores(col):
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        s = _count_word(col, words[0])
+        for w in words[1:]:
+            s = s + _count_word(col, w)
+        out[lang] = s
+    return out
+
+
+def lang_id(col):
+    """argmax over marker-word counts; ties break en > de > fr > es
+    (dict order); all-zero scores -> 'und' (undetermined)."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(scores)):  # earlier langs win ties
+        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
+    return expr
+
+
+def token_count(col):
+    """Whitespace token count."""
+    t = normalize_text(col)
+    return F.when(t == "", 0).otherwise(F.size(F.split(t, " "))).cast("long")
+
+
+def bpe_ish_token_count(col):
+    """Sub-word-ish token count via TOKEN_REGEX."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc quality features + composite score.
+
+    score = 0.5*stopword_ratio + 0.3*alpha_ratio + 0.2*min(n_tokens,100)/100
+    (rounded to 6 dp for oracle comparison).
+    """
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    stop = lang_scores(t)["en"]
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_chars = F.length(t)
+    stop_ratio = F.round(stop / F.greatest(n_tok, F.lit(1)), 6)
+    alpha_ratio = F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6)
+    score = F.round(
+        0.5 * stop / F.greatest(n_tok, F.lit(1))
+        + 0.3 * n_alpha / F.greatest(n_chars, F.lit(1))
+        + 0.2 * F.least(n_tok, F.lit(100)) / 100,
+        6,
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(col):
+    """Document fingerprint: md5 of normalized text."""
+    return F.md5(normalize_text(col))

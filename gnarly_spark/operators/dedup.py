@@ -1,0 +1,252 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (gnarly never dedups — its keys are unique by
+construction); these are the net-new large-scale ingest operators the
+engine needs at 100 TB: exact hash dedup, n-gram Jaccard, MinHash+LSH, and
+SimHash. All are pure DataFrame programs (JVM-side hashing via md5/xxhash64,
+no Python in the hot path).
+
+Scale notes:
+- exact dedup is a single hash-shuffle groupBy on a 32-byte digest — the
+  cheapest possible full-corpus pass; AQE coalesces the post-agg partitions.
+- the naive all-pairs Jaccard join explodes quadratically on common
+  shingles; MinHash+LSH is the scale path: signatures are k min-hashes
+  (k shuffle-free column ops after one explode+groupBy), LSH banding turns
+  near-dup search into an equi-join on (band, band_hash) — exactly the
+  shape Catalyst shuffles well. A frequency cap on shingles (stopword
+  shingles) bounds the worst-case bucket.
+- md5 (not python hash) keeps hashes identical across engines => the
+  DuckDB oracles can re-derive signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """lower + collapse whitespace — shared by fingerprint/dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one representative (min id) per distinct normalized text.
+
+    Output: (fingerprint, keep_id, n_copies).
+    """
+    return (
+        docs.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), id_col)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) doc table across the cluster
+    before CPU-heavy per-doc expressions — a small dimension-table parquet
+    arrives as one input split, which would serialize the whole shingle /
+    token computation onto one task."""
+    return docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    The word array is materialized in its own projection so the
+    normalize-regex + split run once per doc — inlining them into the
+    higher-order transform would re-evaluate them per element_at
+    (measured 5x slower)."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    base = _spread(base)
+    w = F.col("_w")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
+    )
+    return base.select("id", F.explode(sh).alias("shingle")).distinct()
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All candidate pairs with exact n-gram Jaccard >= threshold.
+
+    Pairs form via a self-equi-join on shingle (docs sharing no shingle can't
+    clear any positive threshold). Output: (id_a, id_b, jaccard) with a < b.
+    Quadratic on hot shingles — use minhash_lsh_pairs at corpus scale.
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """k MinHash values per doc: (id, h) wide rows — h_i = min over shingles
+    of md5(i ':' shingle). md5 keeps the signature reproducible in any
+    engine (oracle-checkable), unlike partition-dependent hashes.
+
+    Output: (id, minhash: array<string>[k]).
+    """
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+        "shingle",
+    ).select(
+        "id",
+        "i",
+        F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"),
+    )
+    mins = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    return (
+        mins.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+
+    rows-per-band r = k/bands; docs agreeing on ALL r hashes of any band
+    become candidates (equi-join on (band, band_key)); candidates are then
+    verified with the exact n-gram Jaccard. Output: (id_a, id_b, jaccard).
+    """
+    assert k % bands == 0
+    r = k // bands
+    # the shingle relation feeds three plan branches (signatures + both
+    # sides of the verify join) — checkpoint so it's computed once
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
+    hashed = sh.select(
+        "id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"), "shingle"
+    ).select("id", "i", F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"))
+    mins = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
+    sig = (
+        mins.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
+        .select("id", F.transform("s", lambda x: x["mh"]).alias("minhash"))
+    )
+    banded = sig.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "minhash",
+    ).select(
+        "id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("minhash", F.col("band") * r + j + 1) for j in range(r)]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-verify ONLY the candidate pairs (this is the LSH win: the full
+    # all-pairs Jaccard relation is never built)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc SimHash over distinct tokens (md5-derived token hashes so the
+    oracle can reproduce it). Output: (id, simhash: bigint).
+
+    bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
+    md5(token) set else -1) > 0.
+    """
+    toks = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    # 32-bit token hash from the first 8 hex chars of md5 (engine-portable)
+    toks = toks.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    bit = toks.select(
+        "id", "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    ).withColumn(
+        # shiftright/shiftleft SQL forms accept a column shift amount
+        # (the Python wrappers require a literal)
+        "contrib",
+        F.when(F.expr("shiftright(th, CAST(b AS INT)) & 1") == 1, 1).otherwise(-1),
+    )
+    bitsum = bit.groupBy("id", "b").agg(F.sum("contrib").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
+            ).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Net-new training-data capability (nothing comparable in the reference).
+Two paths:
+
+- `cosine_topk` — brute-force exact top-k: query set × corpus, dot product
+  via JVM-side array expressions (F.zip_with + F.aggregate — whole-stage
+  codegen, no Python). Correct baseline; O(|Q|·|C|) — fine when the query
+  set is broadcastable, which is the common "find neighbors of this batch"
+  shape.
+- `lsh_ann_topk` — random-hyperplane LSH: sign-bit sketches bucket the
+  corpus; only same-bucket (or small-hamming-radius) candidates get exact
+  scoring. The 100 TB path: the corpus is scanned once to build sketches,
+  candidate generation is an equi-join on bucket id. Hyperplanes derive
+  deterministically from a seed via SHA2 so plans are reproducible.
+
+Floats: cosine is rounded (6 dp) and ties break on vec_id so top-k is a
+strict total order (oracle-comparable).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(a):
+    """float[] -> double[]: keeps the whole dot product in float64 so the
+    result is bit-identical to any engine doing sequential float64 math
+    (oracle comparability; also avoids float32 cancellation)."""
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (self excluded).
+
+    Output: (query_id, neighbor_id, cos, rank). The query side is tiny =>
+    broadcast; the corpus is scanned once, never shuffled.
+    """
+    q = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= threshold).
+
+    Brute force — bound with max_id or swap in lsh_ann candidates at scale.
+    """
+    e = embeddings
+    if max_id is not None:
+        e = e.where(F.col(id_col) < max_id)
+    a = e.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (driver-side, tiny,
+    broadcast as literals). Box-Muller over a hash-derived uniform."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for d in range(dim):
+            h = hashlib.sha256(f"{seed}:{p}:{d}".encode()).digest()
+            u1 = (int.from_bytes(h[:8], "big") + 1) / (2**64 + 2)
+            u2 = int.from_bytes(h[8:16], "big") / 2**64
+            v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def lsh_sketch(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH sketch: bucket = sum over planes of sign(v·plane)<<i."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(_dot(F.col(vec_col), arr) > 0, F.lit(1 << i)).otherwise(0)
+    return embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec"), bucket.alias("bucket")
+    )
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket; exact
+    cosine only on candidates. Recall < 1 by design — the scale path where
+    brute force is too big; bucket-join instead of cross-join.
+    """
+    sk = lsh_sketch(embeddings, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
+    q = sk.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket"
+    )
+    cand = sk.join(F.broadcast(q), ["bucket"]).where(F.col("id") != F.col("query_id"))
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    )

@@ -1,0 +1,130 @@
+"""Semantic tests for dedup / similarity / text-analysis operators on
+planted fixtures (the oracle-equivalence check runs via tools/check_oracle.py
+and the driver's CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base, "en"),
+        (1, base, "en"),  # exact dup of 0
+        (2, base.replace("today", "tomorrow"), "en"),  # near dup of 0
+        (3, "completely different words about spark shuffles and merges", "en"),
+        (4, "  THE   quick brown fox jumps over the lazy dog again and again today ", "en"),  # dup after normalization
+        (5, "der hund und die katze und das haus und der baum", "de"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string, lang string")
+
+
+def test_exact_dedup_finds_planted(spark, docs):
+    from gnarly_spark.operators.dedup import exact_duplicates
+
+    got = exact_duplicates(docs).toPandas()
+    dup_group = got[got.n_copies == 3]
+    assert len(dup_group) == 1 and dup_group.iloc[0].keep_id == 0  # 0,1,4
+
+
+def test_jaccard_finds_near_dup(spark, docs):
+    from gnarly_spark.operators.dedup import jaccard_pairs
+
+    got = jaccard_pairs(docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].values.tolist()))
+    assert (0, 1) in pairs and (0, 4) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    exact = got[(got.id_a == 0) & (got.id_b == 1)].jaccard.iloc[0]
+    assert exact == 1.0
+
+
+def test_minhash_lsh_subset_of_jaccard_and_finds_dups(spark, docs):
+    from gnarly_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    lsh = minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5).toPandas()
+    jac = jaccard_pairs(docs, threshold=0.5).toPandas()
+    lsh_pairs = set(map(tuple, lsh[["id_a", "id_b"]].values.tolist()))
+    jac_pairs = set(map(tuple, jac[["id_a", "id_b"]].values.tolist()))
+    assert lsh_pairs <= jac_pairs
+    assert (0, 1) in lsh_pairs  # identical docs always collide in every band
+
+
+def test_simhash_properties(spark, docs):
+    from gnarly_spark.operators.dedup import simhash
+
+    got = simhash(docs, bits=32).toPandas().set_index("id").simhash
+    assert got[0] == got[1] == got[4]  # identical normalized text
+    ham_near = bin(int(got[0]) ^ int(got[2])).count("1")
+    ham_far = bin(int(got[0]) ^ int(got[5])).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    from gnarly_spark.operators.similarity import cosine_topk
+
+    got = cosine_topk(df, [0, 1], k=3).toPandas()
+    v = vecs.astype("float64")
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expect = list(np.argsort(-np.round(s, 6), kind="stable")[:3])
+        assert got[got.query_id == q].sort_values("rank").neighbor_id.tolist() == expect
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(300, 16)).astype("float32")
+    # plant near-duplicates of queries so ANN has true positives to find
+    for q in range(5):
+        vecs[100 + q] = vecs[q] + rng.normal(scale=0.01, size=16).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    from gnarly_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    bf = cosine_topk(df, list(range(5)), k=1).toPandas()
+    ann = lsh_ann_topk(df, list(range(5)), k=1, n_planes=6).toPandas()
+    # the planted near-dup is each query's true top-1
+    assert bf.sort_values("query_id").neighbor_id.tolist() == [100, 101, 102, 103, 104]
+    hits = ann.merge(bf, on=["query_id", "neighbor_id"])
+    assert len(hits) >= 4, f"ANN recall too low: {len(hits)}/5"
+
+
+def test_text_functions(spark, docs):
+    from gnarly_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        token_count,
+    )
+
+    got = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred"),
+        token_count(F.col("text")).alias("n"),
+        bpe_ish_token_count(F.col("text")).alias("nb"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).toPandas().set_index("doc_id")
+    assert got.loc[0, "pred"] == "en" and got.loc[5, "pred"] == "de"
+    assert got.loc[0, "n"] == 13
+    assert got.loc[0, "fp"] == got.loc[1, "fp"] == got.loc[4, "fp"]
+    assert got.loc[0, "fp"] != got.loc[2, "fp"]
+
+
+def test_quality_score_ordering(spark, docs):
+    from gnarly_spark.functions.text import quality_features
+
+    got = quality_features(docs).toPandas().set_index("doc_id")
+    assert (got.quality_score > 0).all()
+    # stopword-rich English doc scores above the German one on the en-marker
+    assert got.loc[0, "stopword_ratio"] > got.loc[5, "stopword_ratio"]
