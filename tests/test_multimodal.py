@@ -1,0 +1,74 @@
+"""Multimodal plumbing tests: schema, magic sniffing, Arrow batch shapes,
+deterministic stub features, byte-based partitioning, frame sampling."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnarly_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    media_metadata,
+    media_repartition_by_bytes,
+    sample_frames,
+)
+
+PNG = b"\x89PNG\r\n\x1a\n" + b"x" * 100
+JPG = b"\xff\xd8\xff\xe0" + b"y" * 50
+WAV = b"RIFF....WAVE" + b"z" * 200
+MP4 = b"\x00\x00\x00\x18ftypmp42" + b"m" * 300
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image/png", PNG),
+        (1, "image/jpeg", JPG),
+        (2, "audio/wav", WAV),
+        (3, "video/mp4", MP4),
+        (4, "application/octet-stream", b"\x00\x01"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, media_type string, payload binary")
+
+
+def test_magic_sniffing(spark, media):
+    got = media_metadata(media).select("doc_id", "sniffed_type", "n_bytes").toPandas()
+    got = got.set_index("doc_id")
+    assert got.loc[0, "sniffed_type"] == "image/png"
+    assert got.loc[1, "sniffed_type"] == "image/jpeg"
+    assert got.loc[2, "sniffed_type"] == "audio/wav"
+    assert got.loc[3, "sniffed_type"] == "video/mp4"
+    assert got.loc[4, "sniffed_type"] == "application/octet-stream"
+    assert got.loc[0, "n_bytes"] == len(PNG)
+
+
+def test_feature_extraction_shape_and_determinism(spark, media):
+    got = extract_media_features(media).toPandas().set_index("doc_id")
+    assert len(got) == 5
+    assert all(len(v) == FEATURE_DIM for v in got.feature)
+    again = extract_media_features(media).toPandas().set_index("doc_id")
+    for i in range(5):
+        assert list(got.loc[i, "feature"]) == list(again.loc[i, "feature"])
+    assert got.loc[3, "n_bytes"] == len(MP4)
+
+
+def test_real_decode_is_stubbed(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
+        extract_media_features(media, decode_real=True).collect()
+
+
+def test_repartition_by_bytes(spark):
+    rows = [(i, b"v" * 1024) for i in range(2048)]  # 2 MB total
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    out = media_repartition_by_bytes(df, target_mb=1)
+    assert out.rdd.getNumPartitions() == 2
+    assert out.count() == 2048
+
+
+def test_sample_frames(spark):
+    df = spark.createDataFrame([(0, 3500), (1, 900)], "doc_id long, duration_ms long")
+    got = sample_frames(df, every_ms=1000).toPandas()
+    f0 = got[got.doc_id == 0].frame_ts_ms.tolist()
+    assert f0 == [0, 1000, 2000, 3000]
+    assert got[got.doc_id == 1].frame_ts_ms.tolist() == [0]
