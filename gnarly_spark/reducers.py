@@ -1,0 +1,158 @@
+"""Reducer API: the three canonical reducer shapes gnarly ships, as
+declarative per-batch programs over change events.
+
+Reference mapping (reducer registry at packages/gnarly-core/src/Gnarly.ts:22-28,
+one runner per reducer; types at src/reducer/types.ts:18-42):
+
+| shape      | reference reducer                                  | ours |
+|------------|----------------------------------------------------|------|
+| LWW upsert | erc721 ownership (reducer.ts:61-87)                | the pipeline's core pages table |
+| fold       | erc20 running balance (reducer.ts:40-92)           | FoldReducer (MERGE-add, revert = negate) |
+| append     | events / block-meta (reducer.ts:30-40 / :16-37)    | AppendReducer |
+
+ReducerType semantics (types.ts:6-42): TimeVarying (order-dependent) maps to
+the fold/LWW reducers — order is data ((warc_ts, op_seq)), so batches can be
+processed set-wise; Atomic (parallelizable) maps to AppendReducer (stateless
+projection); Idempotent (runs only at HEAD, never during sync,
+ReducerRunner.ts:56-59) maps to `head_only=True`, executed by
+`CdcIngestPipeline.refresh_idempotent()` after backfill instead of per batch.
+
+Each reducer owns its own lake table / append dir and its own batch-id
+idempotence, so a crash between sub-sinks of one micro-batch is repaired by
+the refire: already-committed reducers skip, missing ones apply.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gnarly_spark.sinks.lake import ParquetLakeTable
+
+
+@dataclass
+class AppendReducer:
+    """Append-only projection (volatile rows: never fed back into state,
+    excluded from replay — stores/sequelize.ts:286-288).
+
+    project(events_df) -> rows to append for this batch.
+    """
+
+    name: str
+    project: Callable[[DataFrame], DataFrame]
+    head_only: bool = False
+
+    def out_dir(self, work_dir: str) -> str:
+        return os.path.join(work_dir, "reducers", self.name)
+
+    def apply(self, ctx, batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(self.out_dir(ctx.work_dir), f"batch={batch_id}")
+        if os.path.exists(path):  # refire: append already happened
+            return
+        self.project(batch_df).write.mode("overwrite").parquet(path)
+
+    def read(self, ctx) -> DataFrame:
+        return ctx.spark.read.parquet(os.path.join(self.out_dir(ctx.work_dir), "batch=*"))
+
+
+@dataclass
+class FoldReducer:
+    """Abelian fold into a per-key running total (erc20 shape).
+
+    The fold must be commutative group arithmetic: reverts are handled by
+    MERGE-adding the NEGATED contributions of reverted blocks (replaces
+    patch inversion, utils.ts:77-103 — possible precisely because the
+    state is abelian, SURVEY.md §7.4 risk 2).
+
+    key: Column producing the group key (aliased 'key').
+    delta: Column producing the signed numeric delta (null rows ignored).
+    """
+
+    name: str
+    key: Column
+    delta: Column
+    head_only: bool = False
+
+    def table(self, ctx) -> ParquetLakeTable:
+        return ParquetLakeTable(
+            ctx.spark, os.path.join(ctx.work_dir, "reducers", self.name), key="key"
+        )
+
+    def _contrib(self, events: DataFrame) -> DataFrame:
+        """Per-key delta sums of a set of events (two-phase partial agg)."""
+        rows = events.where(F.col("op") != "revert").select(
+            self.key.alias("key"), self.delta.cast("double").alias("_d")
+        )
+        return rows.where(F.col("_d").isNotNull()).groupBy("key").agg(
+            F.sum("_d").alias("delta")
+        )
+
+    def apply(self, ctx, batch_df: DataFrame, batch_id: int) -> None:
+        table = self.table(ctx)
+        if batch_id in table.applied_batch_ids():
+            return  # per-reducer refire guard
+        reverted_now = (
+            batch_df.where(F.col("op") == "revert")
+            .where(F.col("revert_of_block").isNotNull())
+            .select(F.col("revert_of_block").alias("block_hash"))
+            .distinct()
+        )
+        all_reverted = ctx.reverted_blocks()
+        # adds: this batch's events whose block isn't (already) dead
+        adds = self._contrib(
+            batch_df.join(F.broadcast(all_reverted), "block_hash", "left_anti")
+        )
+        # negations: PRIOR batches' events in blocks this batch reverts
+        prior = ctx.log_before(batch_id)
+        parts = [adds]
+        if prior is not None:
+            undone = prior.join(F.broadcast(reverted_now), "block_hash", "left_semi")
+            parts.append(
+                self._contrib(undone).select("key", (-F.col("delta")).alias("delta"))
+            )
+        net = parts[0]
+        for p in parts[1:]:
+            net = net.unionByName(p)
+        net = net.groupBy("key").agg(F.sum("delta").alias("delta"))
+
+        # MERGE-add: total = coalesce(old,0) + delta  (read-modify-write on
+        # only the affected keys; bucket-targeted rewrite in the lake table)
+        current = table.read() if table.current_version() >= 0 else None
+        if current is not None and "total" in current.columns:
+            merged = (
+                net.join(current, "key", "left")
+                .select(
+                    "key",
+                    (F.coalesce(F.col("total"), F.lit(0.0)) + F.col("delta")).alias("total"),
+                )
+            )
+        else:
+            merged = net.select("key", F.col("delta").alias("total"))
+        table.merge(merged, batch_id=batch_id)
+
+    def read(self, ctx) -> DataFrame:
+        return self.table(ctx).read()
+
+
+@dataclass
+class IdempotentReducer:
+    """Head-only reducer (ReducerType.Idempotent, reducer/types.ts:6-16):
+    recomputed from current state at HEAD, never during sync
+    (ReducerRunner.ts:56-59). build(pages_df) -> snapshot DataFrame."""
+
+    name: str
+    build: Callable[[DataFrame], DataFrame]
+    head_only: bool = True
+
+    def apply(self, ctx, batch_df: DataFrame, batch_id: int) -> None:
+        return  # never runs per-batch
+
+    def refresh(self, ctx) -> DataFrame:
+        out = self.build(ctx.pages())
+        path = os.path.join(ctx.work_dir, "reducers", self.name)
+        out.write.mode("overwrite").parquet(path)
+        return ctx.spark.read.parquet(path)

@@ -86,6 +86,7 @@ class CdcIngestPipeline:
         salt_partitions: int | None = None,
         rename_map: dict[str, str] | None = None,
         with_text: bool = True,
+        reducers: list | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -96,6 +97,10 @@ class CdcIngestPipeline:
         self.salt_partitions = salt_partitions
         self.rename_map = rename_map or {}
         self.with_text = with_text
+        # extra reducers running over the same stream (gnarly runs N
+        # ReducerRunners over one source, Gnarly.ts:22-28); each has its own
+        # sink + batch-id guard so partial crashes repair on refire
+        self.reducers = reducers or []
         self.log_dir = os.path.join(self.work_dir, "_cdc_log")
         self.undo_dir = os.path.join(self.work_dir, "_undo")
         self.audit_dir = os.path.join(self.work_dir, "audit")
@@ -150,11 +155,29 @@ class CdcIngestPipeline:
     def _log_batches(self) -> list[int]:
         return self._batches_in(self.log_dir)
 
+    # ----- reducer context helpers --------------------------------------
+    def reverted_blocks(self) -> DataFrame:
+        """All block hashes named by retained revert events."""
+        log = self._read_batched(self.log_dir)
+        return (
+            log.where(F.col("op") == "revert")
+            .where(F.col("revert_of_block").isNotNull())
+            .select(F.col("revert_of_block").alias("block_hash"))
+            .distinct()
+        )
+
+    def log_before(self, batch_id: int) -> DataFrame | None:
+        """Retained events from batches before `batch_id` (fold reducers
+        negate these when their blocks get reverted)."""
+        batches = [b for b in self._batches_in(self.log_dir) if b != batch_id]
+        if not batches:
+            return None
+        paths = [os.path.join(self.log_dir, f"batch={b}") for b in batches]
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+
     # ----- the per-micro-batch program ---------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         t0 = time.monotonic()
-        if batch_id in self.target.applied_batch_ids():
-            return  # exactly-once refire guard
 
         # normalize renamed columns (schema evolution, axis: renamed column)
         for src, dst in self.rename_map.items():
@@ -162,6 +185,17 @@ class CdcIngestPipeline:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
         self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+
+        # run extra reducers first — each guards its own batch_id, so a
+        # crash between sub-sinks repairs on refire (the reference's
+        # save-tx-then-apply gap, Ourbit.ts:144-150, closed per sink)
+        for red in self.reducers:
+            if not getattr(red, "head_only", False):
+                red.apply(self, batch_df, batch_id)
+
+        if batch_id in self.target.applied_batch_ids():
+            return  # core already committed (refire)
+
         log = self._read_batched(self.log_dir)
 
         # columns added mid-stream (schema evolution) ride along end-to-end:
@@ -385,6 +419,16 @@ class CdcIngestPipeline:
         elif processing_time:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
+
+    def refresh_idempotent(self):
+        """Run head-only reducers once, at HEAD (ReducerType.Idempotent,
+        reducer/types.ts:6-16 — 'runs only at head, never during sync').
+        Call after a backfill / availableNow drain completes."""
+        out = {}
+        for red in self.reducers:
+            if getattr(red, "head_only", False) and hasattr(red, "refresh"):
+                out[red.name] = red.refresh(self)
+        return out
 
     def metrics(self) -> list[dict]:
         out = []

@@ -1,0 +1,107 @@
+"""Multi-reducer pipeline: append + fold + idempotent reducers running over
+the same stream as the core LWW pages reducer (gnarly's N-runners-one-source
+model, Gnarly.ts:22-28), with per-reducer crash/refire independence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gnarly_spark.fixtures import CHANGELOG_DDL, gen_changelog, oracle_final_state
+from gnarly_spark.reducers import AppendReducer, FoldReducer, IdempotentReducer
+from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+from tests.conftest import assert_pdf_equal
+
+
+def mk_reducers():
+    return [
+        AppendReducer(
+            name="block_meta",
+            project=lambda df: df.groupBy("block_id", "block_hash").agg(
+                F.count("*").alias("n_events"), F.max("warc_ts").alias("block_ts")
+            ),
+        ),
+        FoldReducer(
+            name="bytes_by_site",
+            key=F.regexp_extract("url", r"https://([^/]+)/", 1),
+            delta=F.when(F.col("op") != "delete", F.length("html")).otherwise(0),
+        ),
+        IdempotentReducer(
+            name="lang_histogram",
+            build=lambda pages: pages.groupBy("lang").agg(F.count("*").alias("n_pages")),
+        ),
+    ]
+
+
+def _oracle_fold(log: pd.DataFrame) -> pd.DataFrame:
+    reverted = set(log.loc[log.op == "revert", "revert_of_block"].dropna())
+    ev = log[(log.op != "revert") & (~log.block_hash.isin(reverted))].copy()
+    ev["key"] = ev.url.str.extract(r"https://([^/]+)/")
+    ev["d"] = ev.apply(
+        lambda r: len(r.html) if r.op != "delete" and r.html is not None else 0, axis=1
+    )
+    out = ev.groupby("key", as_index=False)["d"].sum().rename(columns={"d": "total"})
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def run_batches(spark, p, log, n_batches=4):
+    chunk = (len(log) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = log.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            p.process_batch(spark.createDataFrame(part, schema=CHANGELOG_DDL), i)
+
+
+def test_multi_reducer_pipeline(spark, tmp_path):
+    log = gen_changelog(n_blocks=16, events_per_block=5, fork_depth=3, seed=31)
+    reducers = mk_reducers()
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=reducers)
+    run_batches(spark, p, log)
+
+    # core pages still correct
+    got_pages = (
+        p.pages().select("url", "warc_ts", "text", "lang").toPandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    want = oracle_final_state(log)[["url", "warc_ts", "text", "lang"]].reset_index(drop=True)
+    assert_pdf_equal(got_pages, want)
+
+    # append reducer: one row per (block_id, block_hash) incl. fork blocks
+    bm = reducers[0].read(p).toPandas()
+    assert len(bm) == log.groupby(["block_id", "block_hash"]).ngroups
+    assert bm.n_events.sum() == len(log)
+
+    # fold reducer: MERGE-added running totals == oracle resummation
+    fold = (
+        reducers[1].read(p).toPandas().sort_values("key").reset_index(drop=True)
+    )
+    want_fold = _oracle_fold(log)
+    assert_pdf_equal(fold[["key", "total"]], want_fold)
+
+    # idempotent reducer: refreshed at head from the pages table
+    hist = p.refresh_idempotent()["lang_histogram"].toPandas()
+    assert hist.n_pages.sum() == len(want)
+
+
+def test_fold_reducer_refire_and_revert(spark, tmp_path):
+    """A refired batch must not double-add; a revert in a later batch must
+    negate exactly the reverted blocks' contributions."""
+    log = gen_changelog(n_blocks=12, events_per_block=4, fork_depth=2, seed=12)
+    reducers = [
+        FoldReducer(name="bytes", key=F.lit("all"), delta=F.length("html"))
+    ]
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=reducers)
+    chunk = len(log) // 3 + 1
+    for i in range(3):
+        part = log.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            b = spark.createDataFrame(part, schema=CHANGELOG_DDL)
+            p.process_batch(b, i)
+            p.process_batch(b, i)  # immediate refire
+
+    got = reducers[0].read(p).toPandas()
+    reverted = set(log.loc[log.op == "revert", "revert_of_block"].dropna())
+    ev = log[(log.op != "revert") & (~log.block_hash.isin(reverted))]
+    want_total = sum(len(h) for h in ev.html if h is not None)
+    assert got.total.tolist() == [float(want_total)]
