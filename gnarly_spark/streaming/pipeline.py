@@ -420,6 +420,27 @@ class CdcIngestPipeline:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    def reset(self) -> None:
+        """Drop all engine state: target table, logs, checkpoints, reducer
+        sinks (≈ gnarly.reset / setdown+setup, Gnarly.ts:44-56,
+        stores/sequelize.ts:161-177). The changelog source is untouched."""
+        for d in (
+            self.log_dir,
+            self.undo_dir,
+            self.audit_dir,
+            self.metrics_dir,
+            self.checkpoint_dir,
+            self.target.path,
+            os.path.join(self.work_dir, "reducers"),
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+        for d in (self.log_dir, self.undo_dir, self.audit_dir, self.metrics_dir):
+            os.makedirs(d, exist_ok=True)
+        self.target = ParquetLakeTable(
+            self.spark, self.target.path, key=self.target.key,
+            n_buckets=self.target.n_buckets,
+        )
+
     def refresh_idempotent(self):
         """Run head-only reducers once, at HEAD (ReducerType.Idempotent,
         reducer/types.ts:6-16 — 'runs only at head, never during sync').

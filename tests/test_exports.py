@@ -1,0 +1,53 @@
+"""Public API surface lock (mirrors the reference's test/exports.spec.ts:
+the exported surface is a contract, breakage is a test failure)."""
+
+from __future__ import annotations
+
+
+def test_public_api_surface():
+    import gnarly_spark
+    from gnarly_spark import catalog, catalog_training, datagen, fixtures, reducers, session
+    from gnarly_spark.functions import extraction, text
+    from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
+    from gnarly_spark.sinks import lake
+    from gnarly_spark.sources import changelog
+    from gnarly_spark.streaming import pipeline
+
+    surface = {
+        session: ["get_spark"],
+        fixtures: [
+            "ChainBuilder", "gen_changelog", "gen_page_edits",
+            "oracle_final_state", "oracle_fold", "html_for",
+            "CHANGELOG_DDL", "CHANGELOG_COLUMNS",
+        ],
+        extraction: ["extract_text", "extract_text_udf", "EXTRACTION_RULE_VERSION"],
+        text: ["lang_id", "token_count", "bpe_ish_token_count", "quality_features", "fingerprint"],
+        replay: [
+            "final_state", "live_events", "reverted_blocks",
+            "last_writer_wins", "last_writer_wins_salted", "last_writer_wins_window",
+        ],
+        fold: ["fold_deltas", "fold_final_state"],
+        audit: ["audit_rows", "AUDIT_COLUMNS"],
+        dedup: [
+            "exact_duplicates", "shingles", "jaccard_pairs",
+            "minhash_signatures", "minhash_lsh_pairs", "simhash", "normalize_text",
+        ],
+        similarity: ["cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk", "cosine"],
+        multimodal: [
+            "media_metadata", "extract_media_features",
+            "media_repartition_by_bytes", "sample_frames",
+        ],
+        lake: ["ParquetLakeTable", "IcebergLakeTable", "bucket_of"],
+        changelog: [
+            "read_changelog", "stream_changelog", "block_by_seq",
+            "block_by_hash", "latest_seq", "events_in_range",
+        ],
+        pipeline: ["CdcIngestPipeline", "TARGET_COLUMNS"],
+        reducers: ["AppendReducer", "FoldReducer", "IdempotentReducer"],
+        datagen: ["gen_changelog_spark"],
+        catalog: ["QUERIES", "ORACLES", "register"],
+    }
+    for mod, names in surface.items():
+        for n in names:
+            assert hasattr(mod, n), f"{mod.__name__}.{n} missing from public surface"
+    assert gnarly_spark.__version__

@@ -55,3 +55,34 @@ def test_udf_on_spark(spark):
     df = spark.createDataFrame(pdf, schema="html binary")
     got = [r.text for r in df.select(extract_text_udf("html").alias("text")).collect()]
     assert got == [g[1] for g in GOLDEN]
+
+
+def test_golden_corpus_byte_identical(spark):
+    """Frozen corpus: html + extracted text hashes for 60 (url, version)
+    cases. Any change to the extraction rule or to the html generator is a
+    contract break (the per-url byte-identical invariant of
+    BASELINE.json input_hint). Vectorized UDF must reproduce the same
+    bytes as the scalar spec."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gnarly_spark.functions.extraction import extract_text_udf
+
+    with open(os.path.join(os.path.dirname(__file__), "golden_extraction.json")) as f:
+        golden = json.load(f)
+    assert golden["rule_version"] == 1
+    cases = golden["cases"]
+    for c in cases:
+        html = html_for(c["url"], c["op_seq"])
+        assert hashlib.sha256(html).hexdigest() == c["html_sha256"], c["url"]
+        text = extract_text(html)
+        assert hashlib.sha256(text.encode()).hexdigest() == c["text_sha256"], c["url"]
+    # vectorized path over all cases at once
+    pdf = pd.DataFrame({"html": [html_for(c["url"], c["op_seq"]) for c in cases]})
+    df = spark.createDataFrame(pdf, schema="html binary")
+    got = [r.text for r in df.select(extract_text_udf("html").alias("text")).collect()]
+    for text, c in zip(got, cases):
+        assert hashlib.sha256(text.encode()).hexdigest() == c["text_sha256"]
