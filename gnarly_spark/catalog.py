@@ -479,9 +479,167 @@ def a5_audit_projection(spark, sf_dir):
     )
 
 
+@register(
+    "a1_running_balance",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN -ROUND(value, 4)::DECIMAL(18,4)
+                         ELSE  ROUND(value, 4)::DECIMAL(18,4) END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS balance
+    FROM events WHERE user_id < 100
+    """,
+)
+def a1_running_balance(spark, sf_dir):
+    """Per-event running balance trajectory (A1: the erc20 reducer persists
+    the balance AFTER every transfer, gnarly-reducer-erc20/src/reducer.ts:81-90)
+    — cumulative signed-delta window. Deltas are quantized to DECIMAL(18,4)
+    before summation so the cumulative sum is exact and order-independent
+    across engines."""
+    e = _t(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    delta = F.round("value", 4).cast("decimal(18,4)")
+    signed = F.when(F.col("event_type") == "purchase", -delta).otherwise(delta)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(signed).over(w).cast("double").alias("balance"),
+    )
+
+
+@register(
+    "o5_retention_prune",
+    """
+    SELECT COUNT(*) AS n_retained, MIN(event_id) AS min_seq,
+           MAX(event_id) AS max_seq
+    FROM events
+    WHERE event_id > (SELECT MAX(event_id) FROM events) - 1000
+    """,
+)
+def o5_retention_prune(spark, sf_dir):
+    """Retention-window survivor set (O5: prune blocks older than
+    head - BLOCK_RETENTION, stores/sequelize.ts:218-224, Blockstream.ts:202-208)
+    — scalar-subquery head lookup feeding a range predicate."""
+    e = _t(spark, sf_dir, "events")
+    head = e.agg(F.max("event_id").alias("h"))
+    return (
+        e.join(F.broadcast(head))
+        .where(F.col("event_id") > F.col("h") - 1000)
+        .agg(
+            F.count("*").alias("n_retained"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+        )
+    )
+
+
+@register(
+    "cdc_block_metrics",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT block_hash, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+           CAST(SUM(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+           CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+           CAST(SUM(CASE WHEN op = 'revert' THEN 1 ELSE 0 END) AS BIGINT) AS n_revert,
+           MIN(op_seq) AS first_seq, MAX(op_seq) AS last_seq,
+           COUNT(DISTINCT url) AS n_urls
+    FROM changelog GROUP BY block_hash
+    """,
+)
+def cdc_block_metrics(spark, sf_dir):
+    """Per-block ingest metrics / lineage rollup (M8; ≈ the reference's
+    per-transaction bookkeeping tables, stores/sequelize.ts:18-99): op mix,
+    seq bounds, and touched-key cardinality per block — the shape the
+    pipeline's _metrics rows take, as one partial-aggregated groupBy."""
+    log = _changelog_df(spark, sf_dir)
+    return log.groupBy("block_hash").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("op") == "insert").cast("long")).alias("n_insert"),
+        F.sum((F.col("op") == "update").cast("long")).alias("n_update"),
+        F.sum((F.col("op") == "delete").cast("long")).alias("n_delete"),
+        F.sum((F.col("op") == "revert").cast("long")).alias("n_revert"),
+        F.min("op_seq").alias("first_seq"),
+        F.max("op_seq").alias("last_seq"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+@register(
+    "t7_head_summary",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT op AS last_op, COUNT(*) AS n_urls,
+           ROUND(SUM(ROUND(value, 4)), 4) AS sum_last_value
+    FROM ranked WHERE rn = 1 GROUP BY op
+    """,
+)
+def t7_head_summary(spark, sf_dir):
+    """Idempotent-at-head view (T7, ReducerType.Idempotent,
+    reducer/types.ts:6-16): a summary computed once over the FINAL state —
+    composed directly on the engine's replay operators, demonstrating
+    reducer composition over the head table."""
+    from gnarly_spark.operators.replay import last_writer_wins, live_events
+
+    log = _changelog_df(spark, sf_dir)
+    winners = last_writer_wins(live_events(log))
+    return winners.groupBy(F.col("op").alias("last_op")).agg(
+        F.count("*").alias("n_urls"),
+        F.round(F.sum(F.round("value", 4)), 4).alias("sum_last_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-style relational coverage (Catalyst: pushdown, join order, agg)
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_filter_agg",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_filter_agg(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective conjunctive predicate, all four
+    filters pushed to the parquet scan, map-side-only aggregate (no group
+    keys => single-row partial/final)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
 
 
 @register(
