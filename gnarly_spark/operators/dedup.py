@@ -108,31 +108,33 @@ def jaccard_pairs(
     )
 
 
+def _minhash_agg(sh: DataFrame, k: int) -> DataFrame:
+    """(id, shingle) -> (id, minhash: array<string>[k]) in ONE groupBy.
+
+    h_i = min over shingles of md5(i ':' shingle), computed as k aggregate
+    columns rather than an explode(xk): the k md5s are map-side projections
+    and the mins partial-aggregate, so the shuffle carries exactly one
+    k-wide row per (partition, id) instead of k x |shingles| rows. md5 keeps
+    signatures reproducible in any engine (oracle-checkable), unlike
+    partition-dependent hashes.
+    """
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))).alias(f"_h{i}")
+            for i in range(k)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("minhash")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """k MinHash values per doc: (id, h) wide rows — h_i = min over shingles
-    of md5(i ':' shingle). md5 keeps the signature reproducible in any
-    engine (oracle-checkable), unlike partition-dependent hashes.
-
-    Output: (id, minhash: array<string>[k]).
-    """
+    """k MinHash values per doc. Output: (id, minhash: array<string>[k])."""
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
-    hashed = sh.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-        "shingle",
-    ).select(
-        "id",
-        "i",
-        F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"),
-    )
-    mins = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
-    return (
-        mins.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["mh"]).alias("minhash"))
-    )
+    return _minhash_agg(sh, k)
 
 
 def minhash_lsh_pairs(
@@ -155,15 +157,7 @@ def minhash_lsh_pairs(
     # the shingle relation feeds three plan branches (signatures + both
     # sides of the verify join) — checkpoint so it's computed once
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
-    hashed = sh.select(
-        "id", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"), "shingle"
-    ).select("id", "i", F.md5(F.concat_ws(":", F.col("i"), F.col("shingle"))).alias("h"))
-    mins = hashed.groupBy("id", "i").agg(F.min("h").alias("mh"))
-    sig = (
-        mins.groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "mh"))).alias("s"))
-        .select("id", F.transform("s", lambda x: x["mh"]).alias("minhash"))
-    )
+    sig = _minhash_agg(sh, k)
     banded = sig.select(
         "id",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),

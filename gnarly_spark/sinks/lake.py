@@ -316,19 +316,48 @@ class IcebergLakeTable:
         ).collect()
         return {r[0] for r in rows}
 
+    def current_version(self) -> int:  # pragma: no cover
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return rows[0][0] if rows else -1
+
     def merge(self, upserts, delete_keys=None, batch_id=None) -> bool:  # pragma: no cover
+        """One MERGE covering upsert + delete, `_batch_id` stamped on every
+        written row so `applied_batch_ids()` gives refire idempotence —
+        identical contract to ParquetLakeTable.merge.
+
+        Deletes ride in the same source relation (`_op = 'delete'`) so the
+        whole mutation is ONE Iceberg commit: atomic, snapshot-isolated, and
+        a single join pass over the target (vs MERGE-then-DELETE = two).
+        Iceberg handles schema evolution via
+        spark.sql.iceberg.check-ordering=false + mergeSchema on the catalog;
+        added columns in `upserts` widen the table on write.
+        """
+        if batch_id is not None and batch_id in self.applied_batch_ids():
+            return False
         k = self.key
-        upserts.createOrReplaceTempView("_updates")
+        src = upserts.withColumn("_op", F.lit("upsert"))
+        if batch_id is not None:
+            src = src.withColumn("_batch_id", F.lit(batch_id))
+        if delete_keys is not None:
+            dk = delete_keys.select(k).distinct().withColumn("_op", F.lit("delete"))
+            for f in src.schema.fields:
+                if f.name not in dk.columns:
+                    dk = dk.withColumn(f.name, F.lit(None).cast(f.dataType))
+            src = src.unionByName(dk.select(src.columns))
+        src.createOrReplaceTempView("_cdc_src")
+        cols = [c for c in src.columns if c != "_op"]
+        set_clause = ", ".join(f"t.{c} = u.{c}" for c in cols)
+        ins_cols = ", ".join(cols)
+        ins_vals = ", ".join(f"u.{c}" for c in cols)
         self.spark.sql(
             f"""
-            MERGE INTO {self.table} t USING _updates u ON t.{k} = u.{k}
-            WHEN MATCHED THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
+            MERGE INTO {self.table} t USING _cdc_src u ON t.{k} = u.{k}
+            WHEN MATCHED AND u._op = 'delete' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET {set_clause}
+            WHEN NOT MATCHED AND u._op != 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
         )
-        if delete_keys is not None:
-            delete_keys.createOrReplaceTempView("_deletes")
-            self.spark.sql(
-                f"DELETE FROM {self.table} WHERE {k} IN (SELECT {k} FROM _deletes)"
-            )
         return True
