@@ -55,9 +55,13 @@ def main():
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(2):  # best-of-2, fresh plan per run (AQE caches
+            t0 = time.monotonic()  # materialized stages on reused DF objects)
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total = round(sum(timings.values()), 3)

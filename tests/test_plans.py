@@ -112,6 +112,19 @@ def test_whole_stage_codegen_and_partial_agg_in_q1(spark):
     assert "isFinalPlan=true" in final and "*(" in final
 
 
+def test_minhash_is_single_min_agg_no_k_explode(spark):
+    """MinHash signatures must be ONE groupBy with k min columns (map-side
+    partial min => shuffle carries one row per id), not an explode(xk) that
+    multiplies the shingle relation through the exchange."""
+    from gnarly_spark.operators.dedup import _minhash_agg, shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(_minhash_agg(shingles(docs), 8))
+    assert "partial_min" in plan, "map-side combine missing on minhash agg"
+    # exactly one Generate: the shingle explode; the k hashes are columns
+    assert plan.count("Generate explode") == 1
+
+
 def test_extraction_runs_after_dedup_not_before(spark, to_spark):
     """Cost discipline: the UDF must sit above the aggregate in the plan —
     extracting before LWW would pay the UDF for every event instead of
