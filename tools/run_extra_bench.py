@@ -1,0 +1,120 @@
+"""Extra BENCH.md evidence beyond the batch-replay scaling table:
+
+1. STREAMING-INGEST scaling — the BASELINE.json metric surface itself
+   (checkpointed foreachBatch MERGE into the bucketed lake table), drained
+   at local[8] vs local[32] over the identical revert-free changelog;
+   per-level JSON includes a (url, warc_ts, text) checksum cross-checked
+   against one-shot batch replay (incremental == replay).
+2. HOT-KEY SKEW A/B — window vs max_by vs salted LWW on a skew=0.9
+   changelog where the hottest url holds ~30% of all events.
+
+Each level/variant runs in a fresh JVM (subprocess). Appends two sections
+to BENCH.md (replacing previous runs of the same sections) and prints one
+JSON line. Run AFTER tools/run_scaling.py (which rewrites BENCH.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+MARK = "\n<!-- extra-bench -->\n"
+
+
+def _gen(changelog: str, n_events: int, skew: float, partitions: int) -> None:
+    if os.path.exists(changelog):
+        return
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from gnarly_spark.session import get_spark
+from gnarly_spark.datagen import gen_changelog_spark
+spark = get_spark(app_name="gen", cpus=32, shuffle_partitions=32)
+gen_changelog_spark(spark, {n_events}, skew={skew}, revert_every_blocks=0,
+                    partitions={partitions}).write.mode("overwrite").parquet({changelog!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def _run(script: str, *args: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, script), *map(str, args)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    stream_log = "/tmp/scaling/stream_changelog"
+    skew_log = "/tmp/scaling/skew_changelog"
+    _gen(stream_log, 2_000_000, skew=0.2, partitions=16)
+    _gen(skew_log, 5_000_000, skew=0.9, partitions=32)
+
+    stream = {c: _run("streaming_scaling_job.py", c, stream_log, 4) for c in (8, 32)}
+    for c, r in stream.items():
+        assert r["pages_checksum"] == r["replay_checksum"], (c, r)
+    eff = round(stream[32]["events_per_s"] / (4 * stream[8]["events_per_s"]), 3)
+
+    skew = _run("skew_job.py", 32, skew_log)
+
+    result = {"streaming": stream, "streaming_efficiency_8_32": eff, "skew": skew}
+    print(json.dumps(result))
+
+    lines = [
+        "## Streaming-ingest scaling (the BASELINE metric surface)",
+        "",
+        "Full checkpointed pipeline (file-stream -> foreachBatch: LWW ->",
+        "pandas-UDF extraction -> keyed MERGE into the bucketed lake table),",
+        f"availableNow drain over the same {stream[8]['n_events']:,}-event changelog,",
+        f"{stream[8]['n_batches']} micro-batches, fresh work dir + warm-up drain per",
+        "level. Final-table checksum equals one-shot batch replay at every level",
+        "(incremental == replay).",
+        "",
+        "| local[N] | wall s | events/s | batches | pages |",
+        "|---|---|---|---|---|",
+    ]
+    for c in (8, 32):
+        r = stream[c]
+        lines.append(
+            f"| {c} | {r['wall_s']} | {r['events_per_s']:,.0f} | {r['n_batches']} | {r['pages']:,} |"
+        )
+    lines += [
+        "",
+        f"Raw streaming efficiency 8->32: **{eff}** (same CPU-ceiling caveat as",
+        "above: the box itself scales ~0.44 over this range; per-batch fixed",
+        "costs — checkpoint WAL, manifest commit, plan build — amortize away",
+        "with bigger batches at real scale).",
+        "",
+        "## Hot-key skew (window vs partial-agg vs salted LWW)",
+        "",
+        f"skew=0.9 changelog, {skew['n_events']:,} events, hottest url holds",
+        f"**{skew['hot_share']:.0%}** of all events; local[{skew['cpus']}],",
+        "best-of-2 fresh plans:",
+        "",
+        "| strategy | wall s | note |",
+        "|---|---|---|",
+        f"| window row_number | {skew['window_s']} | all hot-url rows to ONE task |",
+        f"| max_by (engine default) | {skew['max_by_s']} | map-side partial agg pre-reduces |",
+        f"| salted two-phase | {skew['salted_s']} | explicit local/global reduce |",
+        "",
+        "The default plan neutralizes the hot key before the exchange — the",
+        "north_star's 'salted key-partitioned merge apply + two-phase reduce'",
+        "is the explicit fallback for payloads that defeat the hash partial agg.",
+    ]
+
+    bench_path = os.path.join(REPO, "BENCH.md")
+    with open(bench_path) as f:
+        current = f.read()
+    current = current.split(MARK)[0].rstrip() + "\n"
+    with open(bench_path, "w") as f:
+        f.write(current + MARK + "\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()
