@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -263,6 +264,51 @@ class ParquetLakeTable:
                     bucket_map[b] = extra.get(b, [])
         self._commit(manifest)
         return True
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop manifests older than the last ``keep_last`` versions and
+        delete data files no surviving manifest references (Iceberg's
+        expire_snapshots/remove_orphan_files analog — bounds disk growth of
+        a long-running COW stream; time travel remains for kept versions).
+
+        Control-plane only (file listing + unlink); never touches data files
+        a kept snapshot can still read. Returns {"kept", "dropped_manifests",
+        "deleted_files"}.
+        """
+        cur = self.current_version()
+        if cur < 0:
+            return {"kept": [], "dropped_manifests": 0, "deleted_files": 0}
+        mdir = os.path.join(self.path, "_manifests")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = [v for v in versions if v > cur - keep_last]
+        live: set[str] = set()
+        for v in keep:
+            for fl in self._manifest(v)["buckets"].values():
+                live.update(fl)
+        deleted = 0
+        data_dir = os.path.join(self.path, "data")
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            for root, _, files in os.walk(full):
+                for f in files:
+                    p = os.path.join(root, f)
+                    if f.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        deleted += 1
+        # prune now-empty version dirs
+        for d in os.listdir(data_dir):
+            full = os.path.join(data_dir, d)
+            if not any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
+                shutil.rmtree(full, ignore_errors=True)
+        dropped = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(mdir, f"v{v}.json"))
+                dropped += 1
+        return {"kept": keep, "dropped_manifests": dropped, "deleted_files": deleted}
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Full-table replace (initial load / compaction)."""

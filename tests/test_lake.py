@@ -92,3 +92,30 @@ def test_overwrite_then_merge(spark, table):
     table.merge(mk(spark, [("b", 3)]), batch_id=5)
     got = _pdf(table.read())
     assert got.v.tolist() == [1, 3]
+
+
+def test_expire_snapshots_bounds_disk_keeps_current(spark, table):
+    import glob
+    import os
+
+    for i in range(5):
+        table.merge(mk(spark, [("a", i), (f"k{i}", i)]), batch_id=i)
+    assert table.current_version() == 4
+    n_files_before = len(glob.glob(f"{table.path}/data/**/*.parquet", recursive=True))
+
+    out = table.expire_snapshots(keep_last=2)
+    assert out["kept"] == [3, 4] and out["dropped_manifests"] == 3
+    assert out["deleted_files"] > 0
+    n_files_after = len(glob.glob(f"{table.path}/data/**/*.parquet", recursive=True))
+    assert n_files_after < n_files_before
+
+    # current snapshot fully readable; final state correct
+    got = _pdf(table.read())
+    assert got[got.url == "a"].v.tolist() == [4]
+    assert set(got.url) == {"a", "k0", "k1", "k2", "k3", "k4"}
+    # time travel within the kept window still works
+    prev = _pdf(table.read(version=3))
+    assert prev[prev.url == "a"].v.tolist() == [3]
+    # batch-id idempotence survives expiry (refire of old batch is a no-op)
+    assert table.merge(mk(spark, [("a", 99)]), batch_id=2) is False
+    assert _pdf(table.read())[lambda d: d.url == "a"].v.tolist() == [4]
