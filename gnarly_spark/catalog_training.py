@@ -171,7 +171,7 @@ def sim_neardup_cosine(spark, sf_dir):
 
 # LSH-bucketed ANN: genuinely non-SQL-expressible oracle (deterministic
 # hyperplanes from SHA2 seed) -> rows-only driver check, full semantics
-# tested in tests/test_similarity.py against the brute-force baseline.
+# tested in tests/test_trainingdata.py against the brute-force baseline.
 @register("sim_lsh_ann")
 def sim_lsh_ann(spark, sf_dir):
     from gnarly_spark.operators.similarity import lsh_ann_topk

@@ -1,0 +1,67 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The engine's canonical path keeps state in the lake table (MERGE per
+micro-batch) — that is the right design for a 10^8-url table. This module
+is the OTHER Spark-native stateful shape: keyed in-memory streaming state
+with applyInPandasWithState, useful for small hot aggregates that must
+update with per-trigger latency and don't warrant a table commit —
+e.g. a per-url head tracker / change-rate monitor feeding ingest metrics
+(the live analog of gnarly's per-reducer latest-transaction bookkeeping,
+packages/gnarly-core/src/stores/sequelize.ts:257-270).
+
+State per url: (n_events, last_seq, last_ts) folded with the same
+(warc_ts, op_seq) LWW ordering as the table path. Arbitrary fold state is
+supported by the same shape (the handler sees whole pandas groups).
+
+Scale notes: state lives in the executors' state store keyed by url —
+partitioned by the groupBy key, no driver involvement; a GroupStateTimeout
+can bound it (we default to NoTimeout because the url universe of the hot
+window is bounded by the reorg retention window upstream).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_events long, last_seq long, last_ts timestamp"
+OUTPUT_SCHEMA = "url string, n_events long, last_seq long, last_ts timestamp"
+
+
+def _track_head(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this trigger's events for one url into (n_events, last_seq,
+    last_ts); emit the updated head row."""
+    n, last_seq, last_ts = state.get if state.exists else (0, -1, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        # same total order as the table path: (warc_ts, op_seq)
+        top = pdf.sort_values(["warc_ts", "op_seq"]).iloc[-1]
+        if last_ts is None or (top.warc_ts, top.op_seq) > (last_ts, last_seq):
+            last_seq = int(top.op_seq)
+            last_ts = top.warc_ts
+    state.update((n, last_seq, last_ts))
+    yield pd.DataFrame(
+        {"url": [key[0]], "n_events": [n], "last_seq": [last_seq], "last_ts": [last_ts]}
+    )
+
+
+def head_tracker(events, output_mode: str = "append"):
+    """events (streaming DataFrame with url/op_seq/warc_ts) -> per-url head
+    state stream. ``output_mode='append'`` emits the updated head row each
+    trigger a url appears (works with any sink, incl. files);
+    ``'update'`` for update-capable sinks (memory/console/foreachBatch)."""
+    return (
+        events.where(events.url.isNotNull())
+        .groupBy("url")
+        .applyInPandasWithState(
+            _track_head,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
