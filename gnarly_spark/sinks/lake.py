@@ -369,6 +369,21 @@ class IcebergLakeTable:
         ).collect()
         return rows[0][0] if rows else -1
 
+    def overwrite(self, df, batch_id=None) -> None:  # pragma: no cover
+        """Full-table replace (initial load / compaction) — one snapshot."""
+        if batch_id is not None:
+            df = df.withColumn("_batch_id", F.lit(batch_id))
+        df.writeTo(self.table).overwritePartitions()
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:  # pragma: no cover
+        """Iceberg-native snapshot expiry (same contract as
+        ParquetLakeTable.expire_snapshots)."""
+        self.spark.sql(
+            f"CALL {self.table.split('.')[0]}.system.expire_snapshots("
+            f"table => '{self.table}', retain_last => {keep_last})"
+        )
+        return {"kept": keep_last}
+
     def merge(self, upserts, delete_keys=None, batch_id=None) -> bool:  # pragma: no cover
         """One MERGE covering upsert + delete, `_batch_id` stamped on every
         written row so `applied_batch_ids()` gives refire idempotence —

@@ -11,7 +11,7 @@ def test_public_api_surface():
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
     from gnarly_spark.sources import changelog
-    from gnarly_spark.streaming import pipeline
+    from gnarly_spark.streaming import pipeline, stateful
 
     surface = {
         session: ["get_spark"],
@@ -43,6 +43,7 @@ def test_public_api_surface():
             "block_by_hash", "latest_seq", "events_in_range",
         ],
         pipeline: ["CdcIngestPipeline", "TARGET_COLUMNS"],
+        stateful: ["head_tracker", "STATE_SCHEMA", "OUTPUT_SCHEMA"],
         reducers: ["AppendReducer", "FoldReducer", "IdempotentReducer"],
         datagen: ["gen_changelog_spark"],
         catalog: ["QUERIES", "ORACLES", "register"],
