@@ -131,13 +131,22 @@ class CdcIngestPipeline:
 
     def _write_batched(
         self, dirpath: str, df: DataFrame, batch_id: int, stat_col: str
-    ) -> None:
-        """Idempotent per-batch write + stats sidecar used for pruning."""
+    ) -> dict:
+        """Idempotent per-batch write + stats sidecar used for pruning.
+
+        Stats ride on the write job itself via Observation — no second
+        pass over the batch (one Spark job per retained-log append)."""
+        from pyspark.sql import Observation
+
         path = os.path.join(dirpath, f"batch={batch_id}")
-        df.write.mode("overwrite").parquet(path)
-        row = df.agg(F.max(stat_col).alias("mx"), F.count("*").alias("n")).collect()[0]
+        obs = Observation(f"stats-{batch_id}")
+        df.observe(obs, F.max(stat_col).alias("mx"), F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        stats = obs.get
         with open(os.path.join(path, "_stats.json"), "w") as f:
-            json.dump({"max_block": row.mx, "n": row.n}, f)
+            json.dump({"max_block": stats["mx"], "n": stats["n"]}, f)
+        return stats
 
     def _prune_batched(self, dirpath: str, horizon: int) -> None:
         """Drop partitions entirely older than the retention window
@@ -184,7 +193,7 @@ class CdcIngestPipeline:
             if src in batch_df.columns:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
-        self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+        log_stats = self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
 
         # run extra reducers first — each guards its own batch_id, so a
         # crash between sub-sinks repairs on refire (the reference's
@@ -235,6 +244,9 @@ class CdcIngestPipeline:
             )
             .where(F.col("url").isNotNull())
             .distinct()
+            # feeds four plan branches (log/target/undo semi-joins + the
+            # delete anti-join) — materialize once instead of 4 batch scans
+            .localCheckpoint(eager=False)
         )
 
         # ---- candidate relation for LWW ----
@@ -363,7 +375,7 @@ class CdcIngestPipeline:
         # ---- the commit point (idempotent keyed MERGE) ----
         self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
 
-        n_events = batch_df.count()
+        n_events = int(log_stats["n"])  # counted on the log-append job
         wall = time.monotonic() - t0
         metrics = {
             "batch_id": batch_id,
