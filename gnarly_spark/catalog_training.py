@@ -276,3 +276,30 @@ def text_fingerprint(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "text_winnow_fingerprint",
+    f"""
+    WITH base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents WHERE doc_id < 100),
+    grams AS (SELECT id,
+                CASE WHEN length(t) >= 8 THEN
+                  [CAST(('0x' || substring(md5(substring(t, g, 8)), 1, 8)) AS BIGINT)
+                   for g in range(1, length(t) - 8 + 2)]
+                ELSE [] END AS h
+              FROM base),
+    wins AS (SELECT id,
+               CASE WHEN len(h) >= 4 THEN
+                 [list_min(h[j:j+3]) for j in range(1, len(h) - 4 + 2)]
+               ELSE [] END AS f
+             FROM grams)
+    SELECT DISTINCT id, unnest(f) AS fp FROM wins
+    """,
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling k-gram hash + window-min) fingerprints — the
+    local-edit-robust document fingerprint (k=8, w=4), distinct (id, fp)."""
+    from gnarly_spark.operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return winnow_fingerprints(d, k=8, w=4)

@@ -210,6 +210,46 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every char k-gram (rolling), keep the MIN hash of each
+    window of w consecutive k-gram hashes, emit the distinct selected
+    hashes. Local edits perturb only the fingerprints whose windows overlap
+    the edit — unlike the whole-doc md5 `fingerprint`, which any edit flips.
+
+    Entirely JVM-side: the k-gram hash array and the window-min selection
+    are higher-order array expressions (no explode of |text| rows, no
+    Python). Hashes are md5-derived (first 8 hex chars as int64) so a SQL
+    oracle reproduces them bit-for-bit. Output: (id, fp) distinct rows.
+    """
+    base = _spread(
+        docs.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t"))
+    )
+    # NB sequence(1, n) with n < 1 yields a DESCENDING [1, 0] in Spark, so
+    # short inputs are guarded with CASE rather than greatest(n, 0)
+    grams = base.withColumn(
+        "_h",
+        F.expr(
+            f"CASE WHEN length(_t) >= {k} THEN"
+            f" transform(sequence(1, length(_t) - {k} + 1),"
+            f"   i -> CAST(conv(substring(md5(substring(_t, i, {k})), 1, 8), 16, 10) AS BIGINT))"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        ),
+    )
+    wins = grams.withColumn(
+        "_f",
+        F.expr(
+            f"CASE WHEN size(_h) >= {w} THEN"
+            f" transform(sequence(1, size(_h) - {w} + 1),"
+            f"   j -> array_min(slice(_h, j, {w})))"
+            f" ELSE CAST(array() AS array<bigint>) END"
+        ),
+    )
+    return wins.select("id", F.explode("_f").alias("fp")).distinct()
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash over distinct tokens (md5-derived token hashes so the
     oracle can reproduce it). Output: (id, simhash: bigint).

@@ -128,3 +128,22 @@ def test_quality_score_ordering(spark, docs):
     assert (got.quality_score > 0).all()
     # stopword-rich English doc scores above the German one on the en-marker
     assert got.loc[0, "stopword_ratio"] > got.loc[5, "stopword_ratio"]
+
+
+def test_winnow_fingerprints_robust_to_local_edit(spark):
+    """An edit at the START of a doc must leave the tail fingerprints
+    intact (the property whole-doc hashing lacks); identical docs share
+    all fingerprints."""
+    from gnarly_spark.operators.dedup import winnow_fingerprints
+
+    body = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = spark.createDataFrame(
+        [(0, body), (1, body), (2, "EDITED! " + body)],
+        schema="doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=8, w=4).toPandas()
+    sets = {i: set(fp[fp.id == i].fp) for i in (0, 1, 2)}
+    assert sets[0] == sets[1]                      # deterministic
+    overlap = len(sets[0] & sets[2]) / len(sets[0])
+    assert overlap >= 0.7, overlap                 # local edit, mostly shared
+    assert sets[0] != sets[2]                      # but the edit is visible
