@@ -30,7 +30,8 @@ def test_public_api_surface():
         audit: ["audit_rows", "AUDIT_COLUMNS"],
         dedup: [
             "exact_duplicates", "shingles", "jaccard_pairs",
-            "minhash_signatures", "minhash_lsh_pairs", "simhash", "normalize_text",
+            "minhash_signatures", "minhash_lsh_pairs", "simhash",
+            "winnow_fingerprints", "normalize_text",
         ],
         similarity: ["cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk", "cosine"],
         multimodal: [
