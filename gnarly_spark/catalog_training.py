@@ -281,7 +281,7 @@ def text_fingerprint(spark, sf_dir):
 @register(
     "text_winnow_fingerprint",
     f"""
-    WITH base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents WHERE doc_id < 100),
+    WITH base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
     grams AS (SELECT id,
                 CASE WHEN length(t) >= 8 THEN
                   [CAST(('0x' || substring(md5(substring(t, g, 8)), 1, 8)) AS BIGINT)
@@ -301,5 +301,4 @@ def text_winnow_fingerprint(spark, sf_dir):
     local-edit-robust document fingerprint (k=8, w=4), distinct (id, fp)."""
     from gnarly_spark.operators.dedup import winnow_fingerprints
 
-    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return winnow_fingerprints(d, k=8, w=4)
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)

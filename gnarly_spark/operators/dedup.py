@@ -219,35 +219,38 @@ def winnow_fingerprints(
     hashes. Local edits perturb only the fingerprints whose windows overlap
     the edit — unlike the whole-doc md5 `fingerprint`, which any edit flips.
 
-    Entirely JVM-side: the k-gram hash array and the window-min selection
-    are higher-order array expressions (no explode of |text| rows, no
-    Python). Hashes are md5-derived (first 8 hex chars as int64) so a SQL
-    oracle reproduces them bit-for-bit. Output: (id, fp) distinct rows.
+    Shape note: the tempting all-array form (transform() building the
+    k-gram hash array, then a second transform() taking window mins over
+    it) is O(n^2): CollapseProject inlines the WHOLE first array expression
+    into every element of the second, re-running md5 per (position,
+    window) pair — measured 1000x slower. Explode to one row per position
+    instead: each hash is computed once, the window-min is a row-frame
+    window aggregate, everything whole-stage-codegen'd. Hashes are
+    md5-derived (first 8 hex chars as int64) so a SQL oracle reproduces
+    them bit-for-bit. Output: (id, fp) distinct rows.
     """
     base = _spread(
         docs.select(F.col(id_col).alias("id"), normalize_text(F.col(text_col)).alias("_t"))
+    ).withColumn("_n", F.length("_t") - k + 1)
+    # one row per k-gram position (sequence guarded: n<1 would yield [1,0])
+    pos = base.where(F.col("_n") >= 1).select(
+        "id", "_n", F.explode(F.expr("sequence(1, _n)")).alias("_i"), "_t"
     )
-    # NB sequence(1, n) with n < 1 yields a DESCENDING [1, 0] in Spark, so
-    # short inputs are guarded with CASE rather than greatest(n, 0)
-    grams = base.withColumn(
+    pos = pos.withColumn(
         "_h",
         F.expr(
-            f"CASE WHEN length(_t) >= {k} THEN"
-            f" transform(sequence(1, length(_t) - {k} + 1),"
-            f"   i -> CAST(conv(substring(md5(substring(_t, i, {k})), 1, 8), 16, 10) AS BIGINT))"
-            f" ELSE CAST(array() AS array<bigint>) END"
+            f"CAST(conv(substring(md5(substring(_t, CAST(_i AS INT), {k})), 1, 8), 16, 10) AS BIGINT)"
         ),
+    ).drop("_t")
+    win = (
+        Window.partitionBy("id").orderBy("_i").rowsBetween(0, w - 1)
     )
-    wins = grams.withColumn(
-        "_f",
-        F.expr(
-            f"CASE WHEN size(_h) >= {w} THEN"
-            f" transform(sequence(1, size(_h) - {w} + 1),"
-            f"   j -> array_min(slice(_h, j, {w})))"
-            f" ELSE CAST(array() AS array<bigint>) END"
-        ),
+    return (
+        pos.withColumn("_f", F.min("_h").over(win))
+        .where(F.col("_i") <= F.col("_n") - w + 1)  # only full windows
+        .select("id", F.col("_f").alias("fp"))
+        .distinct()
     )
-    return wins.select("id", F.explode("_f").alias("fp")).distinct()
 
 
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
