@@ -164,6 +164,39 @@ class CdcIngestPipeline:
     def _log_batches(self) -> list[int]:
         return self._batches_in(self.log_dir)
 
+    def _check_block_order(self, batch_id: int, batch_max_block) -> None:
+        """Enforce the changelog's total-order contract (a WAL/binlog
+        delivers blocks in order; the reference serializes delivery at
+        Blockstream.ts:37-39 and asserts consistency on resume at
+        ReducerRunner.ts:78-83, exiting on mismatch).
+
+        A batch whose NEWEST block is already more than ``retention_blocks``
+        behind the head seen so far cannot be adjudicated: the events it
+        must be reconciled against may have been pruned, and silently
+        applying it can resurrect deleted keys. Fail fast instead.
+        (Beware: a parquet-dir file source orders micro-batches by file
+        MTIME, not name — parallel-written fixture dirs violate the
+        contract unless mtimes follow op_seq order.)
+        """
+        wm_path = os.path.join(self.work_dir, "_watermark.json")
+        high = -1
+        if os.path.exists(wm_path):
+            with open(wm_path) as f:
+                high = json.load(f)["high_block"]
+        if batch_max_block is not None and batch_max_block < high - self.retention_blocks:
+            raise RuntimeError(
+                f"changelog ordering violation: batch {batch_id} ends at block "
+                f"{batch_max_block}, more than retention_blocks="
+                f"{self.retention_blocks} behind head {high}; the changelog "
+                "source must deliver blocks in order (file sources order by "
+                "mtime — fix the fixture's file mtimes or raise retention)"
+            )
+        if batch_max_block is not None and batch_max_block > high:
+            tmp = wm_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"high_block": batch_max_block, "batch_id": batch_id}, f)
+            os.replace(tmp, wm_path)
+
     # ----- reducer context helpers --------------------------------------
     def reverted_blocks(self) -> DataFrame:
         """All block hashes named by retained revert events."""
@@ -194,6 +227,7 @@ class CdcIngestPipeline:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
         log_stats = self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+        self._check_block_order(batch_id, log_stats["mx"])
 
         # run extra reducers first — each guards its own batch_id, so a
         # crash between sub-sinks repairs on refire (the reference's
@@ -446,6 +480,9 @@ class CdcIngestPipeline:
             os.path.join(self.work_dir, "reducers"),
         ):
             shutil.rmtree(d, ignore_errors=True)
+        wm = os.path.join(self.work_dir, "_watermark.json")
+        if os.path.exists(wm):
+            os.remove(wm)
         for d in (self.log_dir, self.undo_dir, self.audit_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
         self.target = ParquetLakeTable(

@@ -185,3 +185,20 @@ def test_audit_rows_appended_and_deterministic(spark, tmp_path):
         spark.createDataFrame(log, schema=CHANGELOG_DDL), batch_id=0
     ).toPandas()
     assert set(again.uuid) == set(audit.uuid)
+
+
+def test_out_of_order_batch_beyond_retention_fails_fast(spark, to_spark, tmp_path):
+    """A batch whose newest block is > retention behind the head cannot be
+    adjudicated (its reconciliation context may be pruned) — the pipeline
+    must refuse it loudly, not corrupt state (ports the reference's resume
+    consistency assert, ReducerRunner.ts:78-83)."""
+    from gnarly_spark.fixtures import gen_changelog
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    log = gen_changelog(n_blocks=30, events_per_block=3, seed=3)
+    p = CdcIngestPipeline(spark, str(tmp_path / "w"), retention_blocks=5)
+    head = to_spark(log[log.block_id >= 20])
+    stale = to_spark(log[log.block_id < 10])
+    p.process_batch(head, 0)
+    with pytest.raises(RuntimeError, match="ordering violation"):
+        p.process_batch(stale, 1)
