@@ -126,6 +126,31 @@ def dedup_simhash(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), bits=32)
 
 
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_JACCARD_SQL},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Connected components over n-gram-Jaccard near-dup pairs: each doc in
+    a dup group labeled with the group's min id (keep id == cluster_id).
+    Spark side: iterative hash-min label propagation; oracle: recursive
+    transitive closure (exact same components)."""
+    from gnarly_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+
+    pairs = jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -210,6 +210,56 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
+    """Group near-dup pairs into clusters: (id, cluster_id) where cluster_id
+    is the MIN doc id of the connected component — the step that turns
+    pairwise dedup output into keep/drop decisions (keep id == cluster_id).
+
+    Iterative hash-min label propagation (the standard large-scale CC
+    algorithm): each round every node takes the min label among itself and
+    its neighbors; converges in O(diameter) rounds. Each round is one
+    shuffle-join + one agg, fully distributed; the driver only checks the
+    converged? flag. Lineage is cut per round with localCheckpoint so the
+    plan stays O(1) deep at 10^8 edges.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
 def winnow_fingerprints(
     docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

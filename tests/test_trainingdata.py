@@ -147,3 +147,19 @@ def test_winnow_fingerprints_robust_to_local_edit(spark):
     overlap = len(sets[0] & sets[2]) / len(sets[0])
     assert overlap >= 0.7, overlap                 # local edit, mostly shared
     assert sets[0] != sets[2]                      # but the edit is visible
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a-b and b-c pairs must land a,b,c in ONE cluster labeled min(id);
+    disjoint pairs stay separate; chain length > 1 exercises >1 round of
+    label propagation."""
+    from gnarly_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (20, 21), (21, 20)],
+        schema="id_a long, id_b long",
+    )
+    got = {
+        r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
