@@ -19,10 +19,34 @@ pipeline only sees a DataFrame either way.
 
 from __future__ import annotations
 
+import glob
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gnarly_spark.fixtures import CHANGELOG_DDL
+
+
+def order_files_by_name(path: str, pattern: str = "part-*") -> int:
+    """Stamp file mtimes in name order so the file-stream source delivers
+    micro-batches in op_seq order.
+
+    Spark's FileStreamSource orders files by MODIFICATION TIME, not name; a
+    changelog dir written by a parallel job has scrambled mtimes, so blocks
+    would arrive out of order — violating the changelog's total-order
+    contract (the pipeline fails fast when a batch lands beyond the
+    retention window). Call this once after writing a changelog dir that
+    will be tailed as a stream. Returns the number of files stamped.
+    (A real deployment tails an ordered table — Iceberg incremental read /
+    Kafka — where this concern does not exist.)
+    """
+    files = sorted(glob.glob(os.path.join(path, pattern)))
+    base = time.time() - 2 * len(files) - 10
+    for i, f in enumerate(files):
+        os.utime(f, (base + 2 * i, base + 2 * i))
+    return len(files)
 
 
 def read_changelog(spark: SparkSession, path: str, schema: str = CHANGELOG_DDL) -> DataFrame:

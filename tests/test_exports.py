@@ -40,8 +40,8 @@ def test_public_api_surface():
         ],
         lake: ["ParquetLakeTable", "IcebergLakeTable", "bucket_of"],
         changelog: [
-            "read_changelog", "stream_changelog", "block_by_seq",
-            "block_by_hash", "latest_seq", "events_in_range",
+            "read_changelog", "stream_changelog", "order_files_by_name",
+            "block_by_seq", "block_by_hash", "latest_seq", "events_in_range",
         ],
         pipeline: ["CdcIngestPipeline", "TARGET_COLUMNS"],
         stateful: ["head_tracker", "STATE_SCHEMA", "OUTPUT_SCHEMA"],

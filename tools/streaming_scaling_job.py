@@ -38,18 +38,7 @@ def _checksum(df):
     ).collect()[0]
 
 
-def order_files_by_name(changelog: str) -> None:
-    """The parquet file-stream source orders micro-batches by MTIME; a
-    parallel-written changelog dir has scrambled mtimes, which violates the
-    changelog's total-order contract (blocks would arrive out of order and
-    the pipeline fails fast). Stamp mtimes in part-file name order (= op_seq
-    order for range-generated data)."""
-    import glob
-    import time as _time
-
-    base = _time.time() - 1e6
-    for i, f in enumerate(sorted(glob.glob(os.path.join(changelog, "part-*")))):
-        os.utime(f, (base + 2 * i, base + 2 * i))
+from gnarly_spark.sources.changelog import order_files_by_name  # noqa: E402
 
 
 def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int):
