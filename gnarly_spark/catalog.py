@@ -609,6 +609,58 @@ def t7_head_summary(spark, sf_dir):
 
 
 @register(
+    "w_tumbling_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def w_tumbling_hourly(spark, sf_dir):
+    """Event-time tumbling window aggregate (F.window — the Structured
+    Streaming windowing primitive, run here in batch; the reference has no
+    event-time windows, SURVEY.md §2.7 note, so this is net-new engine
+    breadth)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "q_rollup",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), '(all)') AS day,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY ROLLUP(event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """ROLLUP hierarchical aggregate (subtotal + grand-total rows) — no
+    reference analog; generic relational breadth with partial-agg plan."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    return (
+        e.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
     "q6_filter_agg",
     """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
