@@ -202,3 +202,48 @@ def test_out_of_order_batch_beyond_retention_fails_fast(spark, to_spark, tmp_pat
     p.process_batch(head, 0)
     with pytest.raises(RuntimeError, match="ordering violation"):
         p.process_batch(stale, 1)
+
+
+def test_mid_batch_crash_before_merge_repairs_on_refire(spark, to_spark, tmp_path):
+    """Crash between the audit append and the MERGE commit (the reference's
+    save-tx-then-apply gap, Ourbit.ts:144-150): the refired batch must
+    complete the merge exactly once, with no duplicate audit rows and the
+    same final state as an uninterrupted run."""
+    from gnarly_spark.fixtures import gen_changelog, oracle_final_state
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    log = gen_changelog(n_blocks=10, events_per_block=4, seed=21)
+    half = log.block_id.max() // 2
+    b0, b1 = log[log.block_id <= half], log[log.block_id > half]
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "w"))
+    p.process_batch(to_spark(b0), 0)
+
+    real_merge = p.target.merge
+    calls = {"n": 0}
+
+    def crashing_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before commit")
+        return real_merge(*a, **kw)
+
+    p.target.merge = crashing_merge
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.process_batch(to_spark(b1), 1)
+    # refire (what the checkpointed stream does on restart)
+    p.process_batch(to_spark(b1), 1)
+    p.target.merge = real_merge
+
+    got = (
+        p.pages()
+        .select("url", "warc_ts", "text", "lang")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = oracle_final_state(log)[["url", "warc_ts", "text", "lang"]].reset_index(drop=True)
+    assert_pdf_equal(got, want)
+    # audit rows: exactly one set per (batch, op_seq) — overwrite, no dupes
+    audit = spark.read.parquet(str(tmp_path / "w" / "audit" / "batch=*"))
+    assert audit.count() == audit.select("uuid").distinct().count() == len(log)
