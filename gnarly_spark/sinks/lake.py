@@ -265,6 +265,44 @@ class ParquetLakeTable:
         self._commit(manifest)
         return True
 
+    def lineage(self) -> list[dict]:
+        """Per-partition (bucket) commit lineage across retained snapshots:
+        for every version, which buckets were rewritten by which batch_id —
+        the queryable form of the north_rule's 'per-partition lineage'
+        (≈ the reference's transactions/patches bookkeeping,
+        stores/sequelize.ts:18-99, keyed by data partition instead of row).
+
+        Returns rows {version, parent, batch_id, buckets_rewritten,
+        n_files}; batch_id is the one recorded by that commit (None for
+        overwrite/compaction commits without one).
+        """
+        out = []
+        mdir = os.path.join(self.path, "_manifests")
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        prev_buckets: dict = {}
+        prev_ids: list = []
+        for v in versions:
+            m = self._manifest(v)
+            changed = [
+                b for b, fl in m["buckets"].items()
+                if fl != prev_buckets.get(b, [])
+            ]
+            new_ids = [i for i in m["batch_ids"] if i not in set(prev_ids)]
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent", v - 1),
+                    "batch_id": new_ids[-1] if new_ids else None,
+                    "buckets_rewritten": sorted(int(b) for b in changed),
+                    "n_files": sum(len(fl) for fl in m["buckets"].values()),
+                }
+            )
+            prev_buckets, prev_ids = m["buckets"], m["batch_ids"]
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no surviving manifest references (Iceberg's

@@ -119,3 +119,17 @@ def test_expire_snapshots_bounds_disk_keeps_current(spark, table):
     # batch-id idempotence survives expiry (refire of old batch is a no-op)
     assert table.merge(mk(spark, [("a", 99)]), batch_id=2) is False
     assert _pdf(table.read())[lambda d: d.url == "a"].v.tolist() == [4]
+
+
+def test_lineage_tracks_buckets_and_batches(spark, table):
+    table.merge(mk(spark, [("a", 1), ("b", 1), ("c", 1)]), batch_id=0)
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)  # only a's bucket rewritten
+    lin = table.lineage()
+    assert [r["version"] for r in lin] == [0, 1]
+    assert [r["batch_id"] for r in lin] == [0, 1]
+    assert lin[0]["parent"] == -1 and lin[1]["parent"] == 0
+    # second commit touched strictly fewer buckets than the first
+    assert set(lin[1]["buckets_rewritten"]) < set(lin[0]["buckets_rewritten"]) or (
+        len(lin[1]["buckets_rewritten"]) <= len(lin[0]["buckets_rewritten"])
+    )
+    assert len(lin[1]["buckets_rewritten"]) == 1
