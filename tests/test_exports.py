@@ -24,7 +24,8 @@ def test_public_api_surface():
         text: ["lang_id", "token_count", "bpe_ish_token_count", "quality_features", "fingerprint"],
         replay: [
             "final_state", "live_events", "reverted_blocks",
-            "last_writer_wins", "last_writer_wins_salted", "last_writer_wins_window",
+            "last_writer_wins", "last_writer_wins_salted",
+            "last_writer_wins_window", "last_writer_wins_fetch",
         ],
         fold: ["fold_deltas", "fold_final_state"],
         audit: ["audit_rows", "AUDIT_COLUMNS"],

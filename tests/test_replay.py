@@ -106,3 +106,25 @@ def test_replay_is_idempotent_under_duplicate_events(to_spark):
     assert_pdf_equal(
         _spark_final(to_spark, dup), _spark_final(to_spark, log), sort_by=["url"]
     )
+
+
+def test_lww_fetch_variant_agrees(spark, to_spark):
+    """last_writer_wins_fetch (narrow reduce + broadcast semi-join) must
+    produce exactly the winner set of the max_by partial-agg path, and
+    final_state(strategy='fetch') must equal the default replay."""
+    from gnarly_spark.fixtures import gen_changelog
+    from gnarly_spark.operators.replay import (
+        final_state,
+        last_writer_wins,
+        last_writer_wins_fetch,
+        live_events,
+    )
+
+    log = to_spark(gen_changelog(n_blocks=30, events_per_block=6, seed=17, fork_depth=3))
+    a = last_writer_wins(live_events(log)).orderBy("url").toPandas()
+    b = last_writer_wins_fetch(live_events(log)).orderBy("url").toPandas()
+    assert_pdf_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    fa = final_state(log).orderBy("url").toPandas()
+    fb = final_state(log, strategy="fetch").orderBy("url").toPandas()
+    assert_pdf_equal(fa, fb)
