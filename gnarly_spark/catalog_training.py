@@ -204,6 +204,15 @@ def sim_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
 
 
+# IVF ANN: iterative k-means build -> non-SQL-expressible oracle (rows-only
+# driver check); recall vs the brute-force baseline tested in pytest.
+@register("sim_ivf_ann")
+def sim_ivf_ann(spark, sf_dir):
+    from gnarly_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -140,6 +140,135 @@ def lsh_sketch(
     )
 
 
+def ivf_build(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF coarse quantizer: k-means centroids (Lloyd iterations, fully
+    distributed) + the inverted-file assignment (id -> nearest centroid).
+
+    Init is deterministic: the n_centroids vectors whose xxhash64(id) is
+    smallest (a seeded pseudo-random sample with no RNG state). Each Lloyd
+    round is one broadcast argmin pass + one groupBy mean — two narrow
+    shuffles regardless of corpus size. Returns (centroids, assignments
+    DataFrame(id, cluster)).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
+    )
+    init = (
+        e.withColumn("_r", F.xxhash64(F.concat_ws(":", F.lit(seed), F.col("id"))))
+        .orderBy("_r")
+        .limit(n_centroids)
+        .select("vec")
+        .collect()
+    )
+    centroids = [list(r.vec) for r in init]
+    dim = len(centroids[0])
+
+    def assign(cents):
+        # argmin as array_position(d, array_min(d)): each centroid's
+        # distance expression appears exactly ONCE in the tree. (A
+        # when()-chain running-argmin references its own accumulator twice
+        # per step => the unresolved tree DOUBLES per centroid — 2^C x dim
+        # nodes OOMs the driver before anything executes.)
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(
+                    F.col("vec"),
+                    F.array(*[F.lit(float(x)) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+        return (
+            e.withColumn("_d", F.array(*dist_cols))
+            .withColumn(
+                "cluster",
+                (F.array_position("_d", F.array_min("_d")) - 1).cast("int"),
+            )
+            .drop("_d")
+        )
+
+    for _ in range(iterations):
+        assigned = assign(centroids)
+        means = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.element_at("vec", i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cluster = {r.cluster: [r[f"m{i}"] for i in range(dim)] for r in means}
+        centroids = [by_cluster.get(ci, centroids[ci]) for ci in range(n_centroids)]
+    return centroids, assign(centroids).select("id", "vec", "cluster")
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iterations: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine only against vectors whose
+    cluster is one of the query's ``n_probe`` nearest centroids.
+
+    The 100 TB shape: the corpus is scanned once to build the inverted
+    file; a query touches n_probe/n_centroids of the corpus via an
+    equi-join on cluster id (partition-prunable when the IVF table is
+    written partitioned by cluster). Recall < 1 by design; n_probe trades
+    recall for cost. Output: (query_id, neighbor_id, cos, rank).
+    """
+    centroids, ivf = ivf_build(
+        embeddings, n_centroids, iterations, seed, id_col, vec_col
+    )
+    q = ivf.where(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    # driver-side: n_probe nearest centroids per query (tiny: |Q| x C)
+    qrows = q.collect()
+
+    def nearest(qv):
+        ds = [
+            (ci, sum((a - b) ** 2 for a, b in zip(qv, c)))
+            for ci, c in enumerate(centroids)
+        ]
+        return [ci for ci, _ in sorted(ds, key=lambda t: t[1])[:n_probe]]
+
+    probe = [
+        (r.query_id, list(r.qv), ci) for r in qrows for ci in nearest(r.qv)
+    ]
+    spark = embeddings.sparkSession
+    probe_df = spark.createDataFrame(
+        probe, schema="query_id long, qv array<double>, cluster int"
+    )
+    cand = ivf.join(F.broadcast(probe_df), ["cluster"]).where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
 def lsh_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -163,3 +163,20 @@ def test_duplicate_clusters_transitive(spark):
         r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_ivf_ann_recall(spark):
+    """IVF (k-means coarse quantizer + n_probe) must hit decent recall of
+    the exact brute-force top-k on the driver embeddings."""
+    from gnarly_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=3).collect()
+    approx = ivf_ann_topk(emb, qids, k=3, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall
+    # every approx hit is a genuinely scored pair with rank <= 3
+    assert all(1 <= r.rank <= 3 for r in approx)

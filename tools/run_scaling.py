@@ -123,8 +123,17 @@ def main():
         "same plan shuffles by url and scales with executors (partial agg",
         "pre-reduces hot urls before the exchange).",
     ]
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    bench_path = os.path.join(REPO, "BENCH.md")
+    # preserve everything from the extra-bench marker on (run_extra_bench
+    # sections + manually recorded measurements)
+    tail = ""
+    if os.path.exists(bench_path):
+        with open(bench_path) as f:
+            current = f.read()
+        if "<!-- extra-bench -->" in current:
+            tail = "\n<!-- extra-bench -->" + current.split("<!-- extra-bench -->", 1)[1]
+    with open(bench_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
