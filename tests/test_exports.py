@@ -34,7 +34,10 @@ def test_public_api_surface():
             "minhash_signatures", "minhash_lsh_pairs", "simhash",
             "winnow_fingerprints", "normalize_text",
         ],
-        similarity: ["cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk", "cosine"],
+        similarity: [
+            "cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk",
+            "ivf_build", "ivf_ann_topk", "cosine",
+        ],
         multimodal: [
             "media_metadata", "extract_media_features",
             "media_repartition_by_bytes", "sample_frames",
