@@ -302,6 +302,64 @@ def text_token_count(spark, sf_dir):
 
 
 @register(
+    "text_stratified_split",
+    """
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT *, CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 100 AS bucket
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def text_stratified_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by md5(doc_id) —
+    reproducible in any engine, no RNG state, stable under re-runs and
+    appends (a doc's split never changes). The standard corpus-split
+    pattern at 100 TB: a projection, not a shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    return (
+        d.withColumn(
+            "split",
+            F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "text_source_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY source
+    """,
+)
+def text_source_stats(spark, sf_dir):
+    """Per-source (container-level) corpus statistics — the profiling pass
+    a crawl-scale pipeline runs before filtering; one partial-agg groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
 )
