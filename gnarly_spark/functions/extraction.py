@@ -73,7 +73,9 @@ def extract_text(html: bytes | None) -> str | None:
 
 def _extract_series(html: pd.Series) -> pd.Series:
     """Vectorized rule over a pandas Series of bytes (one Arrow batch)."""
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else None)
+    # Series.str.decode is vectorized over the whole Arrow batch (None
+    # passes through as NaN -> None); no per-element Python lambda
+    s = html.str.decode("utf-8", errors="replace")
     s = s.str.replace(_SCRIPT_RE, " ", regex=True)
     s = s.str.replace(_STYLE_RE, " ", regex=True)
     s = s.str.replace(_COMMENT_RE, " ", regex=True)

@@ -70,20 +70,46 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     return base.select("id", F.explode(sh).alias("shingle")).distinct()
 
 
+def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_doc_freq``.
+
+    A stop-shingle ("of the and") shared by a constant fraction of a web
+    corpus makes any shingle-equi-join quadratic on that shingle. The hot
+    set is BY CONSTRUCTION tiny (only shingles with df > cap — at a sane
+    cap that's the stopword tail), so it broadcasts; one agg + one
+    broadcast anti-join bounds every downstream bucket at ``max_doc_freq``
+    docs. Dropping ubiquitous shingles barely moves Jaccard (they carry no
+    discriminating signal) but callers should treat capped scores as
+    approximate.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All candidate pairs with exact n-gram Jaccard >= threshold.
 
     Pairs form via a self-equi-join on shingle (docs sharing no shingle can't
     clear any positive threshold). Output: (id_a, id_b, jaccard) with a < b.
-    Quadratic on hot shingles — use minhash_lsh_pairs at corpus scale.
+    Quadratic on hot shingles; set ``max_doc_freq`` (see cap_hot_shingles)
+    to bound the worst-case join bucket at corpus scale (default off so
+    scores are exact), or use minhash_lsh_pairs.
     """
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        sh = cap_hot_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -130,10 +156,17 @@ def _minhash_agg(sh: DataFrame, k: int) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, k: int = 8, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """k MinHash values per doc. Output: (id, minhash: array<string>[k])."""
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        sh = cap_hot_shingles(sh, max_doc_freq)
     return _minhash_agg(sh, k)
 
 
@@ -145,18 +178,24 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
     rows-per-band r = k/bands; docs agreeing on ALL r hashes of any band
     become candidates (equi-join on (band, band_key)); candidates are then
     verified with the exact n-gram Jaccard. Output: (id_a, id_b, jaccard).
+    ``max_doc_freq`` (default off) drops stop-shingles before signatures
+    AND verification — see cap_hot_shingles.
     """
     assert k % bands == 0
     r = k // bands
     # the shingle relation feeds three plan branches (signatures + both
     # sides of the verify join) — checkpoint so it's computed once
-    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col).localCheckpoint(eager=False)
+    sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        sh = cap_hot_shingles(sh, max_doc_freq)
+    sh = sh.localCheckpoint(eager=False)
     sig = _minhash_agg(sh, k)
     banded = sig.select(
         "id",
@@ -234,6 +273,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -257,6 +297,15 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a component with diameter > max_iterations did not converge —
+        # silently returning split clusters would diverge from the exact
+        # transitive-closure semantics
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds "
+            "(a connected component's diameter exceeds max_iterations); "
+            "raise max_iterations"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
@@ -309,6 +358,14 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
 
     bit b of simhash = 1 iff sum over tokens of (+1 if bit b of
     md5(token) set else -1) > 0.
+
+    Single-pass shape: ONE groupBy("id") carrying `bits` conditional-sum
+    columns (the `_minhash_agg` pattern) — the per-bit +1/-1 contributions
+    are map-side projections and the sums partial-aggregate, so the shuffle
+    moves exactly one bits-wide row per (partition, id). (The tempting
+    explode(sequence(0, bits-1)) form multiplies the distinct-token
+    relation bits x before its (id, b) shuffle — a 32x shuffle-volume
+    scale-killer at corpus size, for identical output.)
     """
     toks = (
         _spread(docs)
@@ -321,19 +378,18 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     )
     # 32-bit token hash from the first 8 hex chars of md5 (engine-portable)
     toks = toks.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
-    bit = toks.select(
-        "id", "th", F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    ).withColumn(
-        # shiftright/shiftleft SQL forms accept a column shift amount
-        # (the Python wrappers require a literal)
-        "contrib",
-        F.when(F.expr("shiftright(th, CAST(b AS INT)) & 1") == 1, 1).otherwise(-1),
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"shiftright(th, {b}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"_s{b}")
+            for b in range(bits)
+        ]
     )
-    bitsum = bit.groupBy("id", "b").agg(F.sum("contrib").alias("s"))
-    return bitsum.groupBy("id").agg(
-        F.sum(
-            F.when(
-                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")
-            ).otherwise(0)
-        ).alias("simhash")
-    )
+    word = None
+    for b in range(bits):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        word = term if word is None else word + term
+    return sums.select("id", word.alias("simhash"))

@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_META_DDL = (
@@ -103,22 +103,54 @@ def extract_media_features(
 
 
 def media_repartition_by_bytes(
-    df: DataFrame, binary_col: str = "payload", target_mb: int = 64
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+    target_mb: int = 64,
+    chunk_rows: int = 16384,
 ) -> DataFrame:
-    """Partition media rows by cumulative payload size, not row count.
+    """Partition media rows by CUMULATIVE payload bytes, not row count:
+    rows ordered by ``id_col`` are packed into buckets of ~``target_mb``
+    payload each, so a table mixing 4 GB videos with thumbnails still gets
+    uniform tasks (a row bigger than the target gets a bucket to itself —
+    a row can't be split).
 
-    Uses a deterministic hash-range split where the expected bytes per
-    partition ~= target_mb, derived from the table's average payload size
-    (one cheap agg). At 100 TB this is the difference between uniform tasks
-    and stragglers holding a few 4 GB videos."""
-    stats = df.agg(
-        F.avg(F.length(F.col(binary_col))).alias("avg_b"), F.count("*").alias("n")
-    ).collect()[0]
-    if not stats.n:
+    Scalable two-level prefix sum — no global single-partition window:
+      1. rows are grouped into coarse id-chunks (id // chunk_rows); the
+         windowed prefix over chunk totals runs on ONE ROW PER CHUNK
+         (bounded metadata relation), not per row;
+      2. within a chunk, a partitionBy(chunk) running sum (bounded by
+         chunk_rows rows per window partition) adds the row-level offset;
+      3. bucket = cumulative_bytes div target; rows land in their bucket
+         via repartitionByRange (contiguous bucket ids -> ~1 bucket per
+         output partition).
+    The only driver-side value is the total-bytes scalar (partition-count
+    planning)."""
+    target = target_mb * 1024 * 1024
+    d = df.withColumn("_nb", F.length(F.col(binary_col)).cast("long")).withColumn(
+        "_chunk", F.floor(F.col(id_col) / chunk_rows)
+    )
+    totals = d.groupBy("_chunk").agg(F.sum("_nb").alias("_cb"))
+    total_bytes = totals.agg(F.sum("_cb")).collect()[0][0]  # scalar only
+    if not total_bytes:
         return df
-    rows_per_part = max(1, int(target_mb * 1024 * 1024 / max(stats.avg_b or 1, 1)))
-    n_parts = max(1, int(stats.n / rows_per_part))
-    return df.repartition(n_parts)
+    wc = Window.orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_cb").over(wc), F.lit(0))
+    ).select("_chunk", "_off")
+    wr = (
+        Window.partitionBy("_chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_parts = int(total_bytes // target) + 1
+    return (
+        d.join(F.broadcast(offsets), "_chunk")
+        .withColumn("_cum", F.col("_off") + F.coalesce(F.sum("_nb").over(wr), F.lit(0)))
+        .withColumn("_bkt", F.floor(F.col("_cum") / target))
+        .repartitionByRange(n_parts, "_bkt")
+        .drop("_nb", "_chunk", "_off", "_cum", "_bkt")
+    )
 
 
 def sample_frames(

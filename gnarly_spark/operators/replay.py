@@ -126,10 +126,12 @@ def last_writer_wins_fetch(events: DataFrame, key: str = "url") -> DataFrame:
     never sorted, never shuffled.
 
     Scale bound: the winner-key list is one narrow row per live key — at
-    10^8 urls ~5 GB, at the edge of broadcastability; beyond that Spark
-    falls back to a shuffle join (AQE decides), which co-partitions the
-    events once — still no sort. `last_writer_wins` (partial-agg) remains
-    the default for narrow payloads and extreme key cardinality.
+    10^8 urls ~5 GB, at the edge of broadcastability. The F.broadcast()
+    below is a HARD hint (AQE never demotes it): past the 8 GB broadcast
+    limit it throws rather than degrading, so at extreme key cardinality
+    remove the hint (a plain semi-join lets AQE pick broadcast when small,
+    shuffle when not) or use `last_writer_wins` (partial-agg), which
+    remains the default for narrow payloads.
     """
     wk = events.groupBy(key).agg(
         F.max(F.struct("warc_ts", "op_seq")).alias("_wk")

@@ -41,6 +41,14 @@ def _dot(a, b):
     )
 
 
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -147,70 +155,76 @@ def ivf_build(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> tuple[list[list[float]], DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: k-means centroids (Lloyd iterations, fully
     distributed) + the inverted-file assignment (id -> nearest centroid).
 
     Init is deterministic: the n_centroids vectors whose xxhash64(id) is
-    smallest (a seeded pseudo-random sample with no RNG state). Each Lloyd
-    round is one broadcast argmin pass + one groupBy mean — two narrow
-    shuffles regardless of corpus size. Returns (centroids, assignments
-    DataFrame(id, cluster)).
+    smallest (a seeded pseudo-random sample with no RNG state); a corpus
+    smaller than n_centroids clamps naturally to its size (empty input
+    raises ValueError). Centroids live in a tiny DataFrame(cluster, cvec)
+    and assignment is crossJoin(broadcast(centroids)) + min_by aggregation,
+    so PLAN size is O(1) in both C and dim — real IVF shapes (C=4096,
+    dim=768) never bake millions of literals into the plan. Per-round means
+    are posexplode + groupBy(cluster, pos): two narrow shuffles per Lloyd
+    round regardless of corpus size. Returns (centroids DataFrame(cluster
+    int, cvec array<double>), assignments DataFrame(id, vec, cluster)).
     """
+    from pyspark.sql import Window as W
+
     e = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("vec")
     )
-    init = (
+    centroids = (
         e.withColumn("_r", F.xxhash64(F.concat_ws(":", F.lit(seed), F.col("id"))))
         .orderBy("_r")
         .limit(n_centroids)
-        .select("vec")
-        .collect()
+        .select(
+            (F.row_number().over(W.orderBy("_r")) - 1).cast("int").alias("cluster"),
+            F.col("vec").alias("cvec"),
+        )
+        .localCheckpoint()  # <= n_centroids rows; cut lineage, compute once
     )
-    centroids = [list(r.vec) for r in init]
-    dim = len(centroids[0])
+    if centroids.isEmpty():
+        raise ValueError("ivf_build: empty corpus — nothing to cluster")
 
-    def assign(cents):
-        # argmin as array_position(d, array_min(d)): each centroid's
-        # distance expression appears exactly ONCE in the tree. (A
-        # when()-chain running-argmin references its own accumulator twice
-        # per step => the unresolved tree DOUBLES per centroid — 2^C x dim
-        # nodes OOMs the driver before anything executes.)
-        dist_cols = [
-            F.aggregate(
-                F.zip_with(
-                    F.col("vec"),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in cents
-        ]
+    def assign(cent: DataFrame) -> DataFrame:
+        # one broadcast nested-loop pass: every row scores C centroids,
+        # min_by keeps the nearest (ties -> lowest cluster id, so the
+        # result is deterministic); partial aggregation pre-reduces before
+        # the (single) shuffle on id
+        scored = e.crossJoin(F.broadcast(cent)).withColumn(
+            "_d", _sqdist(F.col("vec"), F.col("cvec"))
+        )
         return (
-            e.withColumn("_d", F.array(*dist_cols))
-            .withColumn(
-                "cluster",
-                (F.array_position("_d", F.array_min("_d")) - 1).cast("int"),
+            scored.groupBy("id")
+            .agg(
+                F.min_by(
+                    F.struct("cluster", "vec"), F.struct(F.col("_d"), F.col("cluster"))
+                ).alias("_w")
             )
-            .drop("_d")
+            .select("id", F.col("_w.vec").alias("vec"), F.col("_w.cluster").alias("cluster"))
         )
 
     for _ in range(iterations):
         assigned = assign(centroids)
+        # per-dimension means without C x dim driver literals or columns:
+        # explode to (cluster, pos, v), mean per (cluster, pos), re-assemble
         means = (
-            assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.avg(F.element_at("vec", i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cluster", F.transform("_pm", lambda s: s.m).alias("cvec"))
         )
-        by_cluster = {r.cluster: [r[f"m{i}"] for i in range(dim)] for r in means}
-        centroids = [by_cluster.get(ci, centroids[ci]) for ci in range(n_centroids)]
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.alias("o")
+            .join(means.alias("n"), "cluster", "left")
+            .select("cluster", F.coalesce("n.cvec", "o.cvec").alias("cvec"))
+            .localCheckpoint()
+        )
     return centroids, assign(centroids).select("id", "vec", "cluster")
 
 
@@ -237,27 +251,23 @@ def ivf_ann_topk(
     centroids, ivf = ivf_build(
         embeddings, n_centroids, iterations, seed, id_col, vec_col
     )
+    # the inverted file feeds two branches (query extraction + candidate
+    # join) — materialize once
+    ivf = ivf.localCheckpoint(eager=False)
     q = ivf.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qv")
     )
-    # driver-side: n_probe nearest centroids per query (tiny: |Q| x C)
-    qrows = q.collect()
-
-    def nearest(qv):
-        ds = [
-            (ci, sum((a - b) ** 2 for a, b in zip(qv, c)))
-            for ci, c in enumerate(centroids)
-        ]
-        return [ci for ci, _ in sorted(ds, key=lambda t: t[1])[:n_probe]]
-
-    probe = [
-        (r.query_id, list(r.qv), ci) for r in qrows for ci in nearest(r.qv)
-    ]
-    spark = embeddings.sparkSession
-    probe_df = spark.createDataFrame(
-        probe, schema="query_id long, qv array<double>, cluster int"
+    # n_probe nearest centroids per query — tiny broadcast cross join
+    # (|Q| x C rows), never a driver collect; ties break on cluster id
+    wp = Window.partitionBy("query_id").orderBy("_d", "cluster")
+    probe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_d", _sqdist(F.col("qv"), F.col("cvec")))
+        .withColumn("_rk", F.row_number().over(wp))
+        .where(F.col("_rk") <= n_probe)
+        .select("query_id", "qv", "cluster")
     )
-    cand = ivf.join(F.broadcast(probe_df), ["cluster"]).where(
+    cand = ivf.join(F.broadcast(probe), ["cluster"]).where(
         F.col("id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))

@@ -63,7 +63,12 @@ class ParquetLakeTable:
 
     def __init__(self, spark: SparkSession, path: str, key: str = "url", n_buckets: int = 16):
         self.spark = spark
-        self.path = path.rstrip("/")
+        # realpath: manifests record absolute data-file paths, and
+        # expire_snapshots compares paths for liveness — opening the same
+        # table under a different spelling (relative, symlinked, trailing
+        # slash) must resolve to the identical prefix or maintenance would
+        # treat every live file as orphaned
+        self.path = os.path.realpath(path)
         self.key = key
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
@@ -325,19 +330,35 @@ class ParquetLakeTable:
         live: set[str] = set()
         for v in keep:
             for fl in self._manifest(v)["buckets"].values():
-                live.update(fl)
+                live.update(os.path.realpath(f) for f in fl)
         deleted = 0
         data_dir = os.path.join(self.path, "data")
         for d in os.listdir(data_dir):
+            # data dirs are named v{version}-{uuid}; a dir from a version
+            # NEWER than the current manifest belongs to an in-flight,
+            # not-yet-committed merge — never touch it (racing a concurrent
+            # ingest must not delete its files)
+            try:
+                dir_version = int(d.split("-", 1)[0].lstrip("v"))
+            except ValueError:
+                dir_version = None
+            if dir_version is not None and dir_version > cur:
+                continue
             full = os.path.join(data_dir, d)
             for root, _, files in os.walk(full):
                 for f in files:
-                    p = os.path.join(root, f)
+                    p = os.path.realpath(os.path.join(root, f))
                     if f.endswith(".parquet") and p not in live:
                         os.remove(p)
                         deleted += 1
-        # prune now-empty version dirs
+        # prune now-empty version dirs (same in-flight guard as above)
         for d in os.listdir(data_dir):
+            try:
+                dir_version = int(d.split("-", 1)[0].lstrip("v"))
+            except ValueError:
+                dir_version = None
+            if dir_version is not None and dir_version > cur:
+                continue
             full = os.path.join(data_dir, d)
             if not any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
                 shutil.rmtree(full, ignore_errors=True)
@@ -366,6 +387,58 @@ class ParquetLakeTable:
                 "parent": m["version"],
             }
         )
+
+
+def build_merge_source(
+    upserts: DataFrame,
+    delete_keys: DataFrame | None,
+    key: str,
+    batch_id: int | None,
+) -> DataFrame:
+    """The single source relation for the one-commit Iceberg MERGE:
+    upsert rows tagged ``_op='upsert'`` (plus ``_batch_id`` when given)
+    unioned with delete keys tagged ``_op='delete'`` and null-filled to the
+    upsert schema.
+
+    Contract (matches ParquetLakeTable.merge): a key present in BOTH
+    upserts and delete_keys resolves to the UPSERT — delete rows are
+    anti-joined against upsert keys before the union, so the source never
+    carries two rows for one target key (Iceberg MERGE raises a
+    cardinality error on multi-match; ParquetLakeTable silently lets the
+    upsert win — this makes both sinks agree).
+    """
+    src = upserts.withColumn("_op", F.lit("upsert"))
+    if batch_id is not None:
+        src = src.withColumn("_batch_id", F.lit(batch_id))
+    if delete_keys is not None:
+        dk = (
+            delete_keys.select(key)
+            .distinct()
+            .join(upserts.select(key).distinct(), key, "left_anti")
+            .withColumn("_op", F.lit("delete"))
+        )
+        for f in src.schema.fields:
+            if f.name not in dk.columns:
+                dk = dk.withColumn(f.name, F.lit(None).cast(f.dataType))
+        src = src.unionByName(dk.select(src.columns))
+    return src
+
+
+def build_merge_sql(table: str, key: str, columns: list[str], source_view: str = "_cdc_src") -> str:
+    """The MERGE statement for one upsert+delete commit: matched deletes
+    first, then matched updates, then not-matched inserts (deletes never
+    insert). ``columns`` is the source relation's schema; ``_op`` is
+    control metadata and never written to the target."""
+    cols = [c for c in columns if c != "_op"]
+    set_clause = ", ".join(f"t.{c} = u.{c}" for c in cols)
+    ins_cols = ", ".join(cols)
+    ins_vals = ", ".join(f"u.{c}" for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {source_view} u ON t.{key} = u.{key}\n"
+        f"WHEN MATCHED AND u._op = 'delete' THEN DELETE\n"
+        f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
+        f"WHEN NOT MATCHED AND u._op != 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
 
 
 class IcebergLakeTable:
@@ -422,10 +495,12 @@ class IcebergLakeTable:
         )
         return {"kept": keep_last}
 
-    def merge(self, upserts, delete_keys=None, batch_id=None) -> bool:  # pragma: no cover
+    def merge(self, upserts, delete_keys=None, batch_id=None) -> bool:
         """One MERGE covering upsert + delete, `_batch_id` stamped on every
         written row so `applied_batch_ids()` gives refire idempotence —
-        identical contract to ParquetLakeTable.merge.
+        identical contract to ParquetLakeTable.merge (including upsert-wins
+        on a key appearing in both upserts and delete_keys; see
+        build_merge_source).
 
         Deletes ride in the same source relation (`_op = 'delete'`) so the
         whole mutation is ONE Iceberg commit: atomic, snapshot-isolated, and
@@ -433,30 +508,17 @@ class IcebergLakeTable:
         Iceberg handles schema evolution via
         spark.sql.iceberg.check-ordering=false + mergeSchema on the catalog;
         added columns in `upserts` widen the table on write.
+
+        Source construction and the MERGE SQL are the pure functions
+        build_merge_source / build_merge_sql (contract-tested without an
+        Iceberg catalog in tests/test_lake.py); only the spark.sql execution
+        below needs the jar.
         """
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return False
-        k = self.key
-        src = upserts.withColumn("_op", F.lit("upsert"))
-        if batch_id is not None:
-            src = src.withColumn("_batch_id", F.lit(batch_id))
-        if delete_keys is not None:
-            dk = delete_keys.select(k).distinct().withColumn("_op", F.lit("delete"))
-            for f in src.schema.fields:
-                if f.name not in dk.columns:
-                    dk = dk.withColumn(f.name, F.lit(None).cast(f.dataType))
-            src = src.unionByName(dk.select(src.columns))
+        src = build_merge_source(upserts, delete_keys, self.key, batch_id)
         src.createOrReplaceTempView("_cdc_src")
-        cols = [c for c in src.columns if c != "_op"]
-        set_clause = ", ".join(f"t.{c} = u.{c}" for c in cols)
-        ins_cols = ", ".join(cols)
-        ins_vals = ", ".join(f"u.{c}" for c in cols)
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _cdc_src u ON t.{k} = u.{k}
-            WHEN MATCHED AND u._op = 'delete' THEN DELETE
-            WHEN MATCHED THEN UPDATE SET {set_clause}
-            WHEN NOT MATCHED AND u._op != 'delete' THEN INSERT ({ins_cols}) VALUES ({ins_vals})
-            """
+        self.spark.sql(  # pragma: no cover - needs the Iceberg jar
+            build_merge_sql(self.table, self.key, src.columns)
         )
         return True

@@ -133,3 +133,69 @@ def test_lineage_tracks_buckets_and_batches(spark, table):
         len(lin[1]["buckets_rewritten"]) <= len(lin[0]["buckets_rewritten"])
     )
     assert len(lin[1]["buckets_rewritten"]) == 1
+
+
+def test_expire_snapshots_survives_path_respelling(spark, tmp_path):
+    """Opening the same table under a different path spelling (relative hop
+    + trailing slash) must not make expire_snapshots treat live files as
+    orphans — paths are realpath-normalized on both sides."""
+    t = ParquetLakeTable(spark, str(tmp_path / "tbl"), key="url", n_buckets=4)
+    t.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=0)
+    t.merge(mk(spark, [("a", 2)]), batch_id=1)
+    alt_spelling = str(tmp_path / "x" / ".." / "tbl") + "/"
+    t2 = ParquetLakeTable(spark, alt_spelling, key="url", n_buckets=4)
+    assert t2.path == t.path
+    out = t2.expire_snapshots(keep_last=1)
+    assert out["kept"] == [1]
+    got = _pdf(t2.read())
+    assert got.url.tolist() == ["a", "b"] and got.v.tolist() == [2, 1]
+
+
+def test_expire_snapshots_skips_inflight_newer_data_dirs(spark, table):
+    """Files written by a not-yet-committed merge (data dir version > the
+    current manifest) must survive a concurrent expire."""
+    import os
+
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    inflight = os.path.join(table.path, "data", "v99-deadbeef")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+        f.write(b"not yet committed")
+    table.expire_snapshots(keep_last=1)
+    assert os.path.exists(os.path.join(inflight, "part-0.parquet"))
+
+
+def test_iceberg_merge_source_contract(spark):
+    """build_merge_source (the Iceberg MERGE's source relation) without a
+    catalog: upsert-wins on key overlap, exactly one row per key (Iceberg
+    raises a cardinality error otherwise), delete rows null-filled,
+    _batch_id stamped on written rows."""
+    from gnarly_spark.sinks.lake import build_merge_source
+
+    up = mk(spark, [("a", 1), ("b", 2)])
+    dk = mk(spark, [("a", 0), ("c", 0)]).select("url")  # 'a' overlaps
+    src = build_merge_source(up, dk, key="url", batch_id=7)
+    rows = {r.url: r for r in src.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert src.count() == 3  # one source row per target key
+    assert rows["a"]._op == "upsert" and rows["a"].v == 1  # upsert wins
+    assert rows["b"]._op == "upsert" and rows["b"]._batch_id == 7
+    assert rows["c"]._op == "delete" and rows["c"].v is None
+
+
+def test_iceberg_merge_sql_contract():
+    """The generated MERGE INTO text: matched-delete clause first, _op never
+    written to the target, _batch_id is."""
+    from gnarly_spark.sinks.lake import build_merge_sql
+
+    sql = build_merge_sql(
+        "lake.db.pages", "url", ["url", "v", "_op", "_batch_id"]
+    )
+    assert "MERGE INTO lake.db.pages t USING _cdc_src u ON t.url = u.url" in sql
+    assert "WHEN MATCHED AND u._op = 'delete' THEN DELETE" in sql
+    assert "WHEN MATCHED THEN UPDATE SET t.url = u.url, t.v = u.v, t._batch_id = u._batch_id" in sql
+    assert (
+        "WHEN NOT MATCHED AND u._op != 'delete' THEN "
+        "INSERT (url, v, _batch_id) VALUES (u.url, u.v, u._batch_id)" in sql
+    )
+    assert "t._op" not in sql and "INSERT (url, v, _batch_id)" in sql

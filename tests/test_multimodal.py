@@ -58,12 +58,41 @@ def test_real_decode_is_stubbed(spark, media):
         extract_media_features(media, decode_real=True).collect()
 
 
+def _partition_bytes(out):
+    return [
+        r.b
+        for r in out.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(F.sum(F.length("payload")).alias("b"))
+        .collect()
+    ]
+
+
 def test_repartition_by_bytes(spark):
     rows = [(i, b"v" * 1024) for i in range(2048)]  # 2 MB total
     df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
     out = media_repartition_by_bytes(df, target_mb=1)
-    assert out.rdd.getNumPartitions() == 2
     assert out.count() == 2048
+    assert set(out.columns) == {"doc_id", "payload"}  # helper cols dropped
+    # cumulative-bytes bucketing: no partition exceeds ~target
+    assert max(_partition_bytes(out)) <= 2 * 1024 * 1024
+
+
+def test_repartition_by_bytes_mixed_sizes_no_straggler(spark):
+    """1 KB thumbnails mixed with 8 MB videos (the case the docstring
+    promises to solve): a round-robin row-count split would pack several
+    videos into one task; cumulative-byte bucketing must not — no
+    partition holds more than one oversized row plus ~target of small."""
+    rows = [(i, b"t" * 1024) for i in range(512)] + [
+        (1000 + i, b"V" * (8 << 20)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, payload binary")
+    out = media_repartition_by_bytes(df, target_mb=4)
+    sizes = _partition_bytes(out)
+    assert sum(sizes) == 512 * 1024 + 8 * (8 << 20)
+    assert max(sizes) <= (8 << 20) + (4 << 20)
+    # the 8 videos spread over >= 8 distinct partitions
+    assert len([s for s in sizes if s >= (8 << 20)]) == 8
 
 
 def test_sample_frames(spark):

@@ -137,3 +137,39 @@ def test_extraction_runs_after_dedup_not_before(spark, to_spark):
     udf_pos = plan.index("ArrowEvalPython")
     agg_pos = plan.index("max_by")
     assert udf_pos < agg_pos, "UDF must be above (after) the aggregation in the tree"
+
+
+def test_simhash_single_groupby_no_bit_explode(spark):
+    """SimHash must be ONE groupBy(id) carrying 32 conditional sums (the
+    _minhash_agg pattern) — an explode(sequence(0,31)) would multiply the
+    distinct-token relation 32x through the (id, b) exchange."""
+    from gnarly_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash(docs, bits=32))
+    assert "partial_sum" in plan, "map-side combine missing on bit sums"
+    # exactly one Generate: the token-split explode; bits are agg columns
+    assert plan.count("Generate explode") == 1
+
+
+def test_ivf_plan_constant_in_centroids_and_dim(spark):
+    """C=256, dim=128 (a real IVF shape scaled down): centroid coordinates
+    must live in a broadcast relation, never as plan literals — plan size
+    is O(1) in C x dim, so building the quantizer can't blow up the
+    driver at C=4096/dim=768."""
+    from gnarly_spark.operators.similarity import ivf_build
+
+    corpus = spark.range(512).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 128), "
+            "j -> cast(pmod(xxhash64(id, j), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    centroids, assigned = ivf_build(corpus, n_centroids=256, iterations=1)
+    plan = optimized_of(assigned)
+    # a literal-centroid plan at C=256 x dim=128 would carry ~32k float
+    # literals (hundreds of KB of plan text); the join-based plan is tiny
+    assert len(plan) < 20_000, f"plan size {len(plan)} suggests centroid literals"
+    assert centroids.count() == 256
+    assert assigned.groupBy().count().collect()[0][0] == 512

@@ -180,3 +180,58 @@ def test_ivf_ann_recall(spark):
     assert recall >= 0.5, recall
     # every approx hit is a genuinely scored pair with rank <= 3
     assert all(1 <= r.rank <= 3 for r in approx)
+
+
+def test_hot_shingle_cap_bounds_candidate_pairs(spark):
+    """A stop-shingle shared by every doc makes the Jaccard self-join
+    quadratic; cap_hot_shingles must collapse the candidate-pair relation
+    to the real duplicates while keeping exact dups findable."""
+    from gnarly_spark.operators.dedup import (
+        cap_hot_shingles,
+        jaccard_pairs,
+        shingles,
+    )
+
+    hot = "of the and"
+    rows = [
+        (i, f"{hot} filler " + " ".join(f"w{i}x{j}" for j in range(6)))
+        for i in range(40)
+    ]
+    rows.append((100, rows[0][1]))  # planted exact dup of doc 0
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+
+    def n_candidate_pairs(sh):
+        a, b = sh.alias("a"), sh.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+
+    sh = shingles(docs)
+    capped = cap_hot_shingles(sh, max_doc_freq=5)
+    assert capped.where(F.col("shingle") == hot).count() == 0
+    assert n_candidate_pairs(sh) == 41 * 40 // 2  # every pair collides
+    assert n_candidate_pairs(capped) == 1  # only the planted dup
+    got = jaccard_pairs(docs, threshold=0.9, max_doc_freq=5).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got] == [(0, 100, 1.0)]
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iterations must raise, not return
+    silently-split clusters (divergence from the transitive-closure
+    oracle)."""
+    from gnarly_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], schema="id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(chain, max_iterations=2)
+    ok = duplicate_clusters(chain, max_iterations=25).collect()
+    assert {r.cluster_id for r in ok} == {1}
