@@ -183,6 +183,92 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_streaming_replay",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ENGINE itself, oracle-checked on driver data: the
+    derived changelog is written as a parquet changelog dir and drained by
+    the real ``CdcIngestPipeline`` (checkpointed foreachBatch: refire
+    guard, revert re-adjudication, LWW, undo log, keyed MERGE commit) with
+    ``availableNow`` in 4 micro-batches, reverts crossing batch
+    boundaries; the returned DataFrame is the final lake-table state.
+    Oracle = the one-pass replay SQL — the reference's incremental ==
+    replay invariant (test/Ourbit.spec.ts:155-179) as a driver-visible
+    CORRECTNESS row over C1/C4/C5/T5 (Ourbit.ts:60-167). The events-only
+    ``value`` column rides the schema-evolution path end-to-end (source
+    schema -> candidates -> MERGE widens the target)."""
+    import math
+    import os
+    import tempfile
+    import time
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    work = tempfile.mkdtemp(prefix="gnarly_cdc_stream_")
+    cl_dir = os.path.join(work, "changelog")
+    log = _changelog_df(spark, sf_dir)
+    full = log.select(
+        "op_seq",
+        F.col("block_hash").cast("long").alias("block_id"),
+        "block_hash",
+        F.lit(None).cast("string").alias("parent_hash"),
+        "op",
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        "revert_of_block",
+        F.lit(None).cast("string").alias("reason"),
+        "value",
+    )
+    mx = full.agg(F.max("op_seq")).collect()[0][0]  # scalar only
+    n_chunks = 4
+    step = math.ceil((mx + 1) / n_chunks)
+    for i in range(n_chunks):
+        full.where(
+            (F.col("op_seq") >= i * step) & (F.col("op_seq") < (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(cl_dir, f"chunk={i:04d}")
+        )
+    # FileStreamSource orders by MTIME — stamp files in chunk order so
+    # micro-batches honor the changelog's total-order contract
+    base, n = time.time() - 1000, 0
+    for i in range(n_chunks):
+        cdir = os.path.join(cl_dir, f"chunk={i:04d}")
+        for fn in sorted(os.listdir(cdir)):
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(cdir, fn), (base + 2 * n, base + 2 * n))
+                n += 1
+    pipe = CdcIngestPipeline(spark, os.path.join(work, "wd"), with_text=False)
+    pipe.start(
+        cl_dir,
+        available_now=True,
+        max_files_per_trigger=1,
+        schema=CHANGELOG_DDL + ", value double",
+    ).awaitTermination()
+    assert len(pipe.metrics()) >= n_chunks  # really ran incrementally
+    return pipe.target.read().select(
+        "url",
+        F.col("_op_seq").alias("last_seq"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sources / scans (S1-S4)
 # ---------------------------------------------------------------------------

@@ -197,20 +197,66 @@ def sim_neardup_cosine(spark, sf_dir):
 # LSH-bucketed ANN: genuinely non-SQL-expressible oracle (deterministic
 # hyperplanes from SHA2 seed) -> rows-only driver check, full semantics
 # tested in tests/test_trainingdata.py against the brute-force baseline.
+# n_planes=6 / probe_radius=2 is the measured >=0.8-recall config on the
+# driver embeddings (sim_lsh_recall makes the number driver-visible).
+_LSH_CFG = {"n_planes": 6, "probe_radius": 2}
+
+
 @register("sim_lsh_ann")
 def sim_lsh_ann(spark, sf_dir):
     from gnarly_spark.operators.similarity import lsh_ann_topk
 
-    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+    return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_LSH_CFG)
 
 
 # IVF ANN: iterative k-means build -> non-SQL-expressible oracle (rows-only
 # driver check); recall vs the brute-force baseline tested in pytest.
+_IVF_CFG = {"n_centroids": 16, "n_probe": 6}
+
+
 @register("sim_ivf_ann")
 def sim_ivf_ann(spark, sf_dir):
     from gnarly_spark.operators.similarity import ivf_ann_topk
 
-    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG)
+
+
+def _recall_vs_bruteforce(spark, sf_dir, ann) -> "DataFrame":
+    """(query_id, recall_at_k) of an ANN result against the exact
+    brute-force top-k, computed in-Spark (left-semi hit join + count)."""
+    from gnarly_spark.operators.similarity import cosine_topk
+
+    bf = cosine_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3)
+    hits = ann.select("query_id", "neighbor_id").join(
+        bf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+    )
+    qs = spark.createDataFrame([(q,) for q in _QUERY_IDS], "query_id long")
+    return (
+        qs.join(hits.groupBy("query_id").agg(F.count("*").alias("_n")), "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("_n"), F.lit(0)) / 3.0, 6).alias("recall_at_k"),
+        )
+    )
+
+
+# ANN quality made driver-visible: per-query recall@k of each approximate
+# path vs the exact brute force, as row VALUES (rows-only check — the ANN
+# configs themselves have no SQL oracle).
+@register("sim_lsh_recall")
+def sim_lsh_recall(spark, sf_dir):
+    from gnarly_spark.operators.similarity import lsh_ann_topk
+
+    ann = lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_LSH_CFG)
+    return _recall_vs_bruteforce(spark, sf_dir, ann)
+
+
+@register("sim_ivf_recall")
+def sim_ivf_recall(spark, sf_dir):
+    from gnarly_spark.operators.similarity import ivf_ann_topk
+
+    ann = ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG)
+    return _recall_vs_bruteforce(spark, sf_dir, ann)
 
 
 # ---------------------------------------------------------------------------

@@ -285,18 +285,47 @@ def lsh_ann_topk(
     k: int = 3,
     n_planes: int = 8,
     seed: int = 42,
+    probe_radius: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket; exact
-    cosine only on candidates. Recall < 1 by design — the scale path where
-    brute force is too big; bucket-join instead of cross-join.
+    """Approximate top-k: candidates share one of the query's probe buckets;
+    exact cosine only on candidates. Recall < 1 by design — the scale path
+    where brute force is too big; bucket-join instead of cross-join.
+
+    Multi-probe: a near neighbor on the wrong side of r hyperplanes lands
+    in a bucket at Hamming distance r, so each query also probes every
+    bucket within ``probe_radius`` bit flips (sum_{i<=r} C(n_planes, i)
+    buckets — the standard single-digit-recall fix for sign LSH; the probe
+    fan-out multiplies only the tiny broadcast QUERY side, the corpus is
+    still sketched and shuffled once).
     """
+    from itertools import combinations
+
     sk = lsh_sketch(embeddings, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
     q = sk.where(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket"
     )
-    cand = sk.join(F.broadcast(q), ["bucket"]).where(F.col("id") != F.col("query_id"))
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+    probes = q.select(
+        "query_id",
+        "qv",
+        "bucket",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+    ).select(
+        "query_id",
+        "qv",
+        F.expr("bucket ^ _mask").alias("bucket"),
+    )
+    # distinct masks => distinct probe buckets, and every corpus vector has
+    # exactly one bucket, so each (query, corpus) pair joins at most once
+    cand = sk.join(F.broadcast(probes), ["bucket"]).where(
+        F.col("id") != F.col("query_id")
+    )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
     return (

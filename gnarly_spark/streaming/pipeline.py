@@ -443,6 +443,7 @@ class CdcIngestPipeline:
         available_now: bool = True,
         max_files_per_trigger: int | None = 1,
         processing_time: str | None = None,
+        schema: str | None = None,
     ):
         """Tail the changelog directory as a file stream.
 
@@ -452,8 +453,11 @@ class CdcIngestPipeline:
         Crash resume = restart with the same checkpoint dir: offsets are in
         the WAL and state is in the lake table, so there is no patch replay
         (ReducerRunner.ts:63-104 collapses into this one option).
+        ``schema`` overrides the source DDL (e.g. CHANGELOG_DDL plus
+        payload columns added mid-stream — evolution extras ride through
+        the whole pipeline into the target).
         """
-        reader = self.spark.readStream.schema(CHANGELOG_DDL)
+        reader = self.spark.readStream.schema(schema or CHANGELOG_DDL)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(changelog_dir)
