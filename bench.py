@@ -59,11 +59,18 @@ def main():
     qs["cdc_replay_lww"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    keep: list = []  # hold every built plan alive until the JVM exits —
+    # GC'ing a localCheckpointed DataFrame mid-bench lets the
+    # ContextCleaner drop its accumulators while a later run still
+    # references the materialized stage, spraying benign-but-noisy
+    # "non-existent accumulator" ERRORs into the driver log
     for name in HEADLINE:
         best = None
         for _ in range(2):  # best-of-2, fresh plan per run (AQE caches
             t0 = time.monotonic()  # materialized stages on reused DF objects)
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, sf_dir)
+            keep.append(df)
+            df.write.format("noop").mode("overwrite").save()
             dt = time.monotonic() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)

@@ -406,6 +406,90 @@ def p6_p8_string_ops(spark, sf_dir):
 
 
 @register(
+    "p11_parse_path",
+    """
+    WITH p AS (SELECT event_id,
+                      '/' || event_type || '/' || CAST(user_id AS VARCHAR)
+                          || '/' || CAST(event_id % 5 AS VARCHAR) AS path
+               FROM events WHERE event_id < 200)
+    SELECT event_id,
+           string_split(path, '/')[2] AS table_name,
+           string_split(path, '/')[3] AS pk,
+           string_split(path, '/')[4] AS index_or_key
+    FROM p
+    """,
+)
+def p11_parse_path(spark, sf_dir):
+    """P11 parsePath (utils.ts:24-36): '/table/pk/indexOrKey' destructured
+    into routing segments — the patch-path router of the reference's
+    typed-store applier (typeStore/Sequelize.ts:60-99), as a pure split
+    projection."""
+    from gnarly_spark.functions.paths import parse_path
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    path = F.concat_ws(
+        "/",
+        F.lit(""),
+        F.col("event_type"),
+        F.col("user_id").cast("string"),
+        (F.col("event_id") % 5).cast("string"),
+    )
+    return e.select("event_id", parse_path(path).alias("_p")).select(
+        "event_id", "_p.*"
+    )
+
+
+@register(
+    "o4_positional_array",
+    """
+    WITH b AS (SELECT event_id,
+                      [g for g in range(1, CAST(4 + event_id % 3 + 1 AS BIGINT))] AS arr
+               FROM events WHERE event_id < 200),
+    d AS (SELECT event_id, arr, len(arr) AS n,
+                 CAST(event_id % len(arr) + 1 AS BIGINT) AS p
+          FROM b),
+    i AS (SELECT event_id, n,
+                 arr[1:p-1] || [event_id + 1000] || arr[p:n] AS ins,
+                 CAST(event_id % (n + 1) + 1 AS BIGINT) AS q
+          FROM d),
+    r AS (SELECT event_id, ins, ins[1:q-1] || ins[q+1:n+1] AS rem FROM i)
+    SELECT event_id,
+           array_to_string(ins, ',') AS inserted,
+           array_to_string(rem, ',') AS removed
+    FROM r
+    """,
+)
+def o4_positional_array(spark, sf_dir):
+    """O4 positional array ops (typeStore/Sequelize.ts:100-133,175-185):
+    JSON-patch add-at-index shifts every later element up and inserts;
+    remove-at-index deletes and shifts down. Set-oriented form:
+    array_insert / slice-concat — ordinary codegen'd array expressions, no
+    per-element state. (Round 1 dropped this by design — the reference
+    only ever appends — now provided for full parity.)"""
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    return (
+        e.select("event_id", F.expr("sequence(1, 4 + event_id % 3)").alias("arr"))
+        .withColumn("n", F.size("arr").cast("long"))
+        .withColumn("p", (F.col("event_id") % F.col("n") + 1).cast("int"))
+        .withColumn("ins", F.expr("array_insert(arr, p, event_id + 1000)"))
+        .withColumn("q", (F.col("event_id") % (F.col("n") + 1) + 1).cast("int"))
+        .withColumn(
+            "rem",
+            F.expr("concat(slice(ins, 1, q - 1), slice(ins, q + 1, CAST(n AS INT) + 1 - q))"),
+        )
+        .select(
+            "event_id",
+            F.concat_ws(",", F.expr("transform(ins, x -> cast(x as string))")).alias(
+                "inserted"
+            ),
+            F.concat_ws(",", F.expr("transform(rem, x -> cast(x as string))")).alias(
+                "removed"
+            ),
+        )
+    )
+
+
+@register(
     "p10_case_classify",
     """
     SELECT CASE WHEN event_type = 'signup' THEN 'MINT'

@@ -440,3 +440,104 @@ def text_winnow_fingerprint(spark, sf_dir):
     from gnarly_spark.operators.dedup import winnow_fingerprints
 
     return winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+
+
+@register(
+    "text_url_canonicalize",
+    r"""
+    WITH raw AS (
+      SELECT event_id,
+             CASE CAST(event_id % 4 AS INTEGER)
+               WHEN 0 THEN 'HTTPS://Site-' || CAST(user_id AS VARCHAR)
+                           || '.Example:443/Page/' || CAST(event_id AS VARCHAR) || '?utm=x#top'
+               WHEN 1 THEN 'http://site-' || CAST(user_id AS VARCHAR)
+                           || '.example:80/page/' || CAST(event_id AS VARCHAR) || '/'
+               WHEN 2 THEN 'https://SITE-' || CAST(user_id AS VARCHAR)
+                           || '.example/page/' || CAST(event_id AS VARCHAR) || '#frag'
+               ELSE 'http://site-' || CAST(user_id AS VARCHAR)
+                           || '.example:8080/Page/' || CAST(event_id AS VARCHAR)
+             END AS url
+      FROM events WHERE event_id < 400),
+    pre AS (SELECT event_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS pfx
+            FROM raw),
+    joined AS (SELECT event_id,
+                      pfx || substring(url, length(pfx) + 1) AS u
+               FROM pre),
+    steps AS (SELECT event_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(u, '#.*$', ''),
+              '\?.*$', ''),
+            '^(http://[^/:]*):80(/|$)', '\1\2'),
+          '^(https://[^/:]*):443(/|$)', '\1\2'),
+        '(.)/$', '\1') AS canonical_url
+      FROM joined)
+    SELECT event_id, canonical_url FROM steps
+    """,
+)
+def text_url_canonicalize(spark, sf_dir):
+    """Crawl-URL canonicalization — the dedup-key normalizer applied before
+    every url-keyed operation (our CDC merge key IS the url): lowercase
+    scheme+host, strip fragment/query, drop default ports, strip trailing
+    slash. Messy variants are synthesized deterministically from events so
+    the oracle sees identical inputs."""
+    from gnarly_spark.functions.text import canonicalize_url
+
+    e = _t(spark, sf_dir, "events").where(F.col("event_id") < 400)
+    uid = F.col("user_id").cast("string")
+    eid = F.col("event_id").cast("string")
+    raw = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://Site-"), uid, F.lit(".Example:443/Page/"), eid, F.lit("?utm=x#top")),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(F.lit("http://site-"), uid, F.lit(".example:80/page/"), eid, F.lit("/")),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(F.lit("https://SITE-"), uid, F.lit(".example/page/"), eid, F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://site-"), uid, F.lit(".example:8080/Page/"), eid),
+        )
+    )
+    return e.select("event_id", canonicalize_url(raw).alias("canonical_url"))
+
+
+@register(
+    "text_pii_scrub",
+    r"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example-mail.org or call 555-123-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' ref ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\d(?:[\d .-]{5,}\d|\d{5,})', '<NUMBER>', 'g') AS scrubbed
+    FROM raw
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Pre-training PII scrubbing: emails then long digit runs masked, one
+    specified regexp chain (JVM-side, no Python) — planted PII appended to
+    each doc deterministically so the pass provably fires on every row."""
+    from gnarly_spark.functions.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example-mail.org or call 555-123-"),
+        (1000 + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ref "), F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", scrub_pii(planted).alias("scrubbed"))

@@ -87,6 +87,7 @@ class CdcIngestPipeline:
         rename_map: dict[str, str] | None = None,
         with_text: bool = True,
         reducers: list | None = None,
+        retain_log: bool = True,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -101,6 +102,21 @@ class CdcIngestPipeline:
         # ReducerRunners over one source, Gnarly.ts:22-28); each has its own
         # sink + batch-id guard so partial crashes repair on refire
         self.reducers = reducers or []
+        # retain_log=False: the changelog source is REPLAYABLE (a parquet
+        # dir / Iceberg incremental read already provides retention), so
+        # the per-batch event-log append — the disk-bound serial term of
+        # every micro-batch — is skipped and revert adjudication reads the
+        # source directly, bounded by (op_seq <= batch head, block within
+        # the retention window). Reducers use the retained log
+        # (log_before), so they require retain_log=True.
+        self.retain_log = retain_log
+        if not retain_log and self.reducers:
+            raise ValueError(
+                "retain_log=False requires no extra reducers (they replay "
+                "from the retained log); keep the default retain_log=True"
+            )
+        self.source_dir: str | None = None
+        self.source_schema: str = CHANGELOG_DDL
         self.log_dir = os.path.join(self.work_dir, "_cdc_log")
         self.undo_dir = os.path.join(self.work_dir, "_undo")
         self.audit_dir = os.path.join(self.work_dir, "audit")
@@ -164,6 +180,44 @@ class CdcIngestPipeline:
     def _log_batches(self) -> list[int]:
         return self._batches_in(self.log_dir)
 
+    # ----- per-batch op_seq ranges (retain_log=False bookkeeping) -------
+    @property
+    def _ranges_path(self) -> str:
+        return os.path.join(self.work_dir, "_log_ranges.json")
+
+    def _seq_ranges(self) -> list[dict]:
+        """Per-batch {batch_id, min_seq, max_seq, max_block} — the metadata
+        twin of the retained event log's _stats.json sidecars, so the
+        source-as-log mode prunes with identical (batch-granular)
+        semantics. Tiny: one dict per retained batch."""
+        if os.path.exists(self._ranges_path):
+            with open(self._ranges_path) as f:
+                return json.load(f)
+        return []
+
+    def _record_seq_range(self, batch_id: int, log_stats: dict) -> None:
+        ranges = [r for r in self._seq_ranges() if r["batch_id"] != batch_id]
+        ranges.append(
+            {
+                "batch_id": batch_id,
+                "min_seq": log_stats["mn_seq"],
+                "max_seq": log_stats["mx_seq"],
+                "max_block": log_stats["mx"],
+            }
+        )
+        tmp = self._ranges_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(ranges, f)
+        os.replace(tmp, self._ranges_path)
+
+    def _high_block(self) -> int | None:
+        """Highest block delivered so far (the order-contract watermark)."""
+        wm_path = os.path.join(self.work_dir, "_watermark.json")
+        if os.path.exists(wm_path):
+            with open(wm_path) as f:
+                return json.load(f)["high_block"]
+        return None
+
     def _check_block_order(self, batch_id: int, batch_max_block) -> None:
         """Enforce the changelog's total-order contract (a WAL/binlog
         delivers blocks in order; the reference serializes delivery at
@@ -226,7 +280,19 @@ class CdcIngestPipeline:
             if src in batch_df.columns:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
-        log_stats = self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+        prev_high = self._high_block()
+        if self.retain_log:
+            log_stats = self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
+        else:
+            # no log append: one agg job over the (small) batch for the
+            # stats the write-time Observation used to provide
+            row = batch_df.agg(
+                F.max("block_id").alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+                F.max("op_seq").alias("mx_seq"),
+                F.min("op_seq").alias("mn_seq"),
+            ).collect()[0]
+            log_stats = {"mx": row.mx, "n": row.n, "mx_seq": row.mx_seq, "mn_seq": row.mn_seq}
         self._check_block_order(batch_id, log_stats["mx"])
 
         # run extra reducers first — each guards its own batch_id, so a
@@ -239,7 +305,42 @@ class CdcIngestPipeline:
         if batch_id in self.target.applied_batch_ids():
             return  # core already committed (refire)
 
-        log = self._read_batched(self.log_dir)
+        if self.retain_log:
+            log = self._read_batched(self.log_dir)
+        else:
+            # replayable source: the changelog dir IS the retained log.
+            # Bound it to exactly the op_seq span the batch-granular
+            # retention pruning would keep: a batch is retained while its
+            # NEWEST block is inside the window (pruning mid-batch would
+            # lose same-batch losers that a revert of their batch-local
+            # winner can still resurface — batches may span more blocks
+            # than the retention window). Batches are contiguous op_seq
+            # ranges (total order), so one lower bound suffices. Files
+            # beyond this batch exist in the dir but have higher op_seq by
+            # the changelog's total-order contract.
+            if self.source_dir is None:
+                raise RuntimeError(
+                    "retain_log=False needs the source dir; drive the "
+                    "pipeline via start() (the source is the retained log)"
+                )
+            horizon_prev = (prev_high if prev_high is not None else 0) - self.retention_blocks
+            ranges = [
+                r for r in self._seq_ranges()
+                if r["batch_id"] != batch_id and r["max_block"] is not None
+                and r["max_block"] >= horizon_prev
+            ]
+            lo = min(
+                [r["min_seq"] for r in ranges] + [log_stats["mn_seq"] or 0]
+            )
+            log = (
+                self.spark.read.schema(self.source_schema)
+                .parquet(self.source_dir)
+                .where(
+                    (F.col("op_seq") <= F.lit(log_stats["mx_seq"]))
+                    & (F.col("op_seq") >= F.lit(lo))
+                )
+            )
+            self._record_seq_range(batch_id, log_stats)
 
         # columns added mid-stream (schema evolution) ride along end-to-end:
         # log -> candidates -> LWW payload -> MERGE (which widens the target)
@@ -422,19 +523,33 @@ class CdcIngestPipeline:
             json.dump(metrics, f)
 
         # prune retained state beyond the reorg window
-        known = []
-        for b in self._batches_in(self.log_dir):
-            try:
-                with open(os.path.join(self.log_dir, f"batch={b}", "_stats.json")) as f:
-                    v = json.load(f)["max_block"]
-                    if v is not None:
-                        known.append(v)
-            except FileNotFoundError:
-                pass
-        if known:
-            horizon = max(known) - self.retention_blocks
-            self._prune_batched(self.log_dir, horizon)
-            self._prune_batched(self.undo_dir, horizon)
+        if self.retain_log:
+            known = []
+            for b in self._batches_in(self.log_dir):
+                try:
+                    with open(os.path.join(self.log_dir, f"batch={b}", "_stats.json")) as f:
+                        v = json.load(f)["max_block"]
+                        if v is not None:
+                            known.append(v)
+                except FileNotFoundError:
+                    pass
+            if known:
+                horizon = max(known) - self.retention_blocks
+                self._prune_batched(self.log_dir, horizon)
+                self._prune_batched(self.undo_dir, horizon)
+        else:
+            high = self._high_block()
+            if high is not None:
+                horizon = high - self.retention_blocks
+                self._prune_batched(self.undo_dir, horizon)
+                kept = [
+                    r for r in self._seq_ranges()
+                    if r["max_block"] is None or r["max_block"] >= horizon
+                ]
+                tmp = self._ranges_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(kept, f)
+                os.replace(tmp, self._ranges_path)
 
     # ----- stream wiring ------------------------------------------------
     def start(
@@ -457,7 +572,9 @@ class CdcIngestPipeline:
         payload columns added mid-stream — evolution extras ride through
         the whole pipeline into the target).
         """
-        reader = self.spark.readStream.schema(schema or CHANGELOG_DDL)
+        self.source_dir = changelog_dir
+        self.source_schema = schema or CHANGELOG_DDL
+        reader = self.spark.readStream.schema(self.source_schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(changelog_dir)
@@ -484,9 +601,9 @@ class CdcIngestPipeline:
             os.path.join(self.work_dir, "reducers"),
         ):
             shutil.rmtree(d, ignore_errors=True)
-        wm = os.path.join(self.work_dir, "_watermark.json")
-        if os.path.exists(wm):
-            os.remove(wm)
+        for fp in (os.path.join(self.work_dir, "_watermark.json"), self._ranges_path):
+            if os.path.exists(fp):
+                os.remove(fp)
         for d in (self.log_dir, self.undo_dir, self.audit_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
         self.target = ParquetLakeTable(

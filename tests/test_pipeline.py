@@ -247,3 +247,52 @@ def test_mid_batch_crash_before_merge_repairs_on_refire(spark, to_spark, tmp_pat
     # audit rows: exactly one set per (batch, op_seq) — overwrite, no dupes
     audit = spark.read.parquet(str(tmp_path / "w" / "audit" / "batch=*"))
     assert audit.count() == audit.select("uuid").distinct().count() == len(log)
+
+
+def test_retain_log_off_matches_replay_with_reorg(spark, tmp_path):
+    """retain_log=False (replayable source: the changelog dir IS the
+    retained log): no per-batch event-log append, revert adjudication
+    reads the source — final state must still equal the one-pass replay,
+    including a reorg crossing micro-batch boundaries."""
+    log = gen_changelog(n_blocks=16, events_per_block=5, fork_depth=3, seed=21)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=8)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), retain_log=False)
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+    assert p._log_batches() == []  # nothing was appended to the event log
+    assert len(p.metrics()) >= 2
+
+
+def test_retain_log_off_rejects_reducers_and_direct_batches(spark, tmp_path):
+    from gnarly_spark.reducers import AppendReducer
+
+    with pytest.raises(ValueError, match="retain_log=False"):
+        CdcIngestPipeline(
+            spark,
+            str(tmp_path / "w1"),
+            retain_log=False,
+            reducers=[AppendReducer("audit_noop", lambda df: df)],
+        )
+    p = CdcIngestPipeline(spark, str(tmp_path / "w2"), retain_log=False)
+    b = spark.createDataFrame(
+        gen_changelog(n_blocks=2, events_per_block=3), schema=CHANGELOG_DDL
+    )
+    with pytest.raises(RuntimeError, match="source dir"):
+        p.process_batch(b, 0)
+
+
+def test_retain_log_off_batch_spans_more_than_retention(spark, tmp_path):
+    """Regression: with retain_log=False, a micro-batch spanning MORE
+    blocks than the retention window must not have its own older-block
+    events (or same-batch losers) dropped from adjudication — retention
+    pruning is batch-granular, never mid-batch. (Caught live: a 500-block
+    batch against retention_blocks=200 silently deleted 36 pages.)"""
+    log = gen_changelog(n_blocks=30, events_per_block=5, fork_depth=2, seed=7)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=3)
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), retention_blocks=5, retain_log=False
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))

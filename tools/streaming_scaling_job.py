@@ -4,9 +4,14 @@ the bucketed lake table, checkpointed) drained with availableNow at a given
 core count. This is the BASELINE.json metric surface itself: change-events/s
 sustained into the lake target.
 
-Usage: python tools/streaming_scaling_job.py <cpus> <changelog_dir> <files_per_trigger>
+Usage: python tools/streaming_scaling_job.py <cpus> <changelog_dir>
+           <files_per_trigger> [retain|noretain]
 Prints one JSON line {"cpus", "n_events", "n_batches", "wall_s",
-"events_per_s", "pages", "pages_checksum", "replay_checksum"}.
+"events_per_s", "pages", "pages_checksum", "replay_checksum", "retain_log"}.
+
+`noretain` runs with retain_log=False (replayable source: the changelog
+dir itself is the retained log, so the per-batch event-log append — the
+disk-bound serial term on this one-virtual-disk box — is skipped).
 
 The first drain (fresh work dir) warms JIT/codegen and the Python worker
 pool; the timed drain runs in a second fresh work dir in the same JVM —
@@ -41,7 +46,7 @@ def _checksum(df):
 from gnarly_spark.sources.changelog import order_files_by_name  # noqa: E402
 
 
-def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int):
+def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int, retain_log: bool = True):
     from gnarly_spark.sinks.lake import ParquetLakeTable
     from gnarly_spark.streaming.pipeline import CdcIngestPipeline
 
@@ -49,7 +54,9 @@ def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int):
     target = ParquetLakeTable(
         spark, os.path.join(work, "pages"), key="url", n_buckets=n_buckets
     )
-    p = CdcIngestPipeline(spark, work, target=target, retention_blocks=200)
+    p = CdcIngestPipeline(
+        spark, work, target=target, retention_blocks=200, retain_log=retain_log
+    )
     t0 = time.monotonic()
     q = p.start(changelog, available_now=True, max_files_per_trigger=files_per_trigger)
     q.awaitTermination()
@@ -61,6 +68,7 @@ def main():
     cpus = int(sys.argv[1])
     changelog = sys.argv[2]
     files_per_trigger = int(sys.argv[3])
+    retain_log = (sys.argv[4] if len(sys.argv) > 4 else "retain") != "noretain"
 
     from gnarly_spark.operators.replay import final_state
     from gnarly_spark.session import get_spark
@@ -70,12 +78,12 @@ def main():
     log = spark.read.parquet(changelog)
     n = log.count()
 
-    _, _, w0 = drain(spark, changelog, files_per_trigger, n_buckets=cpus)  # warm-up
+    _, _, w0 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)  # warm-up
     shutil.rmtree(w0, ignore_errors=True)
     # best-of-2 full drains: this VM shows minute-scale CPU-steal swings
     # (2x between runs); min over fresh drains approximates uncontended time
-    wall, p, work = drain(spark, changelog, files_per_trigger, n_buckets=cpus)
-    wall2, p2, work2 = drain(spark, changelog, files_per_trigger, n_buckets=cpus)
+    wall, p, work = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)
+    wall2, p2, work2 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)
     if wall2 < wall:
         shutil.rmtree(work, ignore_errors=True)
         wall, p, work = wall2, p2, work2
@@ -96,6 +104,7 @@ def main():
                 "pages_checksum": got.chk,
                 "replay_pages": want.n,
                 "replay_checksum": want.chk,
+                "retain_log": retain_log,
             }
         )
     )
