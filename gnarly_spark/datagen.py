@@ -59,8 +59,19 @@ def gen_changelog_spark(
         F.lit("<p>para "), digest, F.lit(" &amp; more &lt;raw&gt;</p>"),
         F.lit("<p>body "), F.repeat(digest, 8), F.lit("</p></body></html>"),
     )
+    # op_seq IS the delivery order (the changelog total-order contract the
+    # pipeline enforces): event rows leave gaps for the revert rows that
+    # interleave right after the block they undo — a revert is never
+    # emitted beyond the reorg-retention window, exactly like a real WAL.
+    # Revert k (of block k*reb, emitted at the head of block k*reb + 1)
+    # takes op_seq = (k*reb + 1)*epb + k; events shift up by the number of
+    # reverts delivered before their block.
+    reb = revert_every_blocks
+    ordered_seq = (
+        seq + F.floor(F.greatest(block_id - 1, F.lit(0)) / reb) if reb else seq
+    )
     events = rng.select(
-        seq.alias("op_seq"),
+        ordered_seq.alias("op_seq"),
         block_id.alias("block_id"),
         F.concat(F.lit("b"), block_id.cast("string")).alias("block_hash"),
         F.concat(F.lit("b"), (block_id - 1).cast("string")).alias("parent_hash"),
@@ -81,9 +92,12 @@ def gen_changelog_spark(
         # following block, undoing the block before it
         rev = (
             spark.range(1, n_blocks // revert_every_blocks + 1)
-            .select((F.col("id") * revert_every_blocks).alias("rb"))
             .select(
-                (F.col("rb") * events_per_block + n_events + F.col("rb")).alias("op_seq"),
+                (F.col("id") * revert_every_blocks).alias("rb"),
+                F.col("id").alias("k"),
+            )
+            .select(
+                ((F.col("rb") + 1) * events_per_block + F.col("k")).alias("op_seq"),
                 (F.col("rb") + 1).alias("block_id"),
                 F.concat(F.lit("b"), (F.col("rb") + 1).cast("string")).alias("block_hash"),
                 F.concat(F.lit("b"), F.col("rb").cast("string")).alias("parent_hash"),

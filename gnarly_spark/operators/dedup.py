@@ -191,11 +191,16 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     r = k // bands
     # the shingle relation feeds three plan branches (signatures + both
-    # sides of the verify join) — checkpoint so it's computed once
+    # sides of the verify join) — checkpoint so it's computed once.
+    # EAGER: a lazy checkpoint materializes inside the consuming SQL
+    # execution, and the other branches' stages then report accumulator
+    # updates against the materializing execution's metrics — 100
+    # benign-but-noisy "Failed to update accumulator (Unknown class)"
+    # ERRORs per run. Eager materialization runs as its own job first.
     sh = shingles(docs, n=n, text_col=text_col, id_col=id_col)
     if max_doc_freq is not None:
         sh = cap_hot_shingles(sh, max_doc_freq)
-    sh = sh.localCheckpoint(eager=False)
+    sh = sh.localCheckpoint(eager=True)
     sig = _minhash_agg(sh, k)
     banded = sig.select(
         "id",

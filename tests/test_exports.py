@@ -7,7 +7,7 @@ from __future__ import annotations
 def test_public_api_surface():
     import gnarly_spark
     from gnarly_spark import catalog, catalog_training, datagen, fixtures, reducers, session
-    from gnarly_spark.functions import extraction, text
+    from gnarly_spark.functions import extraction, paths, text
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
     from gnarly_spark.sources import changelog
@@ -21,7 +21,11 @@ def test_public_api_surface():
             "CHANGELOG_DDL", "CHANGELOG_COLUMNS",
         ],
         extraction: ["extract_text", "extract_text_udf", "EXTRACTION_RULE_VERSION"],
-        text: ["lang_id", "token_count", "bpe_ish_token_count", "quality_features", "fingerprint"],
+        text: [
+            "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
+            "fingerprint", "canonicalize_url", "scrub_pii",
+        ],
+        paths: ["parse_path"],
         replay: [
             "final_state", "live_events", "reverted_blocks",
             "last_writer_wins", "last_writer_wins_salted",
@@ -32,7 +36,8 @@ def test_public_api_surface():
         dedup: [
             "exact_duplicates", "shingles", "jaccard_pairs",
             "minhash_signatures", "minhash_lsh_pairs", "simhash",
-            "winnow_fingerprints", "normalize_text",
+            "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
+            "duplicate_clusters",
         ],
         similarity: [
             "cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk",
@@ -42,7 +47,10 @@ def test_public_api_surface():
             "media_metadata", "extract_media_features",
             "media_repartition_by_bytes", "sample_frames",
         ],
-        lake: ["ParquetLakeTable", "IcebergLakeTable", "bucket_of"],
+        lake: [
+            "ParquetLakeTable", "IcebergLakeTable", "bucket_of",
+            "build_merge_source", "build_merge_sql",
+        ],
         changelog: [
             "read_changelog", "stream_changelog", "order_files_by_name",
             "block_by_seq", "block_by_hash", "latest_seq", "events_in_range",

@@ -296,3 +296,45 @@ def test_retain_log_off_batch_spans_more_than_retention(spark, tmp_path):
     )
     run_stream(p, src)
     assert_pdf_equal(_got(p), _want(log))
+
+
+def test_datagen_changelog_streaming_matches_replay_both_modes(spark, tmp_path):
+    """The distributed benchmark changelog (datagen, reverts ON) through
+    the real pipeline == one-shot replay, for retain_log True AND False.
+    Locks the datagen delivery-order contract: revert rows interleave
+    right after the block they undo (caught live at 10M events: reverts
+    carried op_seq past every event, arrived in the final micro-batch as
+    contract-violating deep reorgs, and diverged by one page)."""
+    from gnarly_spark.datagen import gen_changelog_spark
+    from gnarly_spark.sources.changelog import order_files_by_name
+
+    log = gen_changelog_spark(
+        spark, 4000, events_per_block=50, revert_every_blocks=10, skew=0.2
+    )
+    src = str(tmp_path / "cl")
+    log.repartitionByRange(4, "op_seq").sortWithinPartitions("op_seq").write.parquet(src)
+    order_files_by_name(src)
+
+    from gnarly_spark.operators.replay import last_writer_wins, live_events
+    from pyspark.sql import functions as F
+
+    winners = last_writer_wins(live_events(spark.read.parquet(src))).where(
+        F.col("op") != "delete"
+    )
+    want = sorted((r.url, r.op_seq) for r in winners.select("url", "op_seq").collect())
+    for i, retain in enumerate((True, False)):
+        p = CdcIngestPipeline(
+            spark,
+            str(tmp_path / f"w{i}"),
+            retention_blocks=30,
+            retain_log=retain,
+            with_text=False,
+        )
+        run_stream(p, src)
+        got = sorted(
+            (r.url, r.op_seq)
+            for r in p.target.read()
+            .select("url", F.col("_op_seq").alias("op_seq"))
+            .collect()
+        )
+        assert got == want, f"retain_log={retain} diverged from replay"
