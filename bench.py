@@ -37,7 +37,10 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality",
     "text_lang_id",
+    "text_decontaminate",
+    "text_pack_sequences",
     "sim_bruteforce_topk",
+    "sim_quantize_int8",
 ]
 
 

@@ -541,3 +541,224 @@ def text_pii_scrub(spark, sf_dir):
         F.lit(" ref "), F.col("doc_id").cast("string"),
     )
     return d.select("doc_id", scrub_pii(planted).alias("scrubbed"))
+
+
+@register(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_JACCARD_SQL},
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+    """,
+)
+def dedup_keep_list(spark, sf_dir):
+    """The end-to-end dedup decision a corpus pipeline actually consumes:
+    EVERY doc labeled (cluster_id, keep) — near-dup pairs (exact n-gram
+    Jaccard >= 0.5) -> connected components -> keep the cluster's min id;
+    docs in no dup pair keep themselves. Filtering the corpus is then one
+    semi-join on keep=true."""
+    from gnarly_spark.operators.dedup import duplicate_clusters, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = duplicate_clusters(jaccard_pairs(docs, threshold=0.5))
+    return (
+        docs.select(F.col("doc_id"))
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "doc_id") == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
+@register(
+    "dedup_winnow_containment",
+    f"""
+    WITH base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),
+    grams AS (SELECT id,
+                CASE WHEN length(t) >= 8 THEN
+                  [CAST(('0x' || substring(md5(substring(t, g, 8)), 1, 8)) AS BIGINT)
+                   for g in range(1, length(t) - 8 + 2)]
+                ELSE [] END AS h
+              FROM base),
+    wins AS (SELECT id,
+               CASE WHEN len(h) >= 4 THEN
+                 [list_min(h[j:j+3]) for j in range(1, len(h) - 4 + 2)]
+               ELSE [] END AS f
+             FROM grams),
+    fp AS (SELECT DISTINCT id, unnest(f) AS fp FROM wins),
+    sizes AS (SELECT id, COUNT(*) AS n_fp FROM fp GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+               FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id
+               GROUP BY a.id, b.id)
+    SELECT id_a, id_b, n_common,
+           ROUND(n_common / sa.n_fp, 6) AS containment_a,
+           ROUND(n_common / sb.n_fp, 6) AS containment_b
+    FROM common JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_common / sa.n_fp >= 0.5 OR n_common / sb.n_fp >= 0.5
+    """,
+)
+def dedup_winnow_containment(spark, sf_dir):
+    """Winnowing-fingerprint CONTAINMENT pairs (the MOSS overlap measure):
+    containment_x = |fp(a) AND fp(b)| / |fp(x)| — catches a short doc
+    embedded in a long one, which symmetric Jaccard under-scores. One
+    equi-join on fingerprint + one agg; quadratic only on docs that
+    actually share fingerprints."""
+    from gnarly_spark.operators.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
+    sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    common = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            (F.col("n_common") / F.col("n_a") >= 0.5)
+            | (F.col("n_common") / F.col("n_b") >= 0.5)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment_a"),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias("containment_b"),
+        )
+    )
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH {_SHINGLES_SQL},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+    hits AS (SELECT id, COUNT(*) AS n_hits
+             FROM sh JOIN bench USING (shingle)
+             WHERE id % 97 != 0 GROUP BY id)
+    SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+    WHERE d.doc_id % 97 != 0
+    """,
+)
+def text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over a held-out eval slice (docs with
+    doc_id % 97 == 0 stand in for the benchmark set, derived
+    deterministically from driver data): every remaining corpus doc
+    labeled with its count of shingles shared with the benchmark. The
+    benchmark shingle set broadcasts; the corpus is never shuffled on
+    the shingle."""
+    from gnarly_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench)
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id, ROUND(scale, 9) AS scale,
+                 list_transform(e, x -> greatest(-127, least(127,
+                     CAST(floor(x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+                                + 0.5) AS INT)))) AS qv
+          FROM s)
+    SELECT vec_id, scale,
+           CAST(len(qv) AS INT) AS n_dims,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(list_min(qv) AS INT) AS min_q,
+           CAST(list_max(qv) AS INT) AS max_q
+    FROM q
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the storage form of a
+    corpus-scale embedding table). The quantization rule floor(x/scale+0.5)
+    is engine-portable (no ROUND half-even ambiguity), so the oracle
+    re-derives q bit-for-bit; the row returns per-vector aggregates of the
+    int8 codes rather than the raw array (representation-independent
+    hash)."""
+    from gnarly_spark.operators.similarity import quantize_vectors
+
+    q = quantize_vectors(_t(spark, sf_dir, "embeddings"))
+    return q.select(
+        F.col("id").alias("vec_id"),
+        "scale",
+        F.size("qvec").alias("n_dims"),
+        F.expr("aggregate(qvec, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("sum_q"),
+        F.array_min("qvec").alias("min_q"),
+        F.array_max("qvec").alias("max_q"),
+    )
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      len(string_split({_NORM}, ' ')) AS n_tok,
+                      doc_id // 1000 AS chunk
+               FROM documents),
+    c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source, chunk
+                                     ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM d)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           source || '/' || CAST(chunk AS VARCHAR) || '/'
+                  || CAST((cum - n_tok) // 2048 AS VARCHAR) AS pack_id
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: greedy first-fit of docs into
+    fixed-token-budget packs (2048 whitespace tokens) by cumulative token
+    count. Deterministic AND distributed: the cumsum window is partitioned
+    by (source, doc_id div 1000) — packs never cross a chunk boundary, so
+    at corpus scale no single window task sees more than one chunk (the
+    slight fill loss at chunk edges is the price of parallelism; a global
+    ORDER BY would serialize the corpus through one task)."""
+    from gnarly_spark.operators.dedup import normalize_text
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("n_tok"),
+        F.expr("doc_id div 1000").alias("chunk"),
+    )
+    w = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return d.select(
+        "doc_id",
+        "n_tok",
+        F.concat_ws(
+            "/",
+            "source",
+            F.col("chunk").cast("string"),
+            F.floor(start / 2048).cast("string"),
+        ).alias("pack_id"),
+    )

@@ -398,3 +398,44 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
         )
         word = term if word is None else word + term
     return sums.select("id", word.alias("simhash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    shingle with a held-out benchmark/eval set — the standard guard against
+    test-set leakage into training data.
+
+    Scale shape: the benchmark is small by construction (eval sets are
+    thousands of docs against a 100 TB corpus), so its DISTINCT shingle set
+    broadcasts; the corpus side is one shingle explode + broadcast inner
+    join + groupBy(id) — the corpus shingle relation is never shuffled on
+    the shingle, and the only shuffle is the per-doc hit count on id.
+    Output: (doc_id, n_hits, contaminated) for EVERY corpus doc, n_hits =
+    number of distinct shared shingles.
+    """
+    c_sh = shingles(corpus, n=n, text_col=text_col, id_col=id_col)
+    b_sh = (
+        shingles(benchmark, n=n, text_col=text_col, id_col=id_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -333,3 +333,104 @@ def lsh_ann_topk(
         .where(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
     )
+
+
+def ivf_write(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file ON DISK partitioned by cluster (plus
+    the centroid table) — the deploy shape of IVF at corpus scale: a probe
+    of n_probe/n_centroids clusters becomes PARTITION PRUNING on the scan
+    (verified by plan test), so a query reads that fraction of the corpus
+    from storage instead of filtering it after a full scan."""
+    centroids, assigned = ivf_build(
+        embeddings, n_centroids, iterations, seed, id_col, vec_col
+    )
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(f"{path}/ivf")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_partitioned(
+    spark,
+    path: str,
+    query_vecs: list[tuple[int, list[float]]],
+    k: int = 3,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k over a written IVF table: nearest n_probe centroids per query
+    (driver-side over the tiny centroid table), then a scan of ONLY those
+    cluster partitions (PartitionFilters prune at the source) + exact
+    cosine on candidates. The only driver-side data are the centroids
+    (C x dim — the quantizer, small by construction) and the query set."""
+    cents = {
+        r.cluster: list(r.cvec)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+    def nearest(qv):
+        ds = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, c)), ci) for ci, c in cents.items()
+        )
+        return [ci for _, ci in ds[:n_probe]]
+
+    probe_rows = [
+        (qid, [float(x) for x in qv], ci)
+        for qid, qv in query_vecs
+        for ci in nearest(qv)
+    ]
+    probe = spark.createDataFrame(
+        probe_rows, schema="query_id long, qv array<double>, cluster int"
+    )
+    clusters = sorted({ci for _, _, ci in probe_rows})
+    ivf = spark.read.parquet(f"{path}/ivf").where(F.col("cluster").isin(clusters))
+    cand = ivf.join(F.broadcast(probe), ["cluster"]).where(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    )
+
+
+def quantize_vectors(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector — the storage form of a
+    corpus-scale embedding table (4x smaller than float32, 8x smaller than
+    float64; dot products stay within ~1% for unit-norm vectors).
+
+    scale = max|v| / 127; q_i = clamp(floor(v_i/scale + 0.5), -127, 127).
+    floor(x+0.5) (not round()) keeps the rule engine-portable — ROUND
+    half-even/half-up differs across engines, floor(x+0.5) nowhere does.
+    All JVM array expressions (transform/aggregate) — no Python, no
+    shuffle: a pure map over the corpus, whole-stage codegen.
+
+    Output: (id, scale, qvec array<int>). Dequantization is q * scale.
+    """
+    v = as_double(F.col(vec_col))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    # all-zero vector: scale 0 -> emit zeros (guard the division)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(
+        v,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x / safe + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.round(scale, 9).alias("scale"),
+        q.alias("qvec"),
+    )

@@ -308,6 +308,35 @@ class ParquetLakeTable:
             prev_buckets, prev_ids = m["buckets"], m["batch_ids"]
         return out
 
+    def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Change feed BETWEEN snapshots: (key, _change) with _change in
+        insert/update/delete — the reverse direction of ingest (Iceberg's
+        incremental changelog read analog; lets a downstream consumer tail
+        THIS table as its own CDC source). Full-outer join old vs new on
+        key; rows equal in both snapshots are dropped. One shuffle on the
+        key, pruned to the two snapshots' files. Under schema evolution
+        only columns present in BOTH snapshots are compared (a row whose
+        only change is in a column the old snapshot predates reads as
+        unchanged)."""
+        old = self.read(v_from)
+        new = self.read(self.current_version() if v_to is None else v_to)
+        cols = [c for c in new.columns if c != self.key and c in old.columns]
+        o = old.select(self.key, F.struct(*cols).alias("_o"))
+        n = new.select(self.key, F.struct(*cols).alias("_n"))
+        j = o.join(n, self.key, "full_outer")
+        return (
+            j.withColumn(
+                "_change",
+                F.when(F.col("_o").isNull(), "insert")
+                .when(F.col("_n").isNull(), "delete")
+                # null-safe: a null FIELD inside the struct must compare
+                # equal to null, not poison the comparison
+                .when(~F.col("_o").eqNullSafe(F.col("_n")), "update"),
+            )
+            .where(F.col("_change").isNotNull())
+            .select(self.key, "_change")
+        )
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no surviving manifest references (Iceberg's

@@ -199,3 +199,13 @@ def test_iceberg_merge_sql_contract():
         "INSERT (url, v, _batch_id) VALUES (u.url, u.v, u._batch_id)" in sql
     )
     assert "t._op" not in sql and "INSERT (url, v, _batch_id)" in sql
+
+
+def test_snapshot_diff_change_feed(spark, table):
+    """diff(v_from, v_to): the table as a CDC SOURCE — insert/update/delete
+    per key between snapshots, null fields compared null-safely."""
+    table.merge(mk(spark, [("a", 1), ("b", 1), ("c", None)]), batch_id=0)
+    table.merge(mk(spark, [("a", 2), ("d", 4)]), delete_keys=mk(spark, [("b", 0)]).select("url"), batch_id=1)
+    got = {r.url: r._change for r in table.diff(0, 1).collect()}
+    assert got == {"a": "update", "b": "delete", "d": "insert"}  # c unchanged (null field)
+    assert table.diff(1, 1).count() == 0

@@ -173,3 +173,27 @@ def test_ivf_plan_constant_in_centroids_and_dim(spark):
     assert len(plan) < 20_000, f"plan size {len(plan)} suggests centroid literals"
     assert centroids.count() == 256
     assert assigned.groupBy().count().collect()[0][0] == 512
+
+
+def test_ivf_written_table_prunes_partitions(spark, tmp_path):
+    """The written IVF table must turn a probe into PARTITION PRUNING at
+    the scan (PartitionFilters on cluster), not a post-scan filter —
+    that's the read-fraction claim of IVF at corpus scale."""
+    from gnarly_spark.operators.similarity import ivf_query_partitioned, ivf_write
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), j -> cast(pmod(xxhash64(id, j), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf_tbl")
+    ivf_write(corpus, path, n_centroids=8, iterations=1)
+    qv = [list(r.embedding) for r in corpus.where(F.col("vec_id") < 2).collect()]
+    out = ivf_query_partitioned(spark, path, [(0, qv[0]), (1, qv[1])], k=3, n_probe=2)
+    plan = plan_of(out)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster" in m.group(1), plan[:2000]
+    got = out.collect()
+    assert len(got) > 0 and all(1 <= r.rank <= 3 for r in got)

@@ -235,3 +235,61 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
         duplicate_clusters(chain, max_iterations=2)
     ok = duplicate_clusters(chain, max_iterations=25).collect()
     assert {r.cluster_id for r in ok} == {1}
+
+
+def test_decontaminate_flags_benchmark_overlap(spark, docs):
+    """Docs sharing a 3-gram with the benchmark set are contaminated;
+    unrelated docs get n_hits=0; benchmark docs themselves are excluded."""
+    from gnarly_spark.operators.dedup import decontaminate
+
+    bench = docs.where(F.col("doc_id") == 0)       # the fox sentence
+    corpus = docs.where(F.col("doc_id") != 0)
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(corpus, bench).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1][1] and got[4][1]                  # exact dups: all shingles hit
+    assert got[2][1] and got[2][0] < got[1][0]      # near dup: fewer shared
+    assert got[3] == (0, False) and got[5] == (0, False)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, docs):
+    """The benchmark shingle set must broadcast — the corpus side is never
+    shuffled on the shingle (the 100 TB shape)."""
+    from gnarly_spark.operators.dedup import decontaminate
+
+    out = decontaminate(docs.where(F.col("doc_id") != 0), docs.where(F.col("doc_id") == 0))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_vectors_roundtrip_and_zero_guard(spark):
+    from gnarly_spark.operators.similarity import quantize_vectors
+
+    emb = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        schema="vec_id long, embedding array<float>",
+    )
+    rows = {r.id: r for r in quantize_vectors(emb).collect()}
+    # dequantized values within scale/2 of the original (round-to-nearest)
+    r0 = rows[0]
+    orig = [0.5, -1.0, 0.25, 0.0]
+    for q, x in zip(r0.qvec, orig):
+        # a tie (x/scale ends in .5) rounds up: error is exactly scale/2
+        assert abs(q * r0.scale - x) <= r0.scale / 2 + 1e-7
+    assert max(abs(q) for q in r0.qvec) == 127
+    assert rows[1].scale == 0.0 and rows[1].qvec == [0, 0, 0, 0]  # zero vector
+
+
+def test_pack_sequences_respects_budget(spark):
+    from gnarly_spark.catalog_training import text_pack_sequences
+
+    out = text_pack_sequences(spark, "/root/testdata/sf0.001").toPandas()
+    # no pack exceeds the budget unless a single doc alone does
+    sums = out.groupby("pack_id").agg(total=("n_tok", "sum"), n=("doc_id", "count"))
+    over = sums[(sums.total > 2048) & (sums.n > 1)]
+    # a multi-doc pack may only exceed budget by its LAST doc (first-fit:
+    # a doc is placed in the pack where its start offset falls)
+    assert (out.n_tok > 0).all()
+    for pid in over.index:
+        docs_in = out[out.pack_id == pid].sort_values("doc_id")
+        assert docs_in.n_tok.iloc[:-1].sum() <= 2048
