@@ -88,6 +88,7 @@ class CdcIngestPipeline:
         with_text: bool = True,
         reducers: list | None = None,
         retain_log: bool = True,
+        spread_batch: bool = True,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -110,6 +111,17 @@ class CdcIngestPipeline:
         # the retention window). Reducers use the retained log
         # (log_before), so they require retain_log=True.
         self.retain_log = retain_log
+        # spread_batch: a micro-batch from a file source arrives with as
+        # many partitions as FILE SPLITS in the trigger (often 1-2), so
+        # every per-batch job over batch_df — the log append, the audit
+        # write, the revert scans — would run near-serially NO MATTER HOW
+        # MANY CORES the cluster has (measured: the audit write alone was
+        # 16 s single-task on a 2.5M-event batch that merges in 5 s).
+        # One repartition to cluster parallelism + one eager
+        # localCheckpoint materializes the batch across executors once;
+        # the ~5 downstream jobs then read the cached spread copy instead
+        # of re-scanning the source file through 1-2 tasks each.
+        self.spread_batch = spread_batch
         if not retain_log and self.reducers:
             raise ValueError(
                 "retain_log=False requires no extra reducers (they replay "
@@ -280,6 +292,13 @@ class CdcIngestPipeline:
             if src in batch_df.columns:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
+        phases = {}
+        if self.spread_batch:
+            batch_df = batch_df.repartition(
+                self.spark.sparkContext.defaultParallelism
+            ).localCheckpoint(eager=True)
+            phases["spread"] = round(time.monotonic() - t0, 3)
+
         prev_high = self._high_block()
         if self.retain_log:
             log_stats = self._write_batched(self.log_dir, batch_df, batch_id, "block_id")
@@ -294,13 +313,18 @@ class CdcIngestPipeline:
             ).collect()[0]
             log_stats = {"mx": row.mx, "n": row.n, "mx_seq": row.mx_seq, "mn_seq": row.mn_seq}
         self._check_block_order(batch_id, log_stats["mx"])
+        phases["log_append"] = round(
+            time.monotonic() - t0 - phases.get("spread", 0.0), 3
+        )
 
         # run extra reducers first — each guards its own batch_id, so a
         # crash between sub-sinks repairs on refire (the reference's
         # save-tx-then-apply gap, Ourbit.ts:144-150, closed per sink)
+        t_r = time.monotonic()
         for red in self.reducers:
             if not getattr(red, "head_only", False):
                 red.apply(self, batch_df, batch_id)
+        phases["reducers"] = round(time.monotonic() - t_r, 3)
 
         if batch_id in self.target.applied_batch_ids():
             return  # core already committed (refire)
@@ -488,6 +512,13 @@ class CdcIngestPipeline:
         )
 
         # ---- undo log: save prior target rows being replaced/deleted ----
+        t_u = time.monotonic()
+        # this region builds the candidate relation AND runs its shuffle
+        # stages: under AQE, localCheckpoint(eager=False) still calls
+        # toRdd, which materializes every non-result query stage eagerly —
+        # so the semi/anti joins + LWW aggregation execute here, not in
+        # the downstream phases that read the checkpoint
+        phases["candidates_lww"] = round(t_u - t_r - phases["reducers"], 3)
         if tgt is not None and "_op_seq" in tgt.columns:
             replacing = lww.where(F.col("_src") == "log").select(
                 "url",
@@ -498,17 +529,22 @@ class CdcIngestPipeline:
                 *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
             )
             self._write_batched(self.undo_dir, prior, batch_id, "_replaced_by_block_id")
+        phases["undo_log"] = round(time.monotonic() - t_u, 3)
 
         # lineage: append-only audit rows (volatile ops — never replayed
         # into state; FIXTURES.md F5), idempotent, written BEFORE the
         # commit point so refires cannot lose it
+        t_a = time.monotonic()
         audit = audit_rows(batch_df.where(F.col("op").isNotNull()), batch_id=batch_id)
         audit.write.mode("overwrite").parquet(
             os.path.join(self.audit_dir, f"batch={batch_id}")
         )
+        phases["audit"] = round(time.monotonic() - t_a, 3)
 
         # ---- the commit point (idempotent keyed MERGE) ----
+        t_m = time.monotonic()
         self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
+        phases["lww_merge"] = round(time.monotonic() - t_m, 3)
 
         n_events = int(log_stats["n"])  # counted on the log-append job
         wall = time.monotonic() - t0
@@ -518,6 +554,7 @@ class CdcIngestPipeline:
             "wall_s": round(wall, 3),
             "events_per_s": round(n_events / max(wall, 1e-9), 1),
             "target_version": self.target.current_version(),
+            "phase_s": phases,
         }
         with open(os.path.join(self.metrics_dir, f"batch-{batch_id}.json"), "w") as f:
             json.dump(metrics, f)
