@@ -117,10 +117,10 @@ class CdcIngestPipeline:
         # write, the revert scans — would run near-serially NO MATTER HOW
         # MANY CORES the cluster has (measured: the audit write alone was
         # 16 s single-task on a 2.5M-event batch that merges in 5 s).
-        # One repartition to cluster parallelism + one eager
-        # localCheckpoint materializes the batch across executors once;
-        # the ~5 downstream jobs then read the cached spread copy instead
-        # of re-scanning the source file through 1-2 tasks each.
+        # One repartition to cluster parallelism + persist() caches the
+        # batch across executors at its first action; the ~5 downstream
+        # jobs then read the cached spread copy instead of re-scanning
+        # the source file through 1-2 tasks each. Released per batch.
         self.spread_batch = spread_batch
         if not retain_log and self.reducers:
             raise ValueError(
@@ -285,6 +285,25 @@ class CdcIngestPipeline:
 
     # ----- the per-micro-batch program ---------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """One micro-batch. Wrapper pins/unpins the batch-lifetime caches:
+        persist() with an explicit unpersist here, NEVER localCheckpoint —
+        checkpoint blocks are only released by the ContextCleaner after a
+        JVM GC, which a large-heap driver may not run for many batches, so
+        a long drain accumulates every batch's blocks (measured: drains in
+        the same JVM degraded 3x by the third 2M-event drain)."""
+        pinned: list[DataFrame] = []
+        try:
+            self._process_batch(batch_df, batch_id, pinned)
+        finally:
+            for df in pinned:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+
+    def _process_batch(
+        self, batch_df: DataFrame, batch_id: int, pinned: list[DataFrame]
+    ) -> None:
         t0 = time.monotonic()
 
         # normalize renamed columns (schema evolution, axis: renamed column)
@@ -296,8 +315,8 @@ class CdcIngestPipeline:
         if self.spread_batch:
             batch_df = batch_df.repartition(
                 self.spark.sparkContext.defaultParallelism
-            ).localCheckpoint(eager=True)
-            phases["spread"] = round(time.monotonic() - t0, 3)
+            ).persist()
+            pinned.append(batch_df)
 
         prev_high = self._high_block()
         if self.retain_log:
@@ -313,9 +332,9 @@ class CdcIngestPipeline:
             ).collect()[0]
             log_stats = {"mx": row.mx, "n": row.n, "mx_seq": row.mx_seq, "mn_seq": row.mn_seq}
         self._check_block_order(batch_id, log_stats["mx"])
-        phases["log_append"] = round(
-            time.monotonic() - t0 - phases.get("spread", 0.0), 3
-        )
+        # includes materializing the spread batch cache (persist is lazy;
+        # the log write / stats agg is the first action over it)
+        phases["log_append"] = round(time.monotonic() - t0, 3)
 
         # run extra reducers first — each guards its own batch_id, so a
         # crash between sub-sinks repairs on refire (the reference's
@@ -404,9 +423,11 @@ class CdcIngestPipeline:
             .where(F.col("url").isNotNull())
             .distinct()
             # feeds four plan branches (log/target/undo semi-joins + the
-            # delete anti-join) — materialize once instead of 4 batch scans
-            .localCheckpoint(eager=False)
+            # delete anti-join) — cache once instead of 4 batch scans
+            # (persist, unpinned at batch end by the process_batch wrapper)
+            .persist()
         )
+        pinned.append(affected)
 
         # ---- candidate relation for LWW ----
         # (a) retained live events for affected urls
@@ -484,8 +505,9 @@ class CdcIngestPipeline:
             else last_writer_wins(candidates)
         )
         # the winner set is reused three times (upserts, deletes, undo
-        # pairing) — materialize once
-        lww = lww.localCheckpoint(eager=False)
+        # pairing) — cache once, released at batch end
+        lww = lww.persist()
+        pinned.append(lww)
 
         # winners that change the table: new/resurfaced rows, not deletes,
         # not the row already in the target
@@ -513,11 +535,9 @@ class CdcIngestPipeline:
 
         # ---- undo log: save prior target rows being replaced/deleted ----
         t_u = time.monotonic()
-        # this region builds the candidate relation AND runs its shuffle
-        # stages: under AQE, localCheckpoint(eager=False) still calls
-        # toRdd, which materializes every non-result query stage eagerly —
-        # so the semi/anti joins + LWW aggregation execute here, not in
-        # the downstream phases that read the checkpoint
+        # plan construction only: persist() is lazy, so the semi/anti
+        # joins + LWW aggregation execute at the first downstream action
+        # (the undo write) and land in that phase
         phases["candidates_lww"] = round(t_u - t_r - phases["reducers"], 3)
         if tgt is not None and "_op_seq" in tgt.columns:
             replacing = lww.where(F.col("_src") == "log").select(

@@ -6,7 +6,7 @@
         --changelog /data/changelog --work /lake/pages_pipeline \
         [--available-now | --processing-time "5 seconds"] \
         [--max-files-per-trigger 64] [--retention-blocks 100] \
-        [--salt-partitions 32]
+        [--salt-partitions 32] [--no-retain-log] [--no-spread-batch]
 
 The SparkSession comes from spark-submit (master/executors configured
 there); this script only sets SQL-level knobs. Prints one JSON line of
@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--retention-blocks", type=int, default=100)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--no-text", action="store_true")
+    # replayable source (e.g. an immutable changelog dir / Iceberg
+    # incremental read): skip the per-batch event-log append
+    ap.add_argument("--no-retain-log", action="store_true")
+    # batches already arrive well-partitioned (many files per trigger):
+    # skip the entry repartition+cache
+    ap.add_argument("--no-spread-batch", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,6 +58,8 @@ def main(argv=None):
         retention_blocks=args.retention_blocks,
         salt_partitions=args.salt_partitions,
         with_text=not args.no_text,
+        retain_log=not args.no_retain_log,
+        spread_batch=not args.no_spread_batch,
     )
     q = p.start(
         args.changelog,
