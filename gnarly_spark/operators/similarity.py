@@ -419,18 +419,31 @@ def quantize_vectors(
     Output: (id, scale, qvec array<int>). Dequantization is q * scale.
     """
     v = as_double(F.col(vec_col))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    # CollapseProject inlines a projected expression into every reference
+    # site — if `scale` (an O(dim) array_max) stayed a plain projection, the
+    # per-element lambda below would re-evaluate it dim times (O(dim^2)/row;
+    # measured 7x on the bench). explode(array(e)) is a Generate barrier:
+    # 1 row in, 1 row out, but the generated column is an attribute the
+    # optimizer cannot inline, so scale is computed exactly once per row.
+    staged = embeddings.select(F.col(id_col).alias("id"), v.alias("_v")).select(
+        "id",
+        "_v",
+        F.explode(
+            F.array(F.array_max(F.transform(F.col("_v"), F.abs)) / F.lit(127.0))
+        ).alias("_scale"),
+    )
     # all-zero vector: scale 0 -> emit zeros (guard the division)
-    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    safe = F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(F.col("_scale"))
     q = F.transform(
-        v,
+        F.col("_v"),
         lambda x: F.greatest(
             F.lit(-127),
             F.least(F.lit(127), F.floor(x / safe + F.lit(0.5)).cast("int")),
         ),
     )
-    return embeddings.select(
-        F.col(id_col).alias("id"),
-        F.round(scale, 9).alias("scale"),
-        q.alias("qvec"),
+    # second barrier: qvec as an attribute, so a consumer referencing it k
+    # times (sum/min/max/size) pays the transform once, not k times.
+    return (
+        staged.select("id", F.round(F.col("_scale"), 9).alias("scale"), q.alias("_q"))
+        .select("id", "scale", F.explode(F.array(F.col("_q"))).alias("qvec"))
     )
