@@ -119,6 +119,46 @@ def cdc_replay_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_scd2_history",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    nxt AS (SELECT *, lead(warc_ts) OVER
+                 (PARTITION BY url ORDER BY warc_ts, op_seq) AS valid_to_ts
+            FROM live)
+    SELECT url, op_seq AS version_seq, op,
+           strftime(valid_from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           is_current, ROUND(value, 4) AS value
+    FROM (SELECT url, op_seq, op, warc_ts AS valid_from_ts, valid_to_ts,
+                 CAST(valid_to_ts IS NULL AS INT) AS is_current, value
+          FROM nxt WHERE op != 'delete')
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version-history materialization: every live non-delete event
+    becomes a [valid_from, valid_to) version row, deletes close intervals,
+    open interval = current (the queryable form of the reference's ops-log
+    lineage, ourbit/index.ts Operation[]; SURVEY.md §2 A5/U2 history axis)."""
+    from gnarly_spark.operators.replay import live_events, scd2_history
+
+    hist = scd2_history(live_events(_changelog_df(spark, sf_dir)))
+    return hist.select(
+        "url",
+        "version_seq",
+        "op",
+        F.date_format("valid_from_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_from"),
+        F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
+        "is_current",
+        F.round("value", 4).alias("value"),
+    )
+
+
+@register(
     "cdc_fold_abelian",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),

@@ -107,6 +107,41 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mins AS (SELECT id, i, MIN(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS mh
+             FROM sh, generate_series(0, 7) AS t(i) GROUP BY id, i),
+    banded AS (SELECT id, i // 2 AS band,
+                      md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+               FROM mins GROUP BY id, i // 2),
+    cand AS (SELECT DISTINCT n.id AS new_id, c.id AS dup_of
+             FROM banded n JOIN banded c
+               ON n.band = c.band AND n.band_key = c.band_key
+              AND n.id % 10 >= 8 AND c.id % 10 < 8),
+    agree AS (SELECT cand.new_id, cand.dup_of,
+                     ROUND(CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+                                AS DOUBLE) / 8, 6) AS est_jaccard
+              FROM cand JOIN mins a ON a.id = cand.new_id
+                        JOIN mins b ON b.id = cand.dup_of AND b.i = a.i
+              GROUP BY cand.new_id, cand.dup_of)
+    SELECT new_id, dup_of, est_jaccard FROM agree WHERE est_jaccard >= 0.5
+    """,
+)
+def dedup_incremental_lsh(spark, sf_dir):
+    """Incremental (per-batch) near-dup: the 20% of docs with
+    doc_id % 10 >= 8 play the incoming micro-batch, checked against the
+    persisted minhash signatures of the other 80% (the corpus). The batch
+    side broadcasts; the corpus is scanned, never shuffled — the shape a
+    CDC ingest uses to dedup arriving pages against 100 TB of history."""
+    from gnarly_spark.operators.dedup import incremental_lsh_dups, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_sigs = minhash_signatures(docs.where(F.col("doc_id") % 10 < 8))
+    return incremental_lsh_dups(docs.where(F.col("doc_id") % 10 >= 8), corpus_sigs)
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS tok

@@ -170,6 +170,85 @@ def minhash_signatures(
     return _minhash_agg(sh, k)
 
 
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, minhash[k]) -> (id, band, band_key): md5 of the band's r = k/bands
+    consecutive hashes. One explode (bands rows per id), band_key map-side."""
+    r = k // bands
+    return sig.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "minhash",
+    ).select(
+        "id",
+        "band",
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("minhash", F.col("band") * r + j + 1) for j in range(r)]
+            )
+        ).alias("band_key"),
+    )
+
+
+def incremental_lsh_dups(
+    new_docs: DataFrame,
+    corpus_sigs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    min_est_jaccard: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Per-batch near-dup check of an INCOMING batch against a persisted
+    corpus signature table — the CDC/streaming form of minhash_lsh_pairs.
+
+    At ingest scale the corpus signatures (id, minhash[k]) are computed once
+    and stored (e.g. a ParquetLakeTable keyed by id); each micro-batch only
+    shingles its own documents. The batch side is tiny relative to the
+    corpus, so its banded relation and signatures are broadcast — the
+    corpus-side band table is scanned but NEVER shuffled, and nothing ever
+    re-reads corpus text. Estimated Jaccard = fraction of the k minhash
+    positions that agree (the standard MinHash estimator — values are exact
+    multiples of 1/k, so thresholding is engine-portable); candidates come
+    only from band collisions, so the estimator never runs all-pairs.
+
+    Output: (new_id, dup_of, est_jaccard) — dup_of is an existing corpus id.
+    """
+    new_sigs = minhash_signatures(
+        new_docs, k=k, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
+    )
+    cand = (
+        _banded(corpus_sigs, k, bands)
+        .alias("c")
+        .join(
+            F.broadcast(_banded(new_sigs, k, bands).alias("b")),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.band_key") == F.col("b.band_key"))
+            & (F.col("c.id") != F.col("b.id")),
+        )
+        .select(F.col("b.id").alias("new_id"), F.col("c.id").alias("dup_of"))
+        .distinct()
+    )
+    est = F.expr(
+        f"CAST(size(filter(zip_with(mh_new, mh_cor, (x, y) -> x = y), v -> v)) AS DOUBLE)"
+        f" / {k}"
+    )
+    # candidates (band collisions, batch-bounded) broadcast INTO the corpus
+    # scan — the corpus signature table is read but never shuffled
+    enriched = cand.join(
+        new_sigs.select(F.col("id").alias("new_id"), F.col("minhash").alias("mh_new")),
+        "new_id",
+    )
+    return (
+        corpus_sigs.select(F.col("id").alias("dup_of"), F.col("minhash").alias("mh_cor"))
+        .join(F.broadcast(enriched), "dup_of")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= min_est_jaccard)
+        .select("new_id", "dup_of", "est_jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -202,19 +281,7 @@ def minhash_lsh_pairs(
         sh = cap_hot_shingles(sh, max_doc_freq)
     sh = sh.localCheckpoint(eager=True)
     sig = _minhash_agg(sh, k)
-    banded = sig.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "minhash",
-    ).select(
-        "id",
-        "band",
-        F.md5(
-            F.concat_ws(
-                "|", *[F.element_at("minhash", F.col("band") * r + j + 1) for j in range(r)]
-            )
-        ).alias("band_key"),
-    )
+    banded = _banded(sig, k, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

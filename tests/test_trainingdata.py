@@ -293,3 +293,18 @@ def test_pack_sequences_respects_budget(spark):
     for pid in over.index:
         docs_in = out[out.pack_id == pid].sort_values("doc_id")
         assert docs_in.n_tok.iloc[:-1].sum() <= 2048
+
+
+def test_incremental_lsh_flags_batch_dup_of_corpus(spark, docs):
+    """An incoming batch doc that duplicates a corpus doc is flagged with
+    est_jaccard 1.0; an unrelated batch doc produces no row; corpus-vs-
+    corpus pairs never appear (only new_id from the batch)."""
+    from gnarly_spark.operators.dedup import incremental_lsh_dups, minhash_signatures
+
+    corpus = docs.where(F.col("doc_id").isin(0, 3, 5))
+    batch = docs.where(F.col("doc_id").isin(1, 2))  # dup + near-dup of 0
+    got = incremental_lsh_dups(batch, minhash_signatures(corpus)).collect()
+    pairs = {(r.new_id, r.dup_of): r.est_jaccard for r in got}
+    assert pairs[(1, 0)] == 1.0                      # exact dup: all k agree
+    assert all(new_id in (1, 2) for new_id, _ in pairs)
+    assert all(dup_of in (0, 3, 5) for _, dup_of in pairs)
