@@ -89,6 +89,7 @@ class CdcIngestPipeline:
         reducers: list | None = None,
         retain_log: bool = True,
         spread_batch: bool = True,
+        dedup_minhash: dict | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -126,6 +127,21 @@ class CdcIngestPipeline:
             raise ValueError(
                 "retain_log=False requires no extra reducers (they replay "
                 "from the retained log); keep the default retain_log=True"
+            )
+        # dedup_minhash (None = off): per-batch near-dup detection of the
+        # newly-merged page versions against a PERSISTED corpus signature
+        # table (its own exactly-once lake table under the work dir).
+        # Accepts {"k", "bands", "min_est_jaccard"} overrides. Flags land in
+        # dedup_flags/batch=N (idempotent overwrite); see dup_flags().
+        self.dedup_minhash = dedup_minhash
+        if dedup_minhash is not None:
+            self.dedup_params = {
+                "k": 8, "bands": 4, "min_est_jaccard": 0.5, **dedup_minhash
+            }
+            self.dedup_dir = os.path.join(self.work_dir, "dedup_flags")
+            os.makedirs(self.dedup_dir, exist_ok=True)
+            self.sig_table = ParquetLakeTable(
+                spark, os.path.join(self.work_dir, "_dedup_sigs"), key="url"
             )
         self.source_dir: str | None = None
         self.source_schema: str = CHANGELOG_DDL
@@ -561,6 +577,18 @@ class CdcIngestPipeline:
         )
         phases["audit"] = round(time.monotonic() - t_a, 3)
 
+        # ---- streaming near-dup detection (before the commit point, so a
+        # refire after the target commit implies the sig table and flags
+        # are already durable — the crash window is empty) ----
+        if self.dedup_minhash is not None:
+            t_d = time.monotonic()
+            # upserts feeds two consumers now (sig path + MERGE) — cache so
+            # candidates/LWW/extraction run once
+            upserts = upserts.persist()
+            pinned.append(upserts)
+            self._apply_dedup(upserts, deletes, batch_id)
+            phases["dedup"] = round(time.monotonic() - t_d, 3)
+
         # ---- the commit point (idempotent keyed MERGE) ----
         t_m = time.monotonic()
         self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
@@ -607,6 +635,67 @@ class CdcIngestPipeline:
                 with open(tmp, "w") as f:
                     json.dump(kept, f)
                 os.replace(tmp, self._ranges_path)
+
+    def _apply_dedup(self, upserts: DataFrame, deletes: DataFrame, batch_id: int) -> None:
+        """Flag this batch's new page versions that near-duplicate the
+        existing corpus, then fold their signatures into the persisted
+        signature table (url -> minhash[k], a ParquetLakeTable with its own
+        batch-id guard).
+
+        The per-batch cost is O(batch): only the batch's docs are shingled,
+        the batch side broadcasts into the corpus signature scan
+        (incremental_lsh_dups), and the sig-table MERGE rewrites only the
+        touched buckets. Refire semantics: flags are written (idempotent
+        per-batch overwrite) BEFORE the sig merge commits, and the whole
+        step no-ops once the sig batch_id is recorded — so flags are always
+        computed against the pre-batch corpus, never against signatures the
+        same batch already inserted.
+        """
+        from gnarly_spark.operators.dedup import incremental_lsh_dups, minhash_signatures
+
+        if batch_id in self.sig_table.applied_batch_ids():
+            return
+        p = self.dedup_params
+        new_docs = upserts.select("url", "text").where(F.col("text").isNotNull())
+        flags = None
+        if self.sig_table.current_version() >= 0:
+            corpus = self.sig_table.read().join(
+                F.broadcast(new_docs.select("url")), "url", "left_anti"
+            )  # a url's own previous version is being replaced — not a dup
+            flags = incremental_lsh_dups(
+                new_docs,
+                corpus.select(F.col("url").alias("id"), "minhash"),
+                k=p["k"],
+                bands=p["bands"],
+                min_est_jaccard=p["min_est_jaccard"],
+                text_col="text",
+                id_col="url",
+            ).select(
+                F.col("new_id").alias("url"), "dup_of", "est_jaccard"
+            )
+        if flags is None:
+            flags = self.spark.createDataFrame(
+                [], schema="url string, dup_of string, est_jaccard double"
+            )
+        flags.write.mode("overwrite").parquet(
+            os.path.join(self.dedup_dir, f"batch={batch_id}")
+        )
+        sigs = minhash_signatures(
+            new_docs, k=p["k"], text_col="text", id_col="url"
+        ).withColumnRenamed("id", "url")
+        self.sig_table.merge(sigs, delete_keys=deletes, batch_id=batch_id)
+
+    def dup_flags(self) -> DataFrame | None:
+        """All near-dup flags so far: (url, dup_of, est_jaccard, batch).
+        None when dedup is off or no batch has run."""
+        if self.dedup_minhash is None:
+            return None
+        batches = self._batches_in(self.dedup_dir)
+        if not batches:
+            return None
+        return self.spark.read.option("basePath", self.dedup_dir).parquet(
+            *[os.path.join(self.dedup_dir, f"batch={b}") for b in batches]
+        )
 
     # ----- stream wiring ------------------------------------------------
     def start(
@@ -656,6 +745,8 @@ class CdcIngestPipeline:
             self.checkpoint_dir,
             self.target.path,
             os.path.join(self.work_dir, "reducers"),
+            os.path.join(self.work_dir, "dedup_flags"),
+            os.path.join(self.work_dir, "_dedup_sigs"),
         ):
             shutil.rmtree(d, ignore_errors=True)
         for fp in (os.path.join(self.work_dir, "_watermark.json"), self._ranges_path):
@@ -667,6 +758,11 @@ class CdcIngestPipeline:
             self.spark, self.target.path, key=self.target.key,
             n_buckets=self.target.n_buckets,
         )
+        if self.dedup_minhash is not None:
+            os.makedirs(self.dedup_dir, exist_ok=True)
+            self.sig_table = ParquetLakeTable(
+                self.spark, os.path.join(self.work_dir, "_dedup_sigs"), key="url"
+            )
 
     def refresh_idempotent(self):
         """Run head-only reducers once, at HEAD (ReducerType.Idempotent,

@@ -338,3 +338,52 @@ def test_datagen_changelog_streaming_matches_replay_both_modes(spark, tmp_path):
             .collect()
         )
         assert got == want, f"retain_log={retain} diverged from replay"
+
+
+def test_streaming_dedup_flags_cross_batch_dups(spark, tmp_path):
+    """dedup_minhash: a batch's new page version that duplicates an
+    already-ingested url is flagged against the persisted signature table;
+    refires are no-ops; deleting a url removes its signature so later dups
+    match surviving copies instead."""
+    from gnarly_spark.fixtures import block_hash, html_for
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["op_seq", "block_id", "op", "url", "html", "revert_of_block"],
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.op_seq, unit="s")
+        pdf["lang"] = "en"
+        pdf["reason"] = None
+        from gnarly_spark.fixtures import CHANGELOG_COLUMNS
+
+        return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+    ha, hb = html_for("https://a", 1), html_for("https://b", 2)
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), dedup_minhash={"min_est_jaccard": 0.5}
+    )
+    p.process_batch(
+        mk([(1, 0, "insert", "https://a", ha, None),
+            (2, 0, "insert", "https://b", hb, None)]), 0)
+    assert p.dup_flags().count() == 0  # first batch: empty corpus
+
+    # batch 1: c duplicates a's html byte-for-byte; b gets a fresh version
+    b1 = mk([(3, 1, "insert", "https://c", ha, None),
+             (4, 1, "update", "https://b", html_for("https://b", 4), None)])
+    p.process_batch(b1, 1)
+    flags = {(r.url, r.dup_of): r.est_jaccard for r in p.dup_flags().collect()}
+    assert flags == {("https://c", "https://a"): 1.0}
+
+    sig_v = p.sig_table.current_version()
+    p.process_batch(b1, 1)  # refire: no new flags, no new sig commit
+    assert p.sig_table.current_version() == sig_v
+    assert {(r.url, r.dup_of) for r in p.dup_flags().collect()} == {("https://c", "https://a")}
+
+    # batch 2: delete a; batch 3: d duplicates the shared text -> matches c
+    p.process_batch(mk([(5, 2, "delete", "https://a", None, None)]), 2)
+    p.process_batch(mk([(6, 3, "insert", "https://d", ha, None)]), 3)
+    got = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
+    assert ("https://d", "https://c") in got and ("https://d", "https://a") not in got
