@@ -11,7 +11,7 @@ def test_public_api_surface():
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
     from gnarly_spark.sources import changelog
-    from gnarly_spark.streaming import pipeline, stateful
+    from gnarly_spark.streaming import pipeline, stateful, windows
 
     surface = {
         session: ["get_spark"],
@@ -29,19 +29,20 @@ def test_public_api_surface():
         replay: [
             "final_state", "live_events", "reverted_blocks",
             "last_writer_wins", "last_writer_wins_salted",
-            "last_writer_wins_window", "last_writer_wins_fetch",
+            "last_writer_wins_window", "last_writer_wins_fetch", "scd2_history",
         ],
         fold: ["fold_deltas", "fold_final_state"],
         audit: ["audit_rows", "AUDIT_COLUMNS"],
         dedup: [
             "exact_duplicates", "shingles", "jaccard_pairs",
             "minhash_signatures", "minhash_lsh_pairs", "simhash",
+            "incremental_lsh_dups",
             "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
             "duplicate_clusters",
         ],
         similarity: [
             "cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk",
-            "ivf_build", "ivf_ann_topk", "cosine",
+            "ivf_build", "ivf_ann_topk", "cosine", "quantize_vectors",
         ],
         multimodal: [
             "media_metadata", "extract_media_features",
@@ -57,6 +58,7 @@ def test_public_api_surface():
         ],
         pipeline: ["CdcIngestPipeline", "TARGET_COLUMNS"],
         stateful: ["head_tracker", "STATE_SCHEMA", "OUTPUT_SCHEMA"],
+        windows: ["windowed_lang_rates"],
         reducers: ["AppendReducer", "FoldReducer", "IdempotentReducer"],
         datagen: ["gen_changelog_spark"],
         catalog: ["QUERIES", "ORACLES", "register"],

@@ -1,0 +1,101 @@
+"""Event-time windowed aggregation with watermark: late-but-within-
+watermark events are incorporated, events older than the watermark are
+dropped, and the same code path runs in batch (backfill parity)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+
+from gnarly_spark.streaming.windows import windowed_lang_rates
+
+DDL = "url string, warc_ts timestamp, lang string"
+
+
+def _write(spark, rows, path, mtime):
+    pdf = pd.DataFrame(rows, columns=["url", "warc_ts", "lang"])
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    spark.createDataFrame(pdf, schema=DDL).coalesce(1).write.parquet(path)
+    os.utime(path, (mtime, mtime))
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (mtime, mtime))
+
+
+def test_watermark_drops_too_late_keeps_in_window(spark, tmp_path):
+    src = str(tmp_path / "stream")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    # trigger 1: events at 12:00/12:10 -> afterwards, watermark = 11:10
+    _write(
+        spark,
+        [("u1", "2024-01-01 12:00:00", "en"), ("u2", "2024-01-01 12:10:00", "en")],
+        os.path.join(src, "chunk=0000"),
+        t0,
+    )
+    stream = spark.readStream.schema(DDL).parquet(src)
+    agg = windowed_lang_rates(stream, window_len="1 hour", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_rates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+
+    def _in_rows():
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    try:
+        deadline = time.monotonic() + 60
+        while _in_rows() < 2 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert _in_rows() == 2, "first file never processed"
+        # second file arrives AFTER the watermark advanced: 10:30 is older
+        # than the watermark (dropped); 11:30 is late but within it
+        # (incorporated into the 11:00 window)
+        _write(
+            spark,
+            [("u3", "2024-01-01 10:30:00", "en"), ("u4", "2024-01-01 11:30:00", "en")],
+            os.path.join(src, "chunk=0001"),
+            t0 + 10,
+        )
+        deadline = time.monotonic() + 60
+        while _in_rows() < 4 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert _in_rows() == 4, "second file never processed"
+        dropped = sum(
+            o.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for o in p["stateOperators"]
+        )
+        assert dropped == 1, "exactly the too-late 10:30 event is dropped"
+    finally:
+        q.stop()
+
+    got = spark.sql(
+        "SELECT window_start, MAX(n_changes) AS n FROM win_rates GROUP BY 1"
+    ).collect()
+    by_start = {r.window_start.strftime("%H:%M"): r.n for r in got}
+    assert "10:00" not in by_start, f"too-late event must be dropped: {by_start}"
+    assert by_start.get("11:00") == 1  # the 11:30 late-but-ok event
+    assert by_start.get("12:00") == 2
+
+
+def test_windowed_rates_batch_parity(spark, tmp_path):
+    """The same function over a batch DataFrame (backfill) returns the full
+    aggregation including what streaming dropped as late."""
+    pdf = pd.DataFrame(
+        [
+            ("u1", "2024-01-01 12:00:00", "en"),
+            ("u2", "2024-01-01 12:10:00", "en"),
+            ("u3", "2024-01-01 10:30:00", "de"),
+        ],
+        columns=["url", "warc_ts", "lang"],
+    )
+    pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+    out = windowed_lang_rates(spark.createDataFrame(pdf, schema=DDL)).collect()
+    got = {(r.window_start.strftime("%H:%M"), r.lang): (r.n_changes, r.n_urls) for r in out}
+    assert got == {("12:00", "en"): (2, 2), ("10:00", "de"): (1, 1)}
