@@ -199,6 +199,7 @@ def incremental_lsh_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Per-batch near-dup check of an INCOMING batch against a persisted
     corpus signature table — the CDC/streaming form of minhash_lsh_pairs.
@@ -214,7 +215,15 @@ def incremental_lsh_dups(
     only from band collisions, so the estimator never runs all-pairs.
 
     Output: (new_id, dup_of, est_jaccard) — dup_of is an existing corpus id.
+
+    ``broadcast_batch`` is a HARD hint (AQE never demotes an explicit
+    broadcast): keep the default True only when the batch is known small —
+    a backfill burst can make a "micro"-batch millions of docs, where the
+    forced broadcast collects past spark.driver.maxResultSize and kills
+    the job. Pass False to let AQE pick broadcast-vs-shuffle per batch
+    from the actual relation sizes (the streaming pipeline does).
     """
+    maybe_bc = F.broadcast if broadcast_batch else (lambda d: d)
     new_sigs = minhash_signatures(
         new_docs, k=k, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
     )
@@ -222,7 +231,7 @@ def incremental_lsh_dups(
         _banded(corpus_sigs, k, bands)
         .alias("c")
         .join(
-            F.broadcast(_banded(new_sigs, k, bands).alias("b")),
+            maybe_bc(_banded(new_sigs, k, bands).alias("b")),
             (F.col("c.band") == F.col("b.band"))
             & (F.col("c.band_key") == F.col("b.band_key"))
             & (F.col("c.id") != F.col("b.id")),
@@ -242,7 +251,7 @@ def incremental_lsh_dups(
     )
     return (
         corpus_sigs.select(F.col("id").alias("dup_of"), F.col("minhash").alias("mh_cor"))
-        .join(F.broadcast(enriched), "dup_of")
+        .join(maybe_bc(enriched), "dup_of")
         .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= min_est_jaccard)
         .select("new_id", "dup_of", "est_jaccard")

@@ -660,7 +660,7 @@ class CdcIngestPipeline:
         flags = None
         if self.sig_table.current_version() >= 0:
             corpus = self.sig_table.read().join(
-                F.broadcast(new_docs.select("url")), "url", "left_anti"
+                new_docs.select("url"), "url", "left_anti"
             )  # a url's own previous version is being replaced — not a dup
             flags = incremental_lsh_dups(
                 new_docs,
@@ -670,6 +670,10 @@ class CdcIngestPipeline:
                 min_est_jaccard=p["min_est_jaccard"],
                 text_col="text",
                 id_col="url",
+                # no hard broadcast hints: a backfill micro-batch can be
+                # millions of docs — AQE picks broadcast vs shuffle from
+                # actual sizes per batch
+                broadcast_batch=False,
             ).select(
                 F.col("new_id").alias("url"), "dup_of", "est_jaccard"
             )

@@ -46,7 +46,7 @@ def _checksum(df):
 from gnarly_spark.sources.changelog import order_files_by_name  # noqa: E402
 
 
-def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int, retain_log: bool = True):
+def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int, retain_log: bool = True, dedup: bool = False):
     from gnarly_spark.sinks.lake import ParquetLakeTable
     from gnarly_spark.streaming.pipeline import CdcIngestPipeline
 
@@ -55,7 +55,8 @@ def drain(spark, changelog: str, files_per_trigger: int, n_buckets: int, retain_
         spark, os.path.join(work, "pages"), key="url", n_buckets=n_buckets
     )
     p = CdcIngestPipeline(
-        spark, work, target=target, retention_blocks=200, retain_log=retain_log
+        spark, work, target=target, retention_blocks=200, retain_log=retain_log,
+        dedup_minhash=({} if dedup else None),
     )
     t0 = time.monotonic()
     q = p.start(changelog, available_now=True, max_files_per_trigger=files_per_trigger)
@@ -68,7 +69,9 @@ def main():
     cpus = int(sys.argv[1])
     changelog = sys.argv[2]
     files_per_trigger = int(sys.argv[3])
-    retain_log = (sys.argv[4] if len(sys.argv) > 4 else "retain") != "noretain"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "retain"
+    retain_log = mode != "noretain"
+    dedup = mode == "dedup"
 
     from gnarly_spark.operators.replay import final_state
     from gnarly_spark.session import get_spark
@@ -78,12 +81,12 @@ def main():
     log = spark.read.parquet(changelog)
     n = log.count()
 
-    _, _, w0 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)  # warm-up
+    _, _, w0 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log, dedup=dedup)  # warm-up
     shutil.rmtree(w0, ignore_errors=True)
     # best-of-2 full drains: this VM shows minute-scale CPU-steal swings
     # (2x between runs); min over fresh drains approximates uncontended time
-    wall, p, work = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)
-    wall2, p2, work2 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log)
+    wall, p, work = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log, dedup=dedup)
+    wall2, p2, work2 = drain(spark, changelog, files_per_trigger, n_buckets=cpus, retain_log=retain_log, dedup=dedup)
     if wall2 < wall:
         shutil.rmtree(work, ignore_errors=True)
         wall, p, work = wall2, p2, work2
@@ -105,6 +108,8 @@ def main():
                 "replay_pages": want.n,
                 "replay_checksum": want.chk,
                 "retain_log": retain_log,
+                "dedup": dedup,
+                "n_dup_flags": (p.dup_flags().count() if dedup and p.dup_flags() is not None else None),
             }
         )
     )
