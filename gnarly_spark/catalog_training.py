@@ -452,6 +452,57 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_collapse_repeats",
+    f"""
+    WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+    k AS (SELECT doc_id, w,
+                 [w[g] for g in range(1, len(w) + 1)
+                  if g = 1 OR w[g] != w[g-1]] AS kept
+          FROM d)
+    SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+           CAST(len(w) - len(kept) AS BIGINT) AS n_removed
+    FROM k
+    """,
+)
+def text_collapse_repeats(spark, sf_dir):
+    """Within-doc repetition cleanup: collapse consecutive repeated tokens
+    (map-only JVM array pass, no shuffle)."""
+    from gnarly_spark.functions.text import collapse_repeat_tokens
+
+    return collapse_repeat_tokens(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_top_bigrams",
+    f"""
+    WITH docs_n AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w
+                    FROM documents),
+    sh AS (SELECT DISTINCT id,
+                  unnest([w[g] || ' ' || w[g+1] for g in range(1, len(w))])
+                    AS bigram
+           FROM docs_n)
+    SELECT bigram, COUNT(*) AS doc_freq FROM sh
+    GROUP BY bigram ORDER BY doc_freq DESC, bigram LIMIT 20
+    """,
+)
+def text_top_bigrams(spark, sf_dir):
+    """Corpus vocabulary building: top-20 word bigrams by DOCUMENT
+    frequency (distinct per doc, so spam repetition inside one doc can't
+    inflate a phrase). One partial-agg count over the distinct shingle
+    relation + TakeOrdered top-k — the shape that holds at any corpus
+    size."""
+    from gnarly_spark.operators.dedup import shingles
+
+    sh = shingles(_t(spark, sf_dir, "documents"), n=2)
+    return (
+        sh.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
     "text_winnow_fingerprint",
     f"""
     WITH base AS (SELECT doc_id AS id, {_NORM} AS t FROM documents),

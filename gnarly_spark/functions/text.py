@@ -135,3 +135,36 @@ def scrub_pii(col):
         col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
     )
     return F.regexp_replace(s, r"\d(?:[\d .-]{5,}\d|\d{5,})", "<NUMBER>")
+
+
+def collapse_repeat_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse runs of consecutively repeated tokens ("again again again"
+    -> "again") — the cheap within-doc repetition cleanup a webtext corpus
+    runs before tokenization.
+
+    Pure JVM array expressions over a staged word array (the split lives in
+    its own projection so the higher-order filter references an attribute,
+    not a re-evaluated split — the CollapseProject O(n^2) trap). No shuffle:
+    a map-only pass, whole-stage codegen. Output:
+    (doc_id, clean_text, n_removed).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    w = F.col("_w")
+    # keep token i (0-based) iff it differs from its predecessor; the CASE
+    # guards element_at(w, 0) which ANSI mode rejects
+    kept = F.filter(
+        w,
+        lambda x, i: F.when(i == F.lit(0), F.lit(True)).otherwise(
+            x != F.element_at(w, i)
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size(w) - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -23,7 +23,7 @@ def test_public_api_surface():
         extraction: ["extract_text", "extract_text_udf", "EXTRACTION_RULE_VERSION"],
         text: [
             "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
-            "fingerprint", "canonicalize_url", "scrub_pii",
+            "fingerprint", "canonicalize_url", "scrub_pii", "collapse_repeat_tokens",
         ],
         paths: ["parse_path"],
         replay: [

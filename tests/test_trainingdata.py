@@ -308,3 +308,17 @@ def test_incremental_lsh_flags_batch_dup_of_corpus(spark, docs):
     assert pairs[(1, 0)] == 1.0                      # exact dup: all k agree
     assert all(new_id in (1, 2) for new_id, _ in pairs)
     assert all(dup_of in (0, 3, 5) for _, dup_of in pairs)
+
+
+def test_collapse_repeat_tokens(spark):
+    from gnarly_spark.functions.text import collapse_repeat_tokens
+
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "x y x y"), (2, "solo")],
+        schema="doc_id long, text string",
+    )
+    got = {r.doc_id: (r.clean_text, r.n_removed)
+           for r in collapse_repeat_tokens(docs).collect()}
+    assert got[0] == ("a b c", 3)
+    assert got[1] == ("x y x y", 0)  # non-consecutive repeats survive
+    assert got[2] == ("solo", 0)
