@@ -309,6 +309,78 @@ def cdc_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_jsonl_deadletter",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT url) AS n_urls,
+           CAST(SUM(op_seq) AS BIGINT) AS seq_sum,
+           CAST(SUM(LENGTH(url || ':' || CAST(op_seq AS VARCHAR))) AS BIGINT)
+             AS html_bytes,
+           strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           2 AS n_malformed,
+           1 AS n_missing_required
+    FROM changelog
+    """,
+)
+def src_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL binlog source end-to-end on driver data: the derived
+    changelog (with a deterministic binary payload and microsecond NTZ
+    timestamps) is serialized as JSON lines, three poison lines are
+    appended (unparseable frame, type-mismatched op_seq, missing op_seq),
+    and the source reads it back — good rows must round-trip exactly
+    (seq/url/byte counts, max timestamp) and the poison must land in the
+    dead-letter projection with the right reasons, never in the changelog.
+    Oracle = the same aggregates straight off the events table (the JSON
+    hop must be invisible) plus the known poison counts. Covers
+    sources/jsonl.py (the reference's JSON ingestion surface,
+    Web3Api.ts:64-130, as a poison-safe Spark source)."""
+    import os
+    import tempfile
+
+    from gnarly_spark.sources.jsonl import (
+        jsonl_dead_letters,
+        jsonl_events,
+        read_changelog_jsonl,
+        write_changelog_jsonl,
+    )
+
+    ddl = "op_seq long, op string, url string, warc_ts timestamp_ntz, html binary"
+    log = _changelog_df(spark, sf_dir).select(
+        "op_seq",
+        "op",
+        "url",
+        "warc_ts",
+        F.encode(
+            F.concat_ws(":", F.col("url"), F.col("op_seq").cast("string")), "utf-8"
+        ).alias("html"),
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_jsonl_")
+    write_changelog_jsonl(log, work, n_files=4)
+    with open(os.path.join(work, "z-poison.txt"), "w") as f:
+        f.write("## corrupt frame ##\n")
+        f.write('{"op_seq": "x7", "op": "update", "url": "https://u/1"}\n')
+        f.write('{"op": "update", "url": "https://u/0"}\n')
+    parsed = read_changelog_jsonl(spark, work, ddl)
+    ev = jsonl_events(parsed, ddl).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("url").alias("n_urls"),
+        F.sum("op_seq").cast("bigint").alias("seq_sum"),
+        F.sum(F.length("html")).cast("bigint").alias("html_bytes"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+    )
+    dead = jsonl_dead_letters(parsed).agg(
+        F.count(F.when(F.col("reason") == "malformed", 1))
+        .cast("int")
+        .alias("n_malformed"),
+        F.count(F.when(F.col("reason") == "missing_required", 1))
+        .cast("int")
+        .alias("n_missing_required"),
+    )
+    return ev.crossJoin(dead)
+
+
 # ---------------------------------------------------------------------------
 # sources / scans (S1-S4)
 # ---------------------------------------------------------------------------

@@ -145,6 +145,8 @@ class CdcIngestPipeline:
             )
         self.source_dir: str | None = None
         self.source_schema: str = CHANGELOG_DDL
+        self.source_format: str = "parquet"
+        self.dead_letter_dir = os.path.join(self.work_dir, "_dead_letters")
         self.log_dir = os.path.join(self.work_dir, "_cdc_log")
         self.undo_dir = os.path.join(self.work_dir, "_undo")
         self.audit_dir = os.path.join(self.work_dir, "audit")
@@ -392,8 +394,7 @@ class CdcIngestPipeline:
                 [r["min_seq"] for r in ranges] + [log_stats["mn_seq"] or 0]
             )
             log = (
-                self.spark.read.schema(self.source_schema)
-                .parquet(self.source_dir)
+                self._read_source()
                 .where(
                     (F.col("op_seq") <= F.lit(log_stats["mx_seq"]))
                     & (F.col("op_seq") >= F.lit(lo))
@@ -701,7 +702,39 @@ class CdcIngestPipeline:
             *[os.path.join(self.dedup_dir, f"batch={b}") for b in batches]
         )
 
+    def dead_letters(self) -> DataFrame:
+        """Poison-pill lines the JSONL source refused: (raw, reason).
+        Kept per batch (idempotent overwrite on refire) so a fixed feed can
+        be replayed from the raw lines. Empty for parquet sources."""
+        batches = (
+            self._batches_in(self.dead_letter_dir)
+            if os.path.isdir(self.dead_letter_dir)
+            else []
+        )
+        if not batches:
+            return self.spark.createDataFrame([], "raw string, reason string")
+        return (
+            self.spark.read.schema("raw string, reason string")
+            .option("basePath", self.dead_letter_dir)
+            .parquet(
+                *[os.path.join(self.dead_letter_dir, f"batch={b}") for b in batches]
+            )
+            .select("raw", "reason")
+        )
+
     # ----- stream wiring ------------------------------------------------
+    def _read_source(self) -> DataFrame:
+        """Batch re-read of the (replayable) changelog source in whatever
+        format start() tailed it — used by the retain_log=False revert
+        adjudication path."""
+        if self.source_format == "jsonl":
+            from gnarly_spark.sources.jsonl import jsonl_events, read_changelog_jsonl
+
+            return jsonl_events(
+                read_changelog_jsonl(self.spark, self.source_dir, self.source_schema),
+                self.source_schema,
+            )
+        return self.spark.read.schema(self.source_schema).parquet(self.source_dir)
     def start(
         self,
         changelog_dir: str,
@@ -709,6 +742,7 @@ class CdcIngestPipeline:
         max_files_per_trigger: int | None = 1,
         processing_time: str | None = None,
         schema: str | None = None,
+        source_format: str = "parquet",
     ):
         """Tail the changelog directory as a file stream.
 
@@ -721,14 +755,48 @@ class CdcIngestPipeline:
         ``schema`` overrides the source DDL (e.g. CHANGELOG_DDL plus
         payload columns added mid-stream — evolution extras ride through
         the whole pipeline into the target).
+        ``source_format="jsonl"`` tails JSON lines instead of parquet
+        (sources/jsonl.py): rows the parser refuses — malformed JSON,
+        type-mismatched or missing required fields — are persisted per
+        batch under _dead_letters (idempotent overwrite keyed on batch_id,
+        so a refired batch rewrites, never duplicates) and the good rows
+        flow through the identical micro-batch program.
         """
         self.source_dir = changelog_dir
         self.source_schema = schema or CHANGELOG_DDL
-        reader = self.spark.readStream.schema(self.source_schema)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-        stream = reader.parquet(changelog_dir)
-        writer = stream.writeStream.foreachBatch(self.process_batch).option(
+        self.source_format = source_format
+        if source_format == "jsonl":
+            from gnarly_spark.sources.jsonl import (
+                jsonl_dead_letters,
+                jsonl_events,
+                stream_changelog_jsonl,
+            )
+
+            stream = stream_changelog_jsonl(
+                self.spark,
+                changelog_dir,
+                schema=self.source_schema,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+
+            def _fb(parsed_df: DataFrame, batch_id: int) -> None:
+                jsonl_dead_letters(parsed_df).write.mode("overwrite").parquet(
+                    os.path.join(self.dead_letter_dir, f"batch={batch_id}")
+                )
+                self.process_batch(
+                    jsonl_events(parsed_df, self.source_schema), batch_id
+                )
+
+            on_batch = _fb
+        elif source_format == "parquet":
+            reader = self.spark.readStream.schema(self.source_schema)
+            if max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+            stream = reader.parquet(changelog_dir)
+            on_batch = self.process_batch
+        else:
+            raise ValueError(f"unknown source_format {source_format!r}")
+        writer = stream.writeStream.foreachBatch(on_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )
         if available_now:
@@ -751,6 +819,7 @@ class CdcIngestPipeline:
             os.path.join(self.work_dir, "reducers"),
             os.path.join(self.work_dir, "dedup_flags"),
             os.path.join(self.work_dir, "_dedup_sigs"),
+            self.dead_letter_dir,
         ):
             shutil.rmtree(d, ignore_errors=True)
         for fp in (os.path.join(self.work_dir, "_watermark.json"), self._ranges_path):
