@@ -59,9 +59,40 @@ def bucket_of(key_col, n_buckets: int):
 
 
 class ParquetLakeTable:
-    """Bucketed copy-on-write parquet table with snapshot manifests."""
+    """Bucketed lake table with snapshot manifests; two write paths:
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "url", n_buckets: int = 16):
+    - ``mode="cow"`` (copy-on-write, default): a MERGE rewrites every
+      bucket containing a changed key. Best read latency (a snapshot is a
+      plain parquet scan) but per-batch write cost is O(touched buckets) —
+      a 1-row change to a 6 GB bucket rewrites 6 GB.
+    - ``mode="mor"`` (merge-on-read): a MERGE appends only the batch's own
+      rows as DELTA files (upserts + delete tombstones stamped with the
+      commit sequence); readers resolve base ∪ deltas with one
+      max_by(commit_seq) per key. Per-batch write cost is O(batch) — the
+      shape a high-frequency CDC stream needs (Hudi MOR / Iceberg v2
+      deletes / Paimon LSM all make this same trade). Reader cost grows
+      with the delta backlog; ``compact()`` folds deltas back into base
+      files (bucket-granular, snapshot-atomic), restoring scan speed.
+
+    The mode is recorded in the manifest at first commit; reopening an
+    existing table adopts the recorded mode (the constructor argument only
+    seeds new tables, so a maintenance job can't accidentally flip a
+    table's write path).
+    """
+
+    #: internal columns carried by MOR delta files; base files lack them
+    #: and read as null (parquet missing-column null-fill), which resolves
+    #: as commit_seq -1 — older than every delta.
+    _MOR_DDL = ", _op string, _delta_seq bigint"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str = "url",
+        n_buckets: int = 16,
+        mode: str = "cow",
+    ):
         self.spark = spark
         # realpath: manifests record absolute data-file paths, and
         # expire_snapshots compares paths for liveness — opening the same
@@ -71,8 +102,14 @@ class ParquetLakeTable:
         self.path = os.path.realpath(path)
         self.key = key
         self.n_buckets = n_buckets
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        self.mode = mode
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
+        cur = self._manifest()
+        if cur["version"] >= 0:
+            self.mode = cur.get("mode", "cow")
 
     # ---- snapshot control plane -------------------------------------
     @property
@@ -89,7 +126,13 @@ class ParquetLakeTable:
     def _manifest(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
         if v < 0:
-            return {"version": -1, "buckets": {}, "batch_ids": [], "schema": None}
+            return {
+                "version": -1,
+                "buckets": {},
+                "deltas": {},
+                "batch_ids": [],
+                "schema": None,
+            }
         with open(os.path.join(self.path, "_manifests", f"v{v}.json")) as f:
             return json.load(f)
 
@@ -111,14 +154,57 @@ class ParquetLakeTable:
 
     # ---- data plane ---------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel when ``version`` given)."""
+        """Snapshot read (time travel when ``version`` given). On a MOR
+        table with outstanding deltas this resolves base ∪ deltas per key
+        (one shuffle); after ``compact()`` — or always on a COW table —
+        it is a plain pruned parquet scan."""
         m = self._manifest(version)
-        files = [f for fl in m["buckets"].values() for f in fl]
-        if not files:
-            schema = m["schema"] or f"{self.key} string"
-            return self.spark.createDataFrame([], schema=schema)
-        df = self.spark.read.schema(m["schema"]).parquet(*files)
+        df = self._read_snapshot(m, None)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], schema=m["schema"] or f"{self.key} string"
+            )
         return df
+
+    def _read_snapshot(self, m: dict, buckets: list[int] | None) -> DataFrame | None:
+        """Resolved relation for a manifest, optionally restricted to a
+        bucket subset (the lookup path). None when the table has no schema
+        yet. Base and delta files are read in ONE scan with the manifest
+        schema plus the MOR columns — base files null-fill them, and
+        coalesce(_delta_seq, -1) makes every delta newer than base — then
+        one max_by per key picks the winner and delete tombstones drop out.
+        """
+        if m["schema"] is None:
+            return None
+        bsel = m["buckets"] if buckets is None else {
+            str(b): m["buckets"].get(str(b), []) for b in buckets
+        }
+        dmap = m.get("deltas", {})
+        dsel = dmap if buckets is None else {
+            str(b): dmap.get(str(b), []) for b in buckets
+        }
+        base = [f for fl in bsel.values() for f in fl]
+        dfiles = [f for fl in dsel.values() for f in fl]
+        if not dfiles:
+            if not base:
+                return self.spark.createDataFrame([], schema=m["schema"])
+            return self.spark.read.schema(m["schema"]).parquet(*base)
+        df = self.spark.read.schema(m["schema"] + self._MOR_DDL).parquet(
+            *(base + dfiles)
+        )
+        data_cols = [c for c in df.columns if c not in ("_op", "_delta_seq")]
+        seq = F.coalesce(F.col("_delta_seq"), F.lit(-1).cast("bigint"))
+        win = df.groupBy(F.col(self.key).alias("_k")).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in data_cols], F.col("_op")), seq
+            ).alias("_w")
+        )
+        return (
+            win.where(
+                F.col("_w._op").isNull() | (F.col("_w._op") != F.lit("delete"))
+            )
+            .select(*[F.col(f"_w.{c}").alias(c) for c in data_cols])
+        )
 
     def lookup(self, *keys: str) -> DataFrame:
         """Point read on the serving table: route each key to its bucket
@@ -147,14 +233,7 @@ class ParquetLakeTable:
         return df.where(F.col(self.key).isin(list(keys)))
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
-        m = self._manifest()
-        files = [f for b in buckets for f in m["buckets"].get(str(b), [])]
-        if not files:
-            schema = m["schema"]
-            if schema is None:
-                return None
-            return self.spark.createDataFrame([], schema=schema)
-        return self.spark.read.schema(m["schema"]).parquet(*files)
+        return self._read_snapshot(self._manifest(), buckets)
 
     def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
         """Write df (carrying ``_bucket``) as one dir per bucket; returns
@@ -225,6 +304,9 @@ class ParquetLakeTable:
         if not columns:
             return False
 
+        if self.mode == "mor":
+            return self._merge_mor(m, up, dk, columns, batch_id)
+
         # buckets touched by this merge — only these are rewritten
         touched = []
         for d in (up, dk):
@@ -277,9 +359,11 @@ class ParquetLakeTable:
         manifest = {
             "version": version,
             "buckets": bucket_map,
+            "deltas": {},
             "batch_ids": (m["batch_ids"] + ([batch_id] if batch_id is not None else []))[-10000:],
             "schema": schema_ddl,
             "parent": m["version"],
+            "mode": self.mode,
         }
         # old-schema files are unreadable under a widened schema only if
         # their buckets weren't rewritten — rewrite them too on evolution
@@ -295,6 +379,107 @@ class ParquetLakeTable:
                     bucket_map[b] = extra.get(b, [])
         self._commit(manifest)
         return True
+
+    def _merge_mor(
+        self,
+        m: dict,
+        up: DataFrame | None,
+        dk: DataFrame | None,
+        columns: list[tuple[str, str]],
+        batch_id: int | None,
+    ) -> bool:
+        """Merge-on-read commit: append ONLY the batch's rows as delta
+        files — upserts plus delete tombstones, stamped with the commit
+        sequence — never reading or rewriting existing data. Write cost is
+        O(batch) regardless of table size; resolution happens at read time
+        (_read_snapshot) and is folded away by compact(). A key in both
+        upserts and delete_keys resolves to the upsert (tombstones are
+        anti-joined out), matching the COW path and build_merge_source."""
+        version = m["version"] + 1
+        parts = []
+        if up is not None:
+            parts.append(self._align(up, columns).withColumn("_op", F.lit("upsert")))
+        if dk is not None:
+            if up is not None:
+                dk = dk.join(up.select(self.key).distinct(), self.key, "left_anti")
+            parts.append(self._align(dk, columns).withColumn("_op", F.lit("delete")))
+        if not parts:
+            return False
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = delta.withColumn(
+            "_delta_seq", F.lit(version).cast("bigint")
+        ).withColumn("_bucket", bucket_of(F.col(self.key), self.n_buckets))
+        files = self._write_buckets(delta, version)
+        dmap = {b: list(fl) for b, fl in m.get("deltas", {}).items()}
+        for b, fl in files.items():
+            dmap[b] = dmap.get(b, []) + fl
+        self._commit(
+            {
+                "version": version,
+                "buckets": m["buckets"],
+                "deltas": dmap,
+                "batch_ids": (
+                    m["batch_ids"] + ([batch_id] if batch_id is not None else [])
+                )[-10000:],
+                "schema": ", ".join(f"{c} {t}" for c, t in columns),
+                "parent": m["version"],
+                "mode": self.mode,
+            }
+        )
+        return True
+
+    def compact(self, buckets: list[int] | None = None) -> dict:
+        """Fold outstanding MOR deltas into base files (bucket-granular,
+        snapshot-atomic): resolve each selected bucket's base ∪ deltas,
+        rewrite it as plain base files, and commit a manifest with those
+        buckets' delta lists emptied. Readers of the new snapshot pay a
+        plain scan again; old snapshots still time-travel (expire_snapshots
+        reclaims the folded delta files once their manifests age out).
+
+        ``buckets=None`` compacts every bucket with deltas; a list limits
+        the rewrite (at 100 TB you compact the hottest buckets on a cadence
+        — cost is O(selected buckets' data), never the table). No-op
+        (no commit) when nothing is pending. Returns {"compacted_buckets",
+        "folded_delta_files", "version"}."""
+        m = self._manifest()
+        dmap = m.get("deltas", {})
+        pending = [int(b) for b, fl in dmap.items() if fl]
+        todo = pending if buckets is None else [b for b in pending if b in set(buckets)]
+        if not todo:
+            return {
+                "compacted_buckets": 0,
+                "folded_delta_files": 0,
+                "version": m["version"],
+            }
+        resolved = self._read_snapshot(m, todo).withColumn(
+            "_bucket", bucket_of(F.col(self.key), self.n_buckets)
+        )
+        version = m["version"] + 1
+        files = self._write_buckets(resolved, version)
+        bucket_map = dict(m["buckets"])
+        new_deltas = {b: list(fl) for b, fl in dmap.items()}
+        folded = 0
+        for b in todo:
+            bucket_map[str(b)] = files.get(str(b), [])  # may resolve empty
+            folded += len(new_deltas.pop(str(b), []))
+        self._commit(
+            {
+                "version": version,
+                "buckets": bucket_map,
+                "deltas": new_deltas,
+                "batch_ids": m["batch_ids"],
+                "schema": m["schema"],
+                "parent": m["version"],
+                "mode": self.mode,
+            }
+        )
+        return {
+            "compacted_buckets": len(todo),
+            "folded_delta_files": folded,
+            "version": version,
+        }
 
     def lineage(self) -> list[dict]:
         """Per-partition (bucket) commit lineage across retained snapshots:
@@ -314,13 +499,20 @@ class ParquetLakeTable:
             if f.startswith("v") and f.endswith(".json")
         )
         prev_buckets: dict = {}
+        prev_deltas: dict = {}
         prev_ids: list = []
         for v in versions:
             m = self._manifest(v)
-            changed = [
+            deltas = m.get("deltas", {})
+            changed = {
                 b for b, fl in m["buckets"].items()
                 if fl != prev_buckets.get(b, [])
-            ]
+            } | {
+                # a MOR commit touches a bucket by appending to (or, at
+                # compact, emptying) its delta list
+                b for b in set(deltas) | set(prev_deltas)
+                if deltas.get(b, []) != prev_deltas.get(b, [])
+            }
             new_ids = [i for i in m["batch_ids"] if i not in set(prev_ids)]
             out.append(
                 {
@@ -328,10 +520,11 @@ class ParquetLakeTable:
                     "parent": m.get("parent", v - 1),
                     "batch_id": new_ids[-1] if new_ids else None,
                     "buckets_rewritten": sorted(int(b) for b in changed),
-                    "n_files": sum(len(fl) for fl in m["buckets"].values()),
+                    "n_files": sum(len(fl) for fl in m["buckets"].values())
+                    + sum(len(fl) for fl in deltas.values()),
                 }
             )
-            prev_buckets, prev_ids = m["buckets"], m["batch_ids"]
+            prev_buckets, prev_deltas, prev_ids = m["buckets"], deltas, m["batch_ids"]
         return out
 
     def diff(self, v_from: int, v_to: int | None = None) -> DataFrame:
@@ -384,7 +577,12 @@ class ParquetLakeTable:
         keep = [v for v in versions if v > cur - keep_last]
         live: set[str] = set()
         for v in keep:
-            for fl in self._manifest(v)["buckets"].values():
+            km = self._manifest(v)
+            for fl in km["buckets"].values():
+                live.update(os.path.realpath(f) for f in fl)
+            # MOR delta files are as live as base files until compacted
+            # out of every kept manifest
+            for fl in km.get("deltas", {}).values():
                 live.update(os.path.realpath(f) for f in fl)
         deleted = 0
         data_dir = os.path.join(self.path, "data")
@@ -437,9 +635,11 @@ class ParquetLakeTable:
             {
                 "version": version,
                 "buckets": files,
+                "deltas": {},
                 "batch_ids": [batch_id] if batch_id is not None else [],
                 "schema": schema_ddl,
                 "parent": m["version"],
+                "mode": self.mode,
             }
         )
 

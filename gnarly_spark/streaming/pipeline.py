@@ -90,6 +90,7 @@ class CdcIngestPipeline:
         retain_log: bool = True,
         spread_batch: bool = True,
         dedup_minhash: dict | None = None,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -133,6 +134,7 @@ class CdcIngestPipeline:
         # table (its own exactly-once lake table under the work dir).
         # Accepts {"k", "bands", "min_est_jaccard"} overrides. Flags land in
         # dedup_flags/batch=N (idempotent overwrite); see dup_flags().
+        self.compact_every = compact_every
         self.dedup_minhash = dedup_minhash
         if dedup_minhash is not None:
             self.dedup_params = {
@@ -595,6 +597,19 @@ class CdcIngestPipeline:
         self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
         phases["lww_merge"] = round(time.monotonic() - t_m, 3)
 
+        # MOR targets: fold the delta backlog into base files every
+        # ``compact_every`` batches so reader cost stays bounded while the
+        # hot path keeps O(batch) writes. Crash-safe: a refire of this
+        # batch no-ops the merge, and compact on an empty backlog no-ops.
+        if (
+            self.compact_every
+            and self.target.mode == "mor"
+            and (batch_id + 1) % self.compact_every == 0
+        ):
+            t_c = time.monotonic()
+            self.target.compact()
+            phases["compact"] = round(time.monotonic() - t_c, 3)
+
         n_events = int(log_stats["n"])  # counted on the log-append job
         wall = time.monotonic() - t0
         metrics = {
@@ -829,7 +844,7 @@ class CdcIngestPipeline:
             os.makedirs(d, exist_ok=True)
         self.target = ParquetLakeTable(
             self.spark, self.target.path, key=self.target.key,
-            n_buckets=self.target.n_buckets,
+            n_buckets=self.target.n_buckets, mode=self.target.mode,
         )
         if self.dedup_minhash is not None:
             os.makedirs(self.dedup_dir, exist_ok=True)

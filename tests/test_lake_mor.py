@@ -1,0 +1,166 @@
+"""Merge-on-read lake mode: O(batch) delta commits, read-time LWW
+resolution, bucket-granular compaction, exactly-once refires.
+
+MOR is the write path a high-frequency CDC stream needs at 100 TB: a COW
+merge rewrites every touched bucket (1-row change to a 6 GB bucket = 6 GB
+of I/O), a MOR merge writes only the batch's own rows. The contract under
+test: for any sequence of merges, a MOR table READS identically to a COW
+table fed the same sequence — before and after compact() — and compaction
+never rewrites buckets it wasn't asked to."""
+
+from __future__ import annotations
+
+import pytest
+
+from gnarly_spark.sinks.lake import ParquetLakeTable
+
+
+def _pdf(df):
+    return df.toPandas().sort_values("url").reset_index(drop=True)
+
+
+def mk(spark, rows, schema="url string, v int"):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+@pytest.fixture()
+def pair(spark, tmp_path):
+    """Same merge feed applied to one COW and one MOR table."""
+    cow = ParquetLakeTable(spark, str(tmp_path / "cow"), key="url", n_buckets=4)
+    mor = ParquetLakeTable(
+        spark, str(tmp_path / "mor"), key="url", n_buckets=4, mode="mor"
+    )
+    return cow, mor
+
+
+def _feed(spark, t: ParquetLakeTable):
+    t.merge(mk(spark, [(f"url{i}", i) for i in range(20)]), batch_id=0)
+    t.merge(mk(spark, [("url3", 300), ("url21", 21)]), batch_id=1)
+    t.merge(
+        mk(spark, [("url5", 500)]),
+        delete_keys=mk(spark, [("url7",), ("url19",)], "url string"),
+        batch_id=2,
+    )
+    # same key upserted AND deleted in one batch: upsert wins (both modes)
+    t.merge(
+        mk(spark, [("url3", 301)]),
+        delete_keys=mk(spark, [("url3",), ("url21",)], "url string"),
+        batch_id=3,
+    )
+
+
+def test_mor_reads_equal_cow(spark, pair):
+    cow, mor = pair
+    _feed(spark, cow)
+    _feed(spark, mor)
+    c, m = _pdf(cow.read()), _pdf(mor.read())
+    assert c.url.tolist() == m.url.tolist()
+    assert c.v.tolist() == m.v.tolist()
+    # and so does a point lookup through the bucket-pruned path
+    assert _pdf(mor.lookup("url3")).v.tolist() == [301]
+    assert _pdf(mor.lookup("url7")).empty
+
+
+def test_mor_merge_is_o_batch(spark, pair):
+    """A MOR merge never rewrites base files and writes only delta files
+    for the batch's own buckets — the whole point of the mode."""
+    _, mor = pair
+    mor.merge(mk(spark, [(f"url{i}", i) for i in range(40)]), batch_id=0)
+    m0 = mor._manifest()
+    mor.merge(mk(spark, [("url0", 99)]), batch_id=1)
+    m1 = mor._manifest()
+    assert m1["buckets"] == m0["buckets"]  # base untouched, byte for byte
+    grew = [b for b in m1["deltas"] if m1["deltas"][b] != m0["deltas"].get(b, [])]
+    assert len(grew) == 1  # url0 lands in exactly one bucket's delta list
+
+
+def test_compact_folds_deltas_and_preserves_state(spark, pair):
+    cow, mor = pair
+    _feed(spark, cow)
+    _feed(spark, mor)
+    before = _pdf(mor.read())
+    stats = mor.compact()
+    assert stats["compacted_buckets"] > 0 and stats["folded_delta_files"] > 0
+    m = mor._manifest()
+    assert all(not fl for fl in m["deltas"].values())
+    after = _pdf(mor.read())
+    assert before.equals(after)
+    # compacted read is a plain scan of base files only (no delta files)
+    assert all("/data/" in f for f in mor.read().inputFiles())
+    # reads still match COW, and new deltas stack on the compacted base
+    assert _pdf(mor.read()).equals(_pdf(cow.read()))
+    mor.merge(mk(spark, [("url0", 1000)]), batch_id=9)
+    assert _pdf(mor.lookup("url0")).v.tolist() == [1000]
+
+
+def test_compact_subset_leaves_other_buckets_pending(spark, pair):
+    _, mor = pair
+    mor.merge(mk(spark, [(f"url{i}", i) for i in range(40)]), batch_id=0)
+    mor.merge(mk(spark, [(f"url{i}", i * 10) for i in range(40)]), batch_id=1)
+    pending = [int(b) for b, fl in mor._manifest()["deltas"].items() if fl]
+    pick = pending[:1]
+    stats = mor.compact(buckets=pick)
+    assert stats["compacted_buckets"] == 1
+    m = mor._manifest()
+    assert not m["deltas"].get(str(pick[0]), [])
+    still = [int(b) for b, fl in m["deltas"].items() if fl]
+    assert set(still) == set(pending) - set(pick)
+    assert sorted(_pdf(mor.read()).v.tolist()) == [i * 10 for i in range(40)]
+
+
+def test_mor_refire_idempotent_and_time_travel(spark, pair):
+    _, mor = pair
+    mor.merge(mk(spark, [("a", 1)]), batch_id=0)
+    v0 = mor.current_version()
+    mor.merge(mk(spark, [("a", 2)]), batch_id=1)
+    assert mor.merge(mk(spark, [("a", 999)]), batch_id=1) is False  # refire
+    assert _pdf(mor.read()).v.tolist() == [2]
+    assert _pdf(mor.read(version=v0)).v.tolist() == [1]  # pre-delta snapshot
+    # compaction changes no row, so the diff change feed sees nothing
+    mor.compact()
+    assert mor.diff(mor.current_version() - 1).count() == 0
+
+
+def test_mor_schema_evolution_mid_deltas(spark, pair):
+    """A widened batch lands as a delta; older base AND older delta files
+    null-fill the new column at read (no rewrite of anything)."""
+    _, mor = pair
+    mor.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    mor.merge(
+        mk(spark, [("a", 10, "en")], "url string, v int, lang string"),
+        batch_id=1,
+    )
+    got = _pdf(mor.read())
+    assert got.columns.tolist() == ["url", "v", "lang"]
+    assert got.v.tolist() == [10, 2]
+    assert got.lang.tolist()[0] == "en" and got.lang.isna().tolist() == [False, True]
+    # evolution survives compaction
+    mor.compact()
+    assert _pdf(mor.read()).lang.tolist()[0] == "en"
+
+
+def test_mor_mode_sticky_on_reopen(spark, tmp_path):
+    """The manifest's recorded mode wins over the constructor argument —
+    a maintenance job reopening with defaults must not flip the table to
+    COW semantics."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", mode="mor")
+    t.merge(mk(spark, [("a", 1)]), batch_id=0)
+    reopened = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    assert reopened.mode == "mor"
+    reopened.merge(mk(spark, [("a", 2)]), batch_id=1)
+    assert reopened._manifest()["buckets"] == t._manifest(0)["buckets"]
+
+
+def test_expire_keeps_live_delta_files(spark, pair):
+    """Delta files referenced by kept manifests are never orphan-deleted;
+    after compaction ages them out of every kept manifest they are."""
+    _, mor = pair
+    mor.merge(mk(spark, [("a", 1)]), batch_id=0)
+    mor.merge(mk(spark, [("a", 2)]), batch_id=1)
+    stats = mor.expire_snapshots(keep_last=1)
+    assert stats["deleted_files"] == 0  # current manifest references both
+    assert _pdf(mor.read()).v.tolist() == [2]
+    mor.compact()
+    stats = mor.expire_snapshots(keep_last=1)
+    assert stats["deleted_files"] > 0  # folded deltas now unreferenced
+    assert _pdf(mor.read()).v.tolist() == [2]

@@ -387,3 +387,31 @@ def test_streaming_dedup_flags_cross_batch_dups(spark, tmp_path):
     p.process_batch(mk([(6, 3, "insert", "https://d", ha, None)]), 3)
     got = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
     assert ("https://d", "https://c") in got and ("https://d", "https://a") not in got
+
+
+def test_mor_target_with_compaction_matches_replay(spark, tmp_path):
+    """Full pipeline over a MOR target (O(batch) delta commits +
+    periodic compaction) must agree with the replay oracle exactly —
+    including a reorg whose revert lands after the fork's delta was
+    already folded into base files by compact()."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = gen_changelog(n_blocks=16, events_per_block=5, fork_depth=3, seed=29)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=8)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        target=ParquetLakeTable(
+            spark, str(tmp_path / "work" / "pages"), key="url", mode="mor"
+        ),
+        compact_every=3,
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+    # compaction actually ran mid-stream and the backlog stayed bounded
+    assert any("compact" in m["phase_s"] for m in p.metrics())
+    pending = sum(
+        len(fl) for fl in p.target._manifest().get("deltas", {}).values()
+    )
+    assert pending <= 3 * p.target.n_buckets  # at most compact_every batches
