@@ -251,12 +251,22 @@ def cdc_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     CORRECTNESS row over C1/C4/C5/T5 (Ourbit.ts:60-167). The events-only
     ``value`` column rides the schema-evolution path end-to-end (source
     schema -> candidates -> MERGE widens the target)."""
+    return _streaming_replay_result(spark, sf_dir)
+
+
+def _streaming_replay_result(
+    spark: SparkSession,
+    sf_dir: str,
+    target_mode: str = "cow",
+    compact_every: int | None = None,
+) -> DataFrame:
     import math
     import os
     import tempfile
     import time
 
     from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.sinks.lake import ParquetLakeTable
     from gnarly_spark.streaming.pipeline import CdcIngestPipeline
 
     work = tempfile.mkdtemp(prefix="gnarly_cdc_stream_")
@@ -294,7 +304,15 @@ def cdc_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             if fn.endswith(".parquet"):
                 os.utime(os.path.join(cdir, fn), (base + 2 * n, base + 2 * n))
                 n += 1
-    pipe = CdcIngestPipeline(spark, os.path.join(work, "wd"), with_text=False)
+    pipe = CdcIngestPipeline(
+        spark,
+        os.path.join(work, "wd"),
+        with_text=False,
+        target=ParquetLakeTable(
+            spark, os.path.join(work, "wd", "pages"), key="url", mode=target_mode
+        ),
+        compact_every=compact_every,
+    )
     pipe.start(
         cl_dir,
         available_now=True,
@@ -302,10 +320,46 @@ def cdc_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=CHANGELOG_DDL + ", value double",
     ).awaitTermination()
     assert len(pipe.metrics()) >= n_chunks  # really ran incrementally
+    if target_mode == "mor":
+        # the cadence must have fired mid-stream (not just a final fold)
+        assert any("compact" in m["phase_s"] for m in pipe.metrics())
     return pipe.target.read().select(
         "url",
         F.col("_op_seq").alias("last_seq"),
         F.round("value", 4).alias("last_value"),
+    )
+
+
+@register(
+    "cdc_mor_compaction",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming engine writing through a MERGE-ON-READ target with
+    mid-stream compaction (sinks/lake.py mode=\"mor\" + compact_every=2):
+    every micro-batch commits O(batch) delta files instead of rewriting
+    touched buckets, readers resolve base ∪ deltas by commit sequence,
+    and compact() folds the backlog every 2 batches. Oracle = the same
+    one-pass replay SQL as cdc_streaming_replay — the write-path swap
+    (COW → MOR → compacted base) must be invisible to every reader.
+    This is the high-frequency CDC shape at 10^10 events: per-batch write
+    cost stays proportional to the batch, not the table (what Hudi MOR /
+    Iceberg v2 delete files do; reference applier being replaced:
+    typeStore/Sequelize.ts:28-191)."""
+    return _streaming_replay_result(
+        spark, sf_dir, target_mode="mor", compact_every=2
     )
 
 
