@@ -141,24 +141,50 @@ def dedup_incremental_lsh(spark, sf_dir):
     return incremental_lsh_dups(docs.where(F.col("doc_id") % 10 >= 8), corpus_sigs)
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    WITH toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS tok
-                  FROM documents),
+_SIMHASH_SQL = f"""
+    toks AS (SELECT DISTINCT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS tok
+             FROM documents),
     th AS (SELECT id, CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) AS th
            FROM toks WHERE tok != ''),
     bitsum AS (SELECT id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
-               FROM th, generate_series(0, 31) AS t(b) GROUP BY id, b)
-    SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
-                AS BIGINT) AS simhash
-    FROM bitsum GROUP BY id
-    """,
+               FROM th, generate_series(0, 31) AS t(b) GROUP BY id, b),
+    simhashes AS (SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                                      ELSE 0 END) AS BIGINT) AS simhash
+                  FROM bitsum GROUP BY id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_SIMHASH_SQL} SELECT id, simhash FROM simhashes",
 )
 def dedup_simhash(spark, sf_dir):
     from gnarly_spark.operators.dedup import simhash
 
     return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+@register(
+    "dedup_simhash_pairs",
+    # exact all-pairs oracle: banded blocking with bands=4 > max_hamming=3
+    # is pigeonhole-complete, so Spark's equi-join answer must equal this
+    f"""
+    WITH {_SIMHASH_SQL}
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM simhashes a JOIN simhashes b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pair search by bit-band blocking (one equi-join on
+    (band, band_val); no all-pairs). The oracle IS the all-pairs scan —
+    equality proves the blocking recalls every pair within the radius."""
+    from gnarly_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, bands=4
+    )
 
 
 @register(

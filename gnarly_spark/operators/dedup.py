@@ -476,6 +476,70 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     return sums.select("id", word.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, found via
+    bit-band blocking (Manku et al., WWW'07: near-dup detection for web
+    crawling). Output: (id_a, id_b, hamming) with id_a < id_b.
+
+    EXACT, not approximate: with ``bands`` equal-width bit bands and
+    ``max_hamming <= bands - 1``, any pair within the Hamming radius
+    differs in at most max_hamming bands, so by pigeonhole it agrees
+    exactly on at least one band — banded blocking recalls every
+    qualifying pair, and the post-join bit_count(xor) filter discards
+    false collisions. (Asserted below; raising max_hamming needs more
+    bands, e.g. 64-bit simhash with 8 bands covers radius 7.)
+
+    Scale shape: one narrow (id, simhash) row per doc -> one explode into
+    ``bands`` rows -> ONE shuffle for the (band, band_val) equi-join; no
+    all-pairs comparison ever happens. Candidate multiplicity (a pair
+    colliding in several bands) is deduped AFTER the cheap xor verify so
+    the distinct runs on the filtered (small) relation.
+    """
+    assert bits % bands == 0 and max_hamming <= bands - 1
+    r = bits // bands
+    mask = (1 << r) - 1
+    sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.expr(f"shiftright(simhash, {b * r})").bitwiseAND(F.lit(mask))).cast(
+                        "long"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -152,6 +152,19 @@ def test_simhash_single_groupby_no_bit_explode(spark):
     assert plan.count("Generate explode") == 1
 
 
+def test_simhash_pairs_blocking_is_equi_join_no_cartesian(spark):
+    """Hamming-radius pair search must run as ONE (band, band_val)
+    equi-join over the banded signatures — never a cartesian / nested-loop
+    all-pairs comparison (the thing banding exists to avoid)."""
+    from gnarly_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(simhash_hamming_pairs(docs, max_hamming=3, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_val" in plan  # the blocking key is the join key
+
+
 def test_ivf_plan_constant_in_centroids_and_dim(spark):
     """C=256, dim=128 (a real IVF shape scaled down): centroid coordinates
     must live in a broadcast relation, never as plan literals — plan size

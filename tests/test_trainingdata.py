@@ -64,6 +64,24 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far
 
 
+def test_simhash_hamming_pairs_complete_vs_bruteforce(spark, docs):
+    """Banded blocking (bands=4 > max_hamming=3) must recall EXACTLY the
+    all-pairs answer (pigeonhole completeness), and identical docs must
+    pair at hamming 0."""
+    from gnarly_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    got = simhash_hamming_pairs(docs, max_hamming=3, bands=4).toPandas()
+    sig = simhash(docs, bits=32).toPandas().set_index("id").simhash
+    brute = {
+        (a, b): bin(int(sig[a]) ^ int(sig[b])).count("1")
+        for a in sig.index
+        for b in sig.index
+        if a < b and bin(int(sig[a]) ^ int(sig[b])).count("1") <= 3
+    }
+    assert {(r.id_a, r.id_b): r.hamming for r in got.itertuples()} == brute
+    assert brute[(0, 1)] == 0 and brute[(0, 4)] == 0  # exact dups
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(1)
     vecs = rng.normal(size=(50, 16)).astype("float32")
