@@ -66,7 +66,10 @@ _CHANGELOG_SQL = """
 
 
 def _changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+    return _changelog_from_events(_t(spark, sf_dir, "events"))
+
+
+def _changelog_from_events(e: DataFrame) -> DataFrame:
     return e.select(
         F.col("event_id").alias("op_seq"),
         (F.col("event_id") / 50).cast("long").cast("string").alias("block_hash"),
@@ -155,6 +158,68 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_to_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("valid_to"),
         "is_current",
         F.round("value", 4).alias("value"),
+    )
+
+
+@register(
+    "cdc_asof_join",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL} WHERE event_type != 'view'),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    dedup AS (SELECT *, row_number() OVER
+                  (PARTITION BY url, warc_ts ORDER BY op_seq DESC) AS rn
+              FROM live),
+    v AS (SELECT url, warc_ts, op_seq,
+                 CASE WHEN op = 'delete' THEN NULL ELSE value END AS vvalue
+          FROM dedup WHERE rn = 1),
+    probes AS (SELECT event_id AS probe_seq,
+                      'https://u/' || CAST(user_id AS VARCHAR) AS url, ts
+               FROM events WHERE event_type = 'view')
+    SELECT p.probe_seq, p.url,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+           v.op_seq AS asof_seq, ROUND(v.vvalue, 4) AS asof_value
+    FROM probes p ASOF LEFT JOIN v ON p.url = v.url AND p.ts >= v.warc_ts
+    """,
+)
+def cdc_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every 'view' event reads the page state
+    the mutation changelog had at-or-before the view's timestamp — deleted
+    pages read as null value, never-written pages as null seq. Spark side
+    is the linear union+window shape (operators/temporal.py); oracle is
+    DuckDB's native ASOF LEFT JOIN over the deduped version table."""
+    from gnarly_spark.operators.replay import live_events
+    from gnarly_spark.operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    versions = live_events(
+        _changelog_from_events(e.where(F.col("event_type") != "view"))
+    )
+    probes = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("probe_seq"),
+        F.concat(F.lit("https://u/"), F.col("user_id").cast("string")).alias("url"),
+        F.col("ts"),
+    )
+    out = asof_join(
+        probes,
+        versions,
+        key="url",
+        probe_ts="ts",
+        version_ts="warc_ts",
+        payload={
+            "asof_seq": F.col("op_seq"),
+            "asof_value": F.when(F.col("op") != "delete", F.col("value")),
+        },
+    )
+    return out.select(
+        "probe_seq",
+        "url",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("probe_ts"),
+        "asof_seq",
+        F.round("asof_value", 4).alias("asof_value"),
     )
 
 

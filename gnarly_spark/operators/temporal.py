@@ -1,0 +1,80 @@
+"""As-of (temporal point-in-time) join: each probe row picks up the latest
+version row for its key at-or-before the probe's timestamp.
+
+The CDC product surface this serves: "what did page X look like when event E
+touched it" — joining a read/interaction stream against the mutation
+changelog's version history (the query-side complement of SCD2
+``scd2_history`` in operators/replay.py; the reference answers this
+imperatively by replaying its store to a txId, Ourbit.resumeFromTxId at
+packages/gnarly-core/src/ourbit/Ourbit.ts:121-135).
+
+Spark has no ASOF JOIN operator, and the naive encoding —
+``probes JOIN versions ON key AND version_ts <= probe_ts`` then argmax —
+fans out to |versions-per-key| rows per probe before reducing (quadratic in
+version-chain length; a hot url with 10^4 versions multiplies its probes
+10^4x). This implementation is the linear shape instead:
+
+    union versions (tagged 0) and probes (tagged 1) on (key, t, tag)
+    one window pass per key: last(version payload, ignorenulls=True)
+      over rows unbounded-preceding..current
+    keep probe rows
+
+One shuffle (the window's partitionBy(key)), one per-key sort, zero row
+amplification. Versions sharing (key, t) resolve to the highest seq —
+the same LWW tie-break the replay path uses — because the sort places the
+highest seq last among the ties. Probes with no prior version keep a null
+payload (left-join semantics); a delete version carries a non-null payload
+struct with a null value, so "deleted at probe time" (null value, non-null
+seq) is distinguishable from "never existed" (null seq).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    probes: DataFrame,
+    versions: DataFrame,
+    key: str = "url",
+    probe_ts: str = "ts",
+    version_ts: str = "warc_ts",
+    payload: dict[str, "F.Column"] | None = None,
+    seq_col: str = "op_seq",
+) -> DataFrame:
+    """For every probe row, attach ``payload`` columns from the latest
+    version with ``version_ts <= probe_ts`` (ties at the same instant
+    include the version: 'at or before'). Returns all probe columns plus
+    the payload columns (null when no version precedes the probe).
+
+    ``payload`` maps output column name -> expression over the version
+    relation; default carries the version's seq and value. ``seq_col``
+    orders versions at equal (key, version_ts) — highest wins (LWW).
+    """
+    if payload is None:
+        payload = {"asof_seq": F.col(seq_col), "asof_value": F.col("value")}
+    pay_names = list(payload)
+    v = versions.select(
+        F.col(key),
+        F.col(version_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(seq_col).alias("_vseq"),
+        F.struct(*[expr.alias(name) for name, expr in payload.items()]).alias("_pay"),
+    )
+    p = probes.withColumn("_t", F.col(probe_ts)).withColumn("_side", F.lit(1))
+    u = v.unionByName(p, allowMissingColumns=True)
+    # ROWS frame: every row sees all rows sorted before it. Versions sort
+    # before probes at the same _t (_side 0 < 1), and among equal-_t
+    # versions the highest _vseq sorts last => wins. Probe rows have null
+    # _vseq; their mutual order is irrelevant (each only looks back).
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_t", "_side", "_vseq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("_asof", F.last("_pay", ignorenulls=True).over(w))
+    return u.where(F.col("_side") == 1).select(
+        *[c for c in probes.columns],
+        *[F.col(f"_asof.{name}").alias(name) for name in pay_names],
+    )
