@@ -1035,6 +1035,42 @@ def w_tumbling_hourly(spark, sf_dir):
 
 
 @register(
+    "w_sessionize",
+    """
+    WITH l AS (SELECT user_id, ts, event_id,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+          FROM f)
+    SELECT user_id, session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) over
+    the raw event stream — the classic web-log operator the training-data
+    pipeline uses to segment crawl/interaction histories. Spark side:
+    operators/temporal.sessionize (one shuffle, two stacked windows, one
+    sort) + a session-level rollup."""
+    from gnarly_spark.operators.temporal import sessionize
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, key="user_id", ts="ts", gap="INTERVAL 30 MINUTES", tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
     "q_rollup",
     """
     SELECT COALESCE(event_type, '(all)') AS event_type,

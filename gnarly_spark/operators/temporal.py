@@ -78,3 +78,40 @@ def asof_join(
         *[c for c in probes.columns],
         *[F.col(f"_asof.{name}").alias(name) for name in pay_names],
     )
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "INTERVAL 30 MINUTES",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: per key, consecutive events closer than
+    ``gap`` share a session; a strictly-larger gap starts a new one.
+    Returns the input plus ``session_idx`` (0-based per key, in time order).
+
+    The gap test compares timestamp differences as INTERVALs, never via
+    epoch casts — microsecond-exact and engine-portable (cast-to-long
+    truncates sub-second parts and diverges from an oracle computing exact
+    diffs).
+
+    Scale shape: ONE shuffle (hash on key) feeding two stacked window
+    functions over the SAME (partition, order) spec — lag to flag session
+    starts, running sum to number them — so Catalyst plans a single sort,
+    and a per-key workload is linear in that key's events. This is the
+    batch shape; Structured Streaming gets the same semantics from
+    ``F.session_window(ts, gap)`` with a watermark.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts).over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col(ts) - prev) > F.expr(gap)), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("_new_s", new_s)
+        .withColumn("session_idx", F.sum("_new_s").over(run) - F.lit(1))
+        .drop("_new_s")
+    )

@@ -71,6 +71,44 @@ def test_asof_join_picks_latest_at_or_before(spark, frames):
     assert pd.isna(got.loc[106].asof_seq)  # key never existed
 
 
+def test_sessionize_gap_islands(spark):
+    from gnarly_spark.operators.temporal import sessionize
+
+    rows = [
+        ("u1", _ts("2020-01-01T00:00:00"), 1),
+        ("u1", _ts("2020-01-01T00:29:59"), 2),  # 29:59 gap -> same session
+        ("u1", _ts("2020-01-01T00:59:59"), 3),  # exactly 30:00 -> same (strict >)
+        ("u1", _ts("2020-01-01T01:30:00"), 4),  # 30:01 -> new session
+        ("u2", _ts("2020-01-01T00:00:00"), 5),
+    ]
+    e = spark.createDataFrame(rows, schema="user_id string, ts timestamp, event_id long")
+    got = (
+        sessionize(e, tiebreak="event_id")
+        .toPandas()
+        .set_index("event_id")
+        .session_idx.to_dict()
+    )
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+
+def test_sessionize_one_shuffle_one_sort(spark):
+    """Two stacked windows over the same (partition, order) spec must plan
+    a single exchange and a single sort."""
+    from gnarly_spark.operators.temporal import sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    plan = (
+        sessionize(e, tiebreak="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1 or plan.count("+- Sort") == 1
+
+
 def test_asof_join_is_single_shuffle_no_join(spark, frames):
     """The linear shape: ONE hash exchange on the key feeding a window —
     never a join that fans each probe out to its key's whole version
