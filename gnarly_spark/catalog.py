@@ -429,6 +429,82 @@ def cdc_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_change_feed",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ra AS (SELECT *, row_number() OVER
+               (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+           FROM live WHERE op_seq <= (SELECT MAX(op_seq) // 2 FROM live)),
+    a AS (SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+          FROM ra WHERE rn = 1 AND op != 'delete'),
+    rb AS (SELECT *, row_number() OVER
+               (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+           FROM live),
+    b AS (SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+          FROM rb WHERE rn = 1 AND op != 'delete')
+    SELECT COALESCE(a.url, b.url) AS url,
+           CASE WHEN a.url IS NULL THEN 'insert'
+                WHEN b.url IS NULL THEN 'delete'
+                ELSE 'update' END AS change
+    FROM a FULL OUTER JOIN b ON a.url = b.url
+    WHERE a.url IS NULL OR b.url IS NULL
+       OR a.last_seq != b.last_seq
+       OR a.last_value IS DISTINCT FROM b.last_value
+    """,
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table's OWN change feed, oracle-checked end-to-end: commit
+    the changelog's first-half LWW state, commit the incremental delta to
+    the full state, then read ``ParquetLakeTable.diff`` between the two
+    snapshots (the Iceberg incremental-changelog-read analog that lets a
+    downstream consumer tail THIS table as its own CDC source). Oracle =
+    the delta computed in pure SQL from the two replay cutoffs — the
+    feed must recover exactly the per-url insert/update/delete that the
+    second commit applied."""
+    import os
+    import tempfile
+
+    from gnarly_spark.operators.replay import last_writer_wins, live_events
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = live_events(_changelog_df(spark, sf_dir))
+    mx = log.agg(F.max("op_seq")).collect()[0][0]  # scalar only
+
+    def state(df: DataFrame) -> DataFrame:
+        w = last_writer_wins(df)
+        return w.where(F.col("op") != "delete").select(
+            "url",
+            F.col("op_seq").alias("last_seq"),
+            F.round("value", 4).alias("last_value"),
+        )
+
+    a = state(log.where(F.col("op_seq") <= mx // 2))
+    b = state(log)
+    ao = a.select("url", F.struct("last_seq", "last_value").alias("_a"))
+    j = b.join(ao, "url", "full_outer")
+    ups = j.where(
+        F.col("last_seq").isNotNull()
+        & (
+            F.col("_a").isNull()
+            | ~F.col("_a").eqNullSafe(F.struct("last_seq", "last_value"))
+        )
+    ).select("url", "last_seq", "last_value")
+    dels = j.where(F.col("last_seq").isNull()).select("url")
+
+    work = tempfile.mkdtemp(prefix="gnarly_change_feed_")
+    t = ParquetLakeTable(spark, os.path.join(work, "pages"), key="url")
+    t.merge(a, batch_id=1)
+    v1 = t.current_version()
+    t.merge(ups, delete_keys=dels, batch_id=2)
+    return t.diff(v1).select("url", F.col("_change").alias("change"))
+
+
+@register(
     "src_jsonl_deadletter",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL})
