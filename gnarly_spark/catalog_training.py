@@ -874,3 +874,65 @@ def text_pack_sequences(spark, sf_dir):
             F.floor(start / 2048).cast("string"),
         ).alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (driver-visible: binary payloads synthesized on both
+# engines from text, real mapInPandas feature path on the Spark side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_media_features",
+    """
+    WITH p AS (SELECT doc_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'RIFF' || text
+                           WHEN doc_id % 3 = 1 THEN '    ftyp' || text
+                           ELSE 'DATA' || text END AS ptxt
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+                WHEN doc_id % 3 = 1 THEN 'video/mp4'
+                ELSE 'application/octet-stream' END AS media_type,
+           strlen(ptxt) AS n_bytes,
+           CAST(('0x' || substring(sha256(ptxt), 1, 2)) AS INT) AS sha_b0
+    FROM p
+    """,
+)
+def mm_media_features(spark, sf_dir):
+    """The multimodal surface end-to-end on driver data: synthesize binary
+    payloads carrying real magic bytes (RIFF/ftyp, ASCII-safe so the
+    DuckDB oracle can hash the identical bytes as UTF-8 text), sniff the
+    media type JVM-side (media_metadata), then run the REAL Arrow-batched
+    mapInPandas decode/feature path (extract_media_features). ``sha_b0``
+    recovers byte 0 of the sha256-derived fake feature vector — proving
+    the exact payload bytes round-tripped Spark -> Arrow -> Python and
+    the deterministic feature math ran on them. The codec stub is the
+    only fake part (no media libs in this container); every schema,
+    batch, and partition decision is the production one."""
+    from gnarly_spark.operators.multimodal import (
+        extract_media_features,
+        media_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("RIFF"), F.col("text"))
+        )
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("    ftyp"), F.col("text")))
+        .otherwise(F.concat(F.lit("DATA"), F.col("text")))
+        .alias("ptxt"),
+    )
+    tagged = media_metadata(
+        docs.withColumn("payload", F.encode("ptxt", "UTF-8")), "payload"
+    )
+    feats = extract_media_features(
+        tagged, binary_col="payload", id_col="doc_id", type_col="sniffed_type"
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.round((F.element_at("feature", 1) + 0.5) * 255).cast("int").alias("sha_b0"),
+    )
