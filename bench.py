@@ -41,6 +41,10 @@ HEADLINE = [
     "text_pack_sequences",
     "sim_bruteforce_topk",
     "sim_quantize_int8",
+    "cdc_asof_join",
+    "w_sessionize",
+    "dedup_simhash_pairs",
+    "mm_media_features",
 ]
 
 

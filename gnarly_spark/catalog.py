@@ -1111,6 +1111,31 @@ def w_tumbling_hourly(spark, sf_dir):
 
 
 @register(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (Spark `percentile`, the
+    sort-based exact aggregate; both engines implement the same
+    linear-interpolation definition, so values match to the rounding).
+    The scale path for 100 TB is `percentile_approx` (mergeable KLL-style
+    sketch, no per-group sort) — exact is used here because the oracle
+    gate needs bit-stable numbers; the swap is one function name."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
     "w_sessionize",
     """
     WITH l AS (SELECT user_id, ts, event_id,
