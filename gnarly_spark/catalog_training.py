@@ -936,3 +936,91 @@ def mm_media_features(spark, sf_dir):
         "n_bytes",
         F.round((F.element_at("feature", 1) + 0.5) * 255).cast("int").alias("sha_b0"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup / boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+# The synthetic documents are single-line word salad, so the line-dedup
+# queries demonstrate on a boilerplate-injected derivation (identical
+# expression both engines): half the docs get a 2-line cookie/rights
+# banner, half a newsletter line, and every doc a shared footer — the
+# exact shape C4's line-level dedup exists to strip from web pages.
+_BOILERPLATED = """
+    SELECT doc_id, CASE WHEN doc_id % 2 = 0
+                        THEN 'cookie consent required. all rights reserved. '
+                        ELSE 'subscribe to our newsletter. ' END
+                   || text || '. powered by sparkgen' AS text
+    FROM documents
+"""
+
+
+def _boilerplated_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("cookie consent required. all rights reserved. "),
+            ).otherwise(F.lit("subscribe to our newsletter. ")),
+            F.col("text"),
+            F.lit(". powered by sparkgen"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "text_line_dedup",
+    f"""
+    WITH docs2 AS ({_BOILERPLATED}),
+    lines AS (SELECT doc_id AS id,
+                     trim(lower(unnest(string_split(text, '. ')))) AS skey
+              FROM docs2)
+    SELECT md5(skey) AS line_hash, COUNT(DISTINCT id) AS n_docs,
+           COUNT(*) AS n_total, MIN(id) AS first_doc
+    FROM lines GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2
+    """,
+)
+def text_line_dedup(spark, sf_dir):
+    """Cross-document duplicate-line census (C4 line dedup, boilerplate
+    discovery): one explode + one partial-agg groupBy on the line hash."""
+    from gnarly_spark.functions.text import line_dedup_stats
+
+    return line_dedup_stats(_boilerplated_docs(spark, sf_dir), min_docs=2)
+
+
+@register(
+    "text_boilerplate_scrub",
+    f"""
+    WITH docs2 AS ({_BOILERPLATED}),
+    d AS (SELECT doc_id AS id, string_split(text, '. ') AS w FROM docs2),
+    lines AS (SELECT id, unnest([{{'pos': g, 'sent': w[g+1]}}
+                                 for g in range(0, len(w))]) AS l
+              FROM d),
+    flat AS (SELECT id, l.pos AS pos, l.sent AS sent,
+                    trim(lower(l.sent)) AS skey
+             FROM lines),
+    hot AS (SELECT skey FROM flat GROUP BY skey
+            HAVING COUNT(DISTINCT id) >= 3),
+    kept AS (SELECT * FROM flat WHERE skey NOT IN (SELECT skey FROM hot)),
+    agg AS (SELECT id, string_agg(sent, '. ' ORDER BY pos) AS clean_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY id)
+    SELECT d2.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+           len(string_split(d2.text, '. ')) - COALESCE(agg.n_kept, 0) AS n_removed
+    FROM docs2 d2 LEFT JOIN agg ON agg.id = d2.doc_id
+    """,
+)
+def text_boilerplate_scrub(spark, sf_dir):
+    """Remove lines occurring in >= 3 distinct docs and reassemble each
+    doc in order (C4's line-level cleanup): broadcast anti-join against
+    the small high-doc-frequency line set; every input doc survives (a
+    fully-boilerplate doc keeps empty clean_text). On the injected-banner
+    corpus this must strip exactly the banner/footer lines and return
+    each doc's original text, proving order-preserving reassembly."""
+    from gnarly_spark.functions.text import scrub_boilerplate
+
+    return scrub_boilerplate(_boilerplated_docs(spark, sf_dir), min_docs=3)

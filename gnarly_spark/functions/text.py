@@ -168,3 +168,84 @@ def collapse_repeat_tokens(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size(w) - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def sentence_lines(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode documents into position-indexed sentence lines:
+    (id, pos, sent, skey) where skey is the normalized match key. The unit
+    of C4-style line-level dedup (one Generate, all JVM)."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), r"\. ")).alias("pos", "sent"),
+    ).withColumn("skey", F.trim(F.lower(F.col("sent"))))
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicate lines: sentences appearing in >= min_docs
+    distinct docs — the boilerplate census (nav bars, cookie banners,
+    license blurbs dominate web corpora). One explode + one groupBy on
+    the line hash; partial aggregation pre-reduces hot lines map-side, so
+    a line occurring in 10^8 pages costs one row per input partition on
+    the wire, not 10^8."""
+    s = sentence_lines(docs, text_col, id_col)
+    return (
+        s.groupBy(F.md5("skey").alias("line_hash"))
+        .agg(
+            F.countDistinct("id").alias("n_docs"),
+            F.count("*").alias("n_total"),
+            F.min("id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_boilerplate(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove lines that occur in >= min_docs distinct documents and
+    reassemble each doc's remaining lines in order (C4's line-level
+    cleanup). Output: (doc_id, clean_text, n_removed) for EVERY input doc
+    (a fully-boilerplate doc keeps an empty clean_text).
+
+    Scale shape: the boilerplate line set is SMALL (by definition it is
+    the high-doc-frequency tail) -> broadcast anti-join against the
+    exploded lines; reassembly is one groupBy(id) with an order-restoring
+    sort over each doc's own lines only. No shuffle carries full document
+    texts except the final per-doc reassembly."""
+    s = sentence_lines(docs, text_col, id_col)
+    hot = (
+        s.groupBy("skey")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("skey")
+    )
+    kept = s.join(F.broadcast(hot), "skey", "left_anti")
+    clean = kept.groupBy("id").agg(
+        F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x.sent,
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), r"\. ")).cast("long").alias("n_lines"),
+    )
+    return base.join(clean, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -64,6 +64,31 @@ def test_simhash_properties(spark, docs):
     assert ham_near < ham_far
 
 
+def test_boilerplate_scrub_strips_hot_lines_preserves_order(spark):
+    from gnarly_spark.functions.text import line_dedup_stats, scrub_boilerplate
+
+    rows = [
+        (0, "cookie banner. alpha one. beta two. all rights reserved"),
+        (1, "cookie banner. gamma three. all rights reserved"),
+        (2, "cookie banner. delta four. epsilon five. all rights reserved"),
+        (3, "cookie banner. all rights reserved"),  # fully boilerplate
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = (
+        scrub_boilerplate(docs, min_docs=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0].clean_text == "alpha one. beta two" and got.loc[0].n_removed == 2
+    assert got.loc[1].clean_text == "gamma three"
+    assert got.loc[2].clean_text == "delta four. epsilon five"
+    assert got.loc[3].clean_text == "" and got.loc[3].n_removed == 2
+    census = line_dedup_stats(docs, min_docs=2).toPandas()
+    assert set(census.n_docs) == {4}  # the two banners, each in all 4 docs
+    assert len(census) == 2
+
+
 def test_simhash_hamming_pairs_complete_vs_bruteforce(spark, docs):
     """Banded blocking (bands=4 > max_hamming=3) must recall EXACTLY the
     all-pairs answer (pigeonhole completeness), and identical docs must
