@@ -1024,3 +1024,163 @@ def text_boilerplate_scrub(spark, sf_dir):
     from gnarly_spark.functions.text import scrub_boilerplate
 
     return scrub_boilerplate(_boilerplated_docs(spark, sf_dir), min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# the full training-corpus pipeline, composed end-to-end
+# ---------------------------------------------------------------------------
+
+_PIPE_TRIGRAMS = """SELECT DISTINCT id,
+                  unnest([w[g] || ' ' || w[g+1] || ' ' || w[g+2]
+                          for g in range(1, greatest(len(w) - 1, 1))]) AS shingle"""
+
+
+@register(
+    "pipeline_training_corpus",
+    f"""
+    WITH RECURSIVE
+    corpus AS (SELECT * FROM documents WHERE doc_id % 97 != 0),
+    scored AS (
+      SELECT doc_id,
+             {_lang_score_sql(["the", "a", "of", "and"])} AS s_en,
+             {_lang_score_sql(["der", "die", "und", "das"])} AS s_de,
+             {_lang_score_sql(["le", "la", "et", "les"])} AS s_fr,
+             {_lang_score_sql(["el", "los", "y", "una"])} AS s_es,
+             {_lang_score_sql(["the", "a", "of", "and"])} AS stop,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) AS n_chars,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tokens
+      FROM corpus),
+    q AS (SELECT doc_id,
+            CASE WHEN s_en = greatest(s_en,s_de,s_fr,s_es) AND s_en > 0 THEN 'en'
+                 WHEN s_de = greatest(s_en,s_de,s_fr,s_es) AND s_de > 0 THEN 'de'
+                 WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) AND s_fr > 0 THEN 'fr'
+                 WHEN s_es = greatest(s_en,s_de,s_fr,s_es) AND s_es > 0 THEN 'es'
+                 ELSE 'und' END AS pred_lang,
+            ROUND(0.5 * stop / greatest(n_tokens, 1)
+                  + 0.3 * n_alpha / greatest(n_chars, 1)
+                  + 0.2 * least(n_tokens, 100) / 100, 6) AS qs
+          FROM scored),
+    filt AS (SELECT c.doc_id, c.text, c.source FROM corpus c
+             JOIN q USING (doc_id)
+             WHERE q.qs >= 0.35 AND q.pred_lang = 'en'),
+    bw AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w
+           FROM documents WHERE doc_id % 97 = 0),
+    bsh AS ({_PIPE_TRIGRAMS} FROM bw),
+    fw AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w FROM filt),
+    fsh AS ({_PIPE_TRIGRAMS} FROM fw),
+    hit_ids AS (SELECT DISTINCT f.id FROM fsh f
+                JOIN (SELECT DISTINCT shingle FROM bsh) b USING (shingle)),
+    clean AS (SELECT * FROM filt
+              WHERE doc_id NOT IN (SELECT id FROM hit_ids)),
+    csh AS (SELECT * FROM fsh WHERE id NOT IN (SELECT id FROM hit_ids)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM csh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+               FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.id < b.id
+               GROUP BY a.id, b.id),
+    jac AS (SELECT id_a, id_b,
+                   ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.id = id_a
+                        JOIN sizes sb ON sb.id = id_b),
+    pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    keepers AS (SELECT c.doc_id, c.source, c.text FROM clean c
+                LEFT JOIN clusters cl ON cl.id = c.doc_id
+                WHERE COALESCE(cl.cluster_id, c.doc_id) = c.doc_id),
+    d AS (SELECT doc_id, source,
+                 CASE WHEN {_NORM} = '' THEN 0
+                      ELSE len(string_split({_NORM}, ' ')) END AS n_tok,
+                 doc_id // 1000 AS chunk
+          FROM keepers),
+    c2 AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source, chunk
+                                      ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM d)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           source || '/' || CAST(chunk AS VARCHAR) || '/'
+                  || CAST((cum - n_tok) // 2048 AS VARCHAR) AS pack_id
+    FROM c2
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """The WHOLE training-data pipeline as one composed program — the
+    product this engine exists to run at 100 TB: held-out benchmark split
+    -> quality + language gate (cheap projections FIRST, so the expensive
+    shingle ops see the reduced corpus) -> benchmark decontamination
+    (broadcast eval-shingle anti-filter) -> near-dup removal (exact
+    Jaccard pairs -> connected components -> keep cluster minimum) ->
+    token-budget sequence packing. Every stage is the already-oracle-
+    checked operator; this row proves they COMPOSE (the pipeline's joins
+    stay on doc_id, the only wide relations are the shingle tables, and
+    nothing recomputes text twice)."""
+    from pyspark.sql import Window
+
+    from gnarly_spark.functions.text import lang_id, quality_features
+    from gnarly_spark.operators.dedup import (
+        decontaminate,
+        duplicate_clusters,
+        jaccard_pairs,
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    good = (
+        quality_features(corpus)
+        .where(F.col("quality_score") >= 0.35)
+        .select("doc_id")
+    )
+    en = (
+        corpus.select("doc_id", lang_id(F.col("text")).alias("pl"))
+        .where(F.col("pl") == "en")
+        .select("doc_id")
+    )
+    filt = corpus.join(good, "doc_id").join(en, "doc_id")
+    uncontaminated = (
+        decontaminate(filt, bench)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = filt.join(uncontaminated, "doc_id")
+    clusters = duplicate_clusters(jaccard_pairs(clean, threshold=0.5))
+    keep = (
+        clean.select("doc_id")
+        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"))
+        .select("doc_id")
+    )
+    d = (
+        clean.join(keep, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(normalize_text(F.col("text")), " "))
+            .cast("long")
+            .alias("n_tok"),
+            F.expr("doc_id div 1000").alias("chunk"),
+        )
+    )
+    w = (
+        Window.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return d.select(
+        "doc_id",
+        "n_tok",
+        F.concat_ws(
+            "/",
+            "source",
+            F.col("chunk").cast("string"),
+            F.floor(start / 2048).cast("string"),
+        ).alias("pack_id"),
+    )
