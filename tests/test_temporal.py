@@ -125,3 +125,115 @@ def test_asof_join_is_single_shuffle_no_join(spark, frames):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_asof_join_matches_pandas_merge_asof_property(spark):
+    """Fuzz vs an INDEPENDENT implementation: pandas.merge_asof
+    (direction='backward', allow_exact_matches=True) on random keyed
+    version/probe sets must agree with the union+window asof_join.
+    Version timestamps are made unique per key (merge_asof's tie rule
+    among equal version times is positional, ours is max-seq; dedup to
+    the max-seq row first — same contract the catalog oracle uses)."""
+    import numpy as np
+    import pandas as pd
+
+    from gnarly_spark.operators.temporal import asof_join
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        nk, nv, np_ = 5, 60, 40
+        v = pd.DataFrame(
+            {
+                "url": [str(x) for x in rng.integers(0, nk, nv)],
+                "warc_ts": pd.to_datetime(
+                    rng.integers(0, 1000, nv) * 3600, unit="s"
+                ),
+                "op_seq": np.arange(nv, dtype="int64"),
+                "value": rng.normal(size=nv).round(3),
+            }
+        )
+        p = pd.DataFrame(
+            {
+                "probe_seq": np.arange(np_, dtype="int64"),
+                "url": [str(x) for x in rng.integers(0, nk, np_)],
+                "ts": pd.to_datetime(rng.integers(0, 1000, np_) * 3600, unit="s"),
+            }
+        )
+        # LWW-dedup equal (url, warc_ts) to max op_seq (the tie contract)
+        vd = v.sort_values("op_seq").groupby(["url", "warc_ts"], as_index=False).last()
+        expected = pd.merge_asof(
+            p.sort_values("ts", kind="stable"),
+            vd.sort_values("warc_ts")[["url", "warc_ts", "op_seq", "value"]],
+            left_on="ts",
+            right_on="warc_ts",
+            by="url",
+            direction="backward",
+            allow_exact_matches=True,
+        ).set_index("probe_seq")
+        got = (
+            asof_join(
+                spark.createDataFrame(
+                    p, schema="probe_seq long, url string, ts timestamp"
+                ),
+                spark.createDataFrame(
+                    v,
+                    schema="url string, warc_ts timestamp, op_seq long, value double",
+                ),
+            )
+            .toPandas()
+            .set_index("probe_seq")
+        )
+        import pandas.testing as pdt
+
+        pdt.assert_series_equal(
+            got.asof_seq.sort_index(),
+            expected.op_seq.sort_index().rename("asof_seq"),
+            check_dtype=False,
+        )
+        pdt.assert_series_equal(
+            got.asof_value.sort_index(),
+            expected.value.sort_index().rename("asof_value"),
+            check_dtype=False,
+        )
+
+
+def test_sessionize_agrees_with_native_session_window(spark):
+    """Cross-validate the gap-island implementation against Spark's own
+    F.session_window (the Structured Streaming primitive): identical
+    (user, session_start, n_events) multiset. (Boundary semantics differ
+    only for a gap of EXACTLY 30:00 — native merges on strict overlap,
+    ours on <= — and the fixture data has no such gap, asserted below.)"""
+    from gnarly_spark.operators.temporal import sessionize
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    from pyspark.sql import Window as W
+
+    prev = F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    boundary = (
+        e.withColumn("_d", F.col("ts") - prev)
+        .where(F.col("_d") == F.expr("INTERVAL 30 MINUTES"))
+        .count()
+    )
+    assert boundary == 0  # precondition for exact agreement
+    ours = (
+        sessionize(e, tiebreak="event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("ts").alias("s"), F.count("*").alias("n"))
+        .select("user_id", "s", "n")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    native = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+        .toPandas()
+        .sort_values(["user_id", "s"])
+        .reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(ours, native, check_dtype=False)
