@@ -115,3 +115,83 @@ def sessionize(
         .withColumn("session_idx", F.sum("_new_s").over(run) - F.lit(1))
         .drop("_new_s")
     )
+
+
+def sessionize_chunked(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "INTERVAL 30 MINUTES",
+    tiebreak: str | None = None,
+    chunk_seconds: int = 86400,
+) -> DataFrame:
+    """EXACTLY ``sessionize``, but scalable past hot keys: a key with 10^8
+    events (bot traffic, a crawler's own fetch log) would serialize
+    ``sessionize``'s single per-key window task. Here the per-EVENT window
+    is partitioned by (key, time-chunk) — a hot key's events spread over
+    as many tasks as it has active chunks — and sessions crossing a chunk
+    boundary are stitched through a summary relation with ONE ROW PER
+    (key, chunk): tiny regardless of event volume, so its per-key window
+    is over chunk counts, not event counts.
+
+    Stitch rule: chunk c's first session continues the previous non-empty
+    chunk's last session iff first_ts(c) - last_ts(prev) <= gap (empty
+    chunks between them fall out naturally — the summary has no row for
+    them, and a gap spanning them exceeds ``gap`` by construction only
+    when it actually does). Global index of local session j in chunk c =
+    (total sessions in prior chunks) - (boundary merges so far, current
+    chunk included) + j, which renumbers 0-based per key in time order —
+    bit-identical to the single-window ``sessionize`` (property-tested).
+
+    WHEN TO USE (measured, BENCH.md): ``sessionize`` is FASTER whenever
+    the hottest chain fits a single sort task — on the bench box a 38M-row
+    hot chain sorts in ~2.3s and this variant's extra shuffle/join costs
+    3x that. Switch to chunked only when a key's chain exceeds what one
+    task can hold at all (10^9-event bot/crawler keys: the single-window
+    form fails, this one spreads the chain over chunk-count tasks).
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    # tumbling-window start as the chunk id (works on TIMESTAMP_NTZ, which
+    # cannot cast to a numeric epoch)
+    e = events.withColumn(
+        "_chunk", F.window(F.col(ts), f"{chunk_seconds} seconds").start
+    )
+    # local gap-islands within (key, chunk)
+    wl = Window.partitionBy(key, "_chunk").orderBy(*order)
+    runl = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(ts).over(wl)
+    new_s = F.when(prev.isNull() | ((F.col(ts) - prev) > F.expr(gap)), 1).otherwise(0)
+    local = (
+        e.withColumn("_new_s", new_s)
+        .withColumn("_local_idx", F.sum("_new_s").over(runl) - F.lit(1))
+        .drop("_new_s")
+    )
+    # one row per (key, chunk): the only relation whose window spans chunks
+    summary = local.groupBy(key, "_chunk").agg(
+        F.min(ts).alias("_first_ts"),
+        F.max(ts).alias("_last_ts"),
+        (F.max("_local_idx") + 1).alias("_n_sessions"),
+    )
+    wc = Window.partitionBy(key).orderBy("_chunk")
+    runc = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_last = F.lag("_last_ts").over(wc)
+    merged = F.when(
+        prev_last.isNotNull() & ((F.col("_first_ts") - prev_last) <= F.expr(gap)), 1
+    ).otherwise(0)
+    offsets = (
+        summary.withColumn("_merged", merged)
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n_sessions").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("_merged").over(runc),
+        )
+        .select(key, "_chunk", "_offset")
+    )
+    return (
+        local.join(offsets, [key, "_chunk"])
+        .withColumn("session_idx", F.col("_offset") + F.col("_local_idx"))
+        .drop("_chunk", "_local_idx", "_offset")
+    )

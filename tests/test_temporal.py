@@ -237,3 +237,47 @@ def test_sessionize_agrees_with_native_session_window(spark):
     import pandas.testing as pdt
 
     pdt.assert_frame_equal(ours, native, check_dtype=False)
+
+
+def test_sessionize_chunked_equals_plain_property(spark):
+    """The chunked (hot-key-scalable) sessionize must be bit-identical to
+    the single-window form for random event sets — including a hot key
+    holding half the events, boundary-hugging timestamps, and chunk
+    widths SMALLER than the gap (stitching across empty chunks)."""
+    import numpy as np
+    import pandas as pd
+
+    from gnarly_spark.operators.temporal import sessionize, sessionize_chunked
+
+    rng = np.random.default_rng(7)
+    n = 600
+    users = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 20, n))
+    pdf = pd.DataFrame(
+        {
+            "user_id": [str(u) for u in users],
+            # cluster timestamps so both merges and splits occur
+            "ts": pd.to_datetime(
+                np.sort(rng.integers(0, 40, n)) * 1800
+                + rng.integers(0, 3600, n),
+                unit="s",
+            ),
+            "event_id": np.arange(n, dtype="int64"),
+        }
+    )
+    e = spark.createDataFrame(
+        pdf, schema="user_id string, ts timestamp, event_id long"
+    )
+    base = (
+        sessionize(e, tiebreak="event_id")
+        .toPandas()
+        .set_index("event_id")
+        .session_idx.sort_index()
+    )
+    for cs in (900, 3600, 7200):
+        got = (
+            sessionize_chunked(e, tiebreak="event_id", chunk_seconds=cs)
+            .toPandas()
+            .set_index("event_id")
+            .session_idx.sort_index()
+        )
+        assert got.equals(base), f"chunk_seconds={cs} diverged"
