@@ -457,8 +457,20 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
         .where(F.col("tok") != "")
         .distinct()
     )
-    # 32-bit token hash from the first 8 hex chars of md5 (engine-portable)
-    toks = toks.withColumn("th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    # token hash from md5 hex (engine-portable): 32-bit from the first 8 hex
+    # chars; for bits > 32 the next 8 hex chars fill the high word (composed
+    # with bitwise shift/or, which never overflow-checks — conv() of 16 hex
+    # chars straight to long would trip the ANSI unsigned->signed cast)
+    if bits <= 32:
+        toks = toks.withColumn(
+            "th", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        )
+    else:
+        toks = (
+            toks.withColumn("_hi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+            .withColumn("_lo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long"))
+            .withColumn("th", F.expr("shiftleft(_hi, 32) | _lo"))
+        )
     sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -469,7 +481,10 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     )
     word = None
     for b in range(bits):
-        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        # bit 63 is the sign bit: 1 << 63 does not fit a Java long literal,
+        # so use its two's-complement value (Long.MIN_VALUE) directly
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(mask).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         word = term if word is None else word + term

@@ -124,12 +124,28 @@ def media_repartition_by_bytes(
       3. bucket = cumulative_bytes div target; rows land in their bucket
          via repartitionByRange (contiguous bucket ids -> ~1 bucket per
          output partition).
-    The only driver-side value is the total-bytes scalar (partition-count
-    planning)."""
+    ``id_col`` may be any orderable type: numeric ids chunk by integer
+    division (preserves id locality); anything else (string asset ids,
+    UUIDs) chunks by xxhash64 mod ceil(rows/chunk_rows) — deterministic,
+    ~chunk_rows rows per chunk, at the cost of one extra count action.
+
+    The only driver-side values are scalars (total bytes / row count for
+    partition planning)."""
+    from pyspark.sql.types import NumericType
+
+    if id_col not in df.columns:
+        raise ValueError(
+            f"media_repartition_by_bytes needs id column {id_col!r} "
+            f"(have: {df.columns}) — pass id_col="
+        )
     target = target_mb * 1024 * 1024
-    d = df.withColumn("_nb", F.length(F.col(binary_col)).cast("long")).withColumn(
-        "_chunk", F.floor(F.col(id_col) / chunk_rows)
-    )
+    d = df.withColumn("_nb", F.length(F.col(binary_col)).cast("long"))
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        d = d.withColumn("_chunk", F.floor(F.col(id_col) / chunk_rows))
+    else:
+        n_rows = d.count()
+        n_chunks = max(1, -(-n_rows // chunk_rows))
+        d = d.withColumn("_chunk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_chunks)))
     totals = d.groupBy("_chunk").agg(F.sum("_nb").alias("_cb"))
     total_bytes = totals.agg(F.sum("_cb")).collect()[0][0]  # scalar only
     if not total_bytes:

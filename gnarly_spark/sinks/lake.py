@@ -109,7 +109,13 @@ class ParquetLakeTable:
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         cur = self._manifest()
         if cur["version"] >= 0:
+            # mode and n_buckets are physical-layout facts of the table, not
+            # per-open options: reopening with a different n_buckets would
+            # route lookups to the wrong bucket and make compact() write
+            # rows into buckets the manifest never references (silent loss).
+            # The manifest is authoritative once the table exists.
             self.mode = cur.get("mode", "cow")
+            self.n_buckets = int(cur.get("n_buckets", n_buckets))
 
     # ---- snapshot control plane -------------------------------------
     @property
@@ -137,6 +143,10 @@ class ParquetLakeTable:
             return json.load(f)
 
     def _commit(self, manifest: dict) -> int:
+        # stamp the physical-layout facts on every snapshot so reopen
+        # restores them (see __init__)
+        manifest["mode"] = self.mode
+        manifest["n_buckets"] = self.n_buckets
         v = manifest["version"]
         mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
         tmp = mpath + ".tmp"
@@ -262,7 +272,13 @@ class ParquetLakeTable:
         have = set(df.columns)
         return df.select(
             *[
-                F.col(c) if c in have else F.lit(None).cast(t).alias(c)
+                # the cast is a no-op when types already match; when a merge
+                # widened the column (int->bigint) it coerces BOTH the batch
+                # and the survivor/delta rows to the manifest type, so every
+                # file written from here on carries exactly the manifest
+                # schema (old base files upcast at scan time — Spark 4
+                # parquet widening reads)
+                F.col(c).cast(t).alias(c) if c in have else F.lit(None).cast(t).alias(c)
                 for c, t in columns
             ]
         )
@@ -288,20 +304,26 @@ class ParquetLakeTable:
         up = upserts
         dk = delete_keys.select(key).distinct() if delete_keys is not None else None
 
-        # merged column set (schema evolution: new columns widen the table)
-        columns: list[tuple[str, str]] = (
-            [tuple(f.split(" ", 1)) for f in m["schema"].split(", ")]
-            if m["schema"]
-            else []
-        )
-        old_names = {c for c, _ in columns}
-        if up is not None:
-            columns += [
+        # merged column set (schema evolution): new columns widen the table,
+        # and an existing column arriving with a wider type (int->bigint,
+        # float->double) widens to Spark's own union-coerced type — computed
+        # by unionByName over two empty relations, so the rule is exactly
+        # Spark's least-common-type, not a hand-rolled table. Delta/rewrite
+        # files are cast to the widened type in _align; old base files need
+        # no rewrite on the MOR path (parquet widening reads upcast at scan
+        # time), and the COW path rewrites stale buckets below as before.
+        if m["schema"] and up is not None:
+            columns = [
                 (f.name, f.dataType.simpleString())
-                for f in up.schema.fields
-                if f.name not in old_names
+                for f in self.spark.createDataFrame([], m["schema"])
+                .unionByName(up.limit(0), allowMissingColumns=True)
+                .schema.fields
             ]
-        if not columns:
+        elif m["schema"]:
+            columns = [tuple(f.split(" ", 1)) for f in m["schema"].split(", ")]
+        elif up is not None:
+            columns = [(f.name, f.dataType.simpleString()) for f in up.schema.fields]
+        else:
             return False
 
         if self.mode == "mor":

@@ -136,6 +136,14 @@ class CdcIngestPipeline:
         # dedup_flags/batch=N (idempotent overwrite); see dup_flags().
         self.compact_every = compact_every
         self.dedup_minhash = dedup_minhash
+        if dedup_minhash is not None and not with_text:
+            # fail at construction, not mid-batch: signatures are computed
+            # over the extracted text column, which with_text=False never
+            # materializes
+            raise ValueError(
+                "dedup_minhash requires with_text=True (near-dup signatures "
+                "are computed over the extracted text column)"
+            )
         if dedup_minhash is not None:
             self.dedup_params = {
                 "k": 8, "bands": 4, "min_est_jaccard": 0.5, **dedup_minhash
@@ -703,7 +711,20 @@ class CdcIngestPipeline:
         sigs = minhash_signatures(
             new_docs, k=p["k"], text_col="text", id_col="url"
         ).withColumnRenamed("id", "url")
-        self.sig_table.merge(sigs, delete_keys=deletes, batch_id=batch_id)
+        # a url whose NEW version yields no signature (null text, or too
+        # short to shingle) must not keep its OLD signature live — later
+        # batches would be flagged as dups of content the corpus no longer
+        # holds. Batch urls without a signature row are deleted alongside
+        # the stream's explicit deletes (sig merge resolves a key in both
+        # upserts and delete_keys to the upsert, so this is safe even if
+        # the anti-join and sigs ever overlapped).
+        no_sig = upserts.select("url").distinct().join(
+            sigs.select("url"), "url", "left_anti"
+        )
+        dels = no_sig if deletes is None else no_sig.unionByName(
+            deletes.select("url")
+        ).distinct()
+        self.sig_table.merge(sigs, delete_keys=dels, batch_id=batch_id)
 
     def dup_flags(self) -> DataFrame | None:
         """All near-dup flags so far: (url, dup_of, est_jaccard, batch).
@@ -795,12 +816,24 @@ class CdcIngestPipeline:
             )
 
             def _fb(parsed_df: DataFrame, batch_id: int) -> None:
-                jsonl_dead_letters(parsed_df).write.mode("overwrite").parquet(
-                    os.path.join(self.dead_letter_dir, f"batch={batch_id}")
-                )
-                self.process_batch(
-                    jsonl_events(parsed_df, self.source_schema), batch_id
-                )
+                # parse the micro-batch's lines ONCE: both projections
+                # (dead letters + good events) read the cached parse, so a
+                # multi-million-line backfill trigger doesn't pay the text
+                # scan + from_json twice. Also spread here — the raw file
+                # stream arrives with as many partitions as file splits, so
+                # without it the parse itself runs on 1-2 tasks.
+                parsed = parsed_df.repartition(
+                    self.spark.sparkContext.defaultParallelism
+                ).persist()
+                try:
+                    jsonl_dead_letters(parsed).write.mode("overwrite").parquet(
+                        os.path.join(self.dead_letter_dir, f"batch={batch_id}")
+                    )
+                    self.process_batch(
+                        jsonl_events(parsed, self.source_schema), batch_id
+                    )
+                finally:
+                    parsed.unpersist()
 
             on_batch = _fb
         elif source_format == "parquet":

@@ -139,6 +139,47 @@ def test_mor_schema_evolution_mid_deltas(spark, pair):
     assert _pdf(mor.read()).lang.tolist()[0] == "en"
 
 
+def test_mor_type_widening_mid_deltas(spark, pair):
+    """An existing column arriving with a WIDER type (int -> bigint) widens
+    the table schema on both modes: COW coerces + rewrites stale buckets,
+    MOR records the widened type and upcasts old base files at scan time
+    (Spark 4 parquet widening reads) — no crash, identical reads, and
+    compaction folds to the widened type."""
+    cow, mor = pair
+    big = 1 << 40  # does not fit int32
+    for t in (cow, mor):
+        t.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+        t.merge(
+            mk(spark, [("b", big), ("d", 4)], "url string, v bigint"),
+            batch_id=1,
+        )
+    c, m = _pdf(cow.read()), _pdf(mor.read())
+    assert c.v.tolist() == m.v.tolist() == [1, big, 3, 4]
+    assert "v bigint" in cow._manifest()["schema"]
+    assert "v bigint" in mor._manifest()["schema"]
+    # bucket-pruned lookup reads base (int32) and delta (int64) files in
+    # one scan under the widened schema
+    assert _pdf(mor.lookup("a")).v.tolist() == [1]
+    assert _pdf(mor.lookup("b")).v.tolist() == [big]
+    mor.compact()
+    assert _pdf(mor.read()).v.tolist() == [1, big, 3, 4]
+
+
+def test_n_buckets_sticky_on_reopen(spark, tmp_path):
+    """n_buckets is a physical-layout fact recorded in the manifest: a job
+    reopening the table with a different value must get the recorded one,
+    or lookups would scan the wrong bucket and compact() would write rows
+    into buckets the new manifest never references."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=4)
+    t.merge(mk(spark, [(f"url{i}", i) for i in range(30)]), batch_id=0)
+    re = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=32)
+    assert re.n_buckets == 4
+    assert _pdf(re.lookup("url7")).v.tolist() == [7]
+    re.merge(mk(spark, [("url7", 700)]), batch_id=1)
+    assert _pdf(re.lookup("url7")).v.tolist() == [700]
+    assert _pdf(re.read()).shape[0] == 30
+
+
 def test_mor_mode_sticky_on_reopen(spark, tmp_path):
     """The manifest's recorded mode wins over the constructor argument —
     a maintenance job reopening with defaults must not flip the table to

@@ -95,6 +95,26 @@ def test_repartition_by_bytes_mixed_sizes_no_straggler(spark):
     assert len([s for s in sizes if s >= (8 << 20)]) == 8
 
 
+def test_repartition_by_bytes_string_ids(spark):
+    """Non-numeric ids (string asset keys) chunk by xxhash64 mod
+    ceil(rows/chunk_rows) instead of integer division — same byte-balance
+    contract, any orderable id type."""
+    rows = [(f"asset-{i:05d}", b"v" * 1024) for i in range(2048)] + [
+        (f"big-{i}", b"V" * (4 << 20)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, schema="asset_id string, payload binary")
+    out = media_repartition_by_bytes(df, id_col="asset_id", target_mb=2)
+    assert out.count() == 2052
+    sizes = _partition_bytes(out)
+    assert sum(sizes) == 2048 * 1024 + 4 * (4 << 20)
+    # no partition holds more than one oversized row plus ~target of small
+    assert max(sizes) <= (4 << 20) + (2 << 20)
+    with pytest.raises(ValueError, match="asset_id"):
+        media_repartition_by_bytes(
+            df.select("payload"), id_col="asset_id", target_mb=2
+        )
+
+
 def test_sample_frames(spark):
     df = spark.createDataFrame([(0, 3500), (1, 900)], "doc_id long, duration_ms long")
     got = sample_frames(df, every_ms=1000).toPandas()

@@ -389,6 +389,50 @@ def test_streaming_dedup_flags_cross_batch_dups(spark, tmp_path):
     assert ("https://d", "https://c") in got and ("https://d", "https://a") not in got
 
 
+def test_dedup_stale_signature_removed_on_signatureless_update(spark, tmp_path):
+    """When a url's NEW version yields no minhash signature (null html ->
+    null text), its OLD signature must leave the corpus table — otherwise a
+    later page matching the old content is flagged as a dup of content the
+    corpus no longer holds."""
+    from gnarly_spark.fixtures import block_hash, html_for
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["op_seq", "block_id", "op", "url", "html", "revert_of_block"],
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.op_seq, unit="s")
+        pdf["lang"] = "en"
+        pdf["reason"] = None
+        from gnarly_spark.fixtures import CHANGELOG_COLUMNS
+
+        return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+    ha = html_for("https://a", 1)
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), dedup_minhash={"min_est_jaccard": 0.5}
+    )
+    p.process_batch(mk([(1, 0, "insert", "https://a", ha, None)]), 0)
+    assert p.sig_table.read().count() == 1
+    # a's new version has no html -> no extracted text -> no signature
+    p.process_batch(mk([(2, 1, "update", "https://a", None, None)]), 1)
+    assert p.sig_table.read().count() == 0  # stale signature deleted
+    # a page matching a's OLD content must NOT be flagged against it
+    p.process_batch(mk([(3, 2, "insert", "https://b", ha, None)]), 2)
+    assert p.dup_flags().count() == 0
+
+
+def test_dedup_requires_with_text(spark, tmp_path):
+    """dedup_minhash over a pipeline that never materializes text must fail
+    at construction, not mid-batch."""
+    with pytest.raises(ValueError, match="with_text"):
+        CdcIngestPipeline(
+            spark, str(tmp_path / "work"), with_text=False, dedup_minhash={}
+        )
+
+
 def test_mor_target_with_compaction_matches_replay(spark, tmp_path):
     """Full pipeline over a MOR target (O(batch) delta commits +
     periodic compaction) must agree with the replay oracle exactly —

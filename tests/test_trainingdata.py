@@ -107,6 +107,28 @@ def test_simhash_hamming_pairs_complete_vs_bruteforce(spark, docs):
     assert brute[(0, 1)] == 0 and brute[(0, 4)] == 0  # exact dups
 
 
+def test_simhash_64bit_pairs_complete_vs_bruteforce(spark, docs):
+    """bits=64 — the setting simhash_hamming_pairs recommends for Hamming
+    radius up to 7 — must (a) carry real signal in the high 32 bits (the
+    token hash widens to 64 bits, not zero-padded), (b) encode bit 63 as
+    Long.MIN_VALUE without a literal overflow, and (c) recall exactly the
+    all-pairs answer under bands=8 blocking."""
+    from gnarly_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    sig = simhash(docs, bits=64).toPandas().set_index("id").simhash
+    assert any(int(s) & (0xFFFFFFFF << 32) for s in sig)  # high word populated
+    got = simhash_hamming_pairs(docs, max_hamming=7, bands=8, bits=64).toPandas()
+    m = (1 << 64) - 1
+    brute = {
+        (a, b): bin((int(sig[a]) ^ int(sig[b])) & m).count("1")
+        for a in sig.index
+        for b in sig.index
+        if a < b and bin((int(sig[a]) ^ int(sig[b])) & m).count("1") <= 7
+    }
+    assert {(r.id_a, r.id_b): r.hamming for r in got.itertuples()} == brute
+    assert brute[(0, 1)] == 0 and brute[(0, 4)] == 0  # exact dups
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(1)
     vecs = rng.normal(size=(50, 16)).astype("float32")
