@@ -251,6 +251,13 @@ class ParquetLakeTable:
         out_dir = os.path.join(self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
         (
             df.repartition(F.col("_bucket"))
+            # key-sorted within each bucket file: parquet records min/max
+            # per row group, so lookup()'s pushed key-equality skips every
+            # row group but the winner's — at 100 TB a point read touches
+            # 1/n_buckets of the files AND ~1 row group per file, instead
+            # of decoding whole buckets. Cost: an in-task sort of rows the
+            # write was already shuffling (no extra exchange).
+            .sortWithinPartitions("_bucket", self.key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)

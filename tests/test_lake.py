@@ -91,6 +91,21 @@ def test_lookup_prunes_to_key_buckets(spark, table):
     assert "PushedFilters" in plan and "url7" in plan
 
 
+def test_data_files_key_sorted_within_bucket(spark, table):
+    """Every data file is key-sorted: parquet then records tight min/max
+    key ranges per row group, so lookup()'s pushed equality skips all but
+    one row group per file — the second half of the point-read path
+    (bucket pruning picks the files, row-group stats prune within them)."""
+    import pyarrow.parquet as pq
+
+    table.merge(mk(spark, [(f"url{i:04d}", i) for i in range(500)]), batch_id=0)
+    files = table.read().inputFiles()
+    assert files
+    for f in files:
+        keys = pq.read_table(f.replace("file:", ""), columns=["url"])["url"].to_pylist()
+        assert keys == sorted(keys), f"unsorted data file {f}"
+
+
 def test_schema_evolution_adds_column(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     widened = spark.createDataFrame(
