@@ -310,6 +310,8 @@ class ParquetLakeTable:
         key = self.key
         up = upserts
         dk = delete_keys.select(key).distinct() if delete_keys is not None else None
+        if up is None and dk is None:
+            return False  # nothing to commit (and no batch_id recorded)
 
         # merged column set (schema evolution): new columns widen the table,
         # and an existing column arriving with a wider type (int->bigint,

@@ -59,6 +59,79 @@ def test_replay_equals_oracle_property(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@given(data=st.data())
+def test_lake_modes_match_dict_model_property(spark, tmp_path_factory, data):
+    """For ARBITRARY merge/delete/compact/refire sequences — including
+    mid-sequence type widening (int -> bigint values) and column adds —
+    a COW table, a MOR table, and a plain python dict must agree on the
+    final state; refired batch_ids must be no-ops on both."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    keys = [f"k{i}" for i in range(8)]
+    n_ops = data.draw(st.integers(2, 5), label="n_ops")
+    work = str(tmp_path_factory.mktemp("lakeprop"))
+    cow = ParquetLakeTable(spark, work + "/cow", key="url", n_buckets=4)
+    mor = ParquetLakeTable(spark, work + "/mor", key="url", n_buckets=4, mode="mor")
+    model: dict[str, tuple] = {}
+    has_schema = False
+    for batch_id in range(n_ops):
+        ups = data.draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(keys),
+                    st.one_of(st.integers(0, 100), st.integers(2**35, 2**40)),
+                    st.sampled_from(["en", "de", None]),
+                ),
+                min_size=0,
+                max_size=5,
+                unique_by=lambda t: t[0],
+            ),
+            label="upserts",
+        )
+        dels = data.draw(
+            st.lists(st.sampled_from(keys), min_size=0, max_size=3, unique=True),
+            label="deletes",
+        )
+        wide = data.draw(st.booleans(), label="wide_schema")
+        # batches of small values write v as int; a later big-value batch
+        # widens the column to bigint mid-sequence
+        vtype = "bigint" if any(v >= 2**31 for _, v, _ in ups) else "int"
+        schema = f"url string, v {vtype}" + (", lang string" if wide else "")
+        up_rows = [(k, v, lang)[: 3 if wide else 2] for k, v, lang in ups]
+        # a delete-only batch on a schema-less table is a no-commit no-op
+        expect_commit = bool(up_rows) or (bool(dels) and has_schema)
+        for t in (cow, mor):
+            up_df = spark.createDataFrame(up_rows, schema=schema) if up_rows else None
+            dk_df = (
+                spark.createDataFrame([(k,) for k in dels], "url string")
+                if dels
+                else None
+            )
+            assert t.merge(up_df, delete_keys=dk_df, batch_id=batch_id) == expect_commit
+            if expect_commit:  # refire must be a committed-batch no-op
+                v_before = t.current_version()
+                assert t.merge(up_df, delete_keys=dk_df, batch_id=batch_id) is False
+                assert t.current_version() == v_before
+        has_schema = has_schema or bool(up_rows)
+        # model: upsert wins over a same-batch delete (documented contract)
+        for k in dels:
+            model.pop(k, None)
+        for k, v, lang in ups:
+            model[k] = (v, lang if wide else None)
+        if data.draw(st.booleans(), label="compact"):
+            mor.compact()
+    for t in (cow, mor):
+        got = {
+            r.url: (r.v, getattr(r, "lang", None)) for r in t.read().collect()
+        }
+        assert got == model, f"{t.mode} diverged from model"
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(
     seed=st.integers(0, 10_000),
     n_batches=st.integers(1, 6),
