@@ -92,6 +92,7 @@ class ParquetLakeTable:
         key: str = "url",
         n_buckets: int = 16,
         mode: str = "cow",
+        files_per_bucket: int = 1,
     ):
         self.spark = spark
         # realpath: manifests record absolute data-file paths, and
@@ -105,6 +106,14 @@ class ParquetLakeTable:
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         self.mode = mode
+        # write-parallelism knob (NOT a layout fact — readers don't care
+        # how many files a bucket has, the manifest lists them): with the
+        # default 1, each bucket is written by ONE task (hash repartition
+        # on _bucket puts a whole bucket in one partition) — a 6 GB bucket
+        # rewrite is a 6 GB single-task file. >1 range-splits each bucket
+        # into that many key-disjoint files written in parallel, preserving
+        # per-file key sort (so row-group AND file-level pruning survive).
+        self.files_per_bucket = max(1, int(files_per_bucket))
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         cur = self._manifest()
@@ -249,15 +258,24 @@ class ParquetLakeTable:
         """Write df (carrying ``_bucket``) as one dir per bucket; returns
         bucket -> file list. Data files are immutable once written."""
         out_dir = os.path.join(self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        if self.files_per_bucket > 1:
+            # range partition on (_bucket, key): each bucket splits into
+            # ~files_per_bucket contiguous key ranges written by parallel
+            # tasks (one range-sampling job extra — worth it for big COW
+            # rewrites, skip for hot MOR delta appends via the default 1)
+            df = df.repartitionByRange(
+                self.n_buckets * self.files_per_bucket, "_bucket", self.key
+            )
+        else:
+            df = df.repartition(F.col("_bucket"))
         (
-            df.repartition(F.col("_bucket"))
             # key-sorted within each bucket file: parquet records min/max
             # per row group, so lookup()'s pushed key-equality skips every
             # row group but the winner's — at 100 TB a point read touches
             # 1/n_buckets of the files AND ~1 row group per file, instead
             # of decoding whole buckets. Cost: an in-task sort of rows the
             # write was already shuffling (no extra exchange).
-            .sortWithinPartitions("_bucket", self.key)
+            df.sortWithinPartitions("_bucket", self.key)
             .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
@@ -510,6 +528,56 @@ class ParquetLakeTable:
             "compacted_buckets": len(todo),
             "folded_delta_files": folded,
             "version": version,
+        }
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Re-hash the table into a different bucket count — the sanctioned
+        way to change the (manifest-sticky) layout when a table outgrows it
+        (a 100 TB table that started at n_buckets=16 has 6 TB buckets; the
+        fix is 4096, not reopening with a different constructor arg, which
+        the manifest deliberately ignores).
+
+        One snapshot: resolve the current state (folding MOR deltas),
+        rewrite every row under the new hash, commit with the new
+        n_buckets recorded. O(table) by construction — bucket-parallel,
+        and `files_per_bucket` bounds the largest write task. Old
+        snapshots still time-travel (their files are untouched);
+        applied batch_ids carry over, so refires stay no-ops across the
+        layout change.
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        m = self._manifest()
+        if m["version"] < 0:
+            self.n_buckets = n_buckets  # empty table: just adopt the layout
+            return {"version": -1, "n_buckets": n_buckets, "rows": 0}
+        resolved = self._read_snapshot(m, None)
+        old = self.n_buckets
+        self.n_buckets = n_buckets
+        try:
+            resolved = resolved.withColumn(
+                "_bucket", bucket_of(F.col(self.key), n_buckets)
+            )
+            version = m["version"] + 1
+            files = self._write_buckets(resolved, version)
+        except Exception:
+            self.n_buckets = old  # failed write: table layout unchanged
+            raise
+        self._commit(
+            {
+                "version": version,
+                "buckets": files,
+                "deltas": {},
+                "batch_ids": m["batch_ids"],
+                "schema": m["schema"],
+                "parent": m["version"],
+                "mode": self.mode,
+            }
+        )
+        return {
+            "version": version,
+            "n_buckets": n_buckets,
+            "files": sum(len(fl) for fl in files.values()),
         }
 
     def lineage(self) -> list[dict]:

@@ -91,11 +91,21 @@ class CdcIngestPipeline:
         spread_batch: bool = True,
         dedup_minhash: dict | None = None,
         compact_every: int | None = None,
+        files_per_bucket: int = 1,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
+        # files_per_bucket > 1 range-splits each target bucket's rewrite
+        # into parallel write tasks (lake.py _write_buckets) — the COW
+        # merge's per-bucket single-task parquet+zstd encode is the
+        # dominant serial term once buckets outgrow cores (measured 6-10x
+        # on a 6M-row rewrite, BENCH.md). Only used when `target` is not
+        # supplied; pass your own table to control its layout directly.
         self.target = target or ParquetLakeTable(
-            spark, os.path.join(self.work_dir, "pages"), key="url"
+            spark,
+            os.path.join(self.work_dir, "pages"),
+            key="url",
+            files_per_bucket=files_per_bucket,
         )
         self.retention_blocks = retention_blocks
         self.salt_partitions = salt_partitions

@@ -106,6 +106,64 @@ def test_data_files_key_sorted_within_bucket(spark, table):
         assert keys == sorted(keys), f"unsorted data file {f}"
 
 
+def test_files_per_bucket_parallel_writes_stay_sorted_and_disjoint(spark, tmp_path):
+    """files_per_bucket > 1 range-splits each bucket into key-disjoint,
+    individually key-sorted files (parallel write tasks for big COW
+    rewrites) — reads, lookups and pruning semantics unchanged."""
+    import pyarrow.parquet as pq
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=2, files_per_bucket=3
+    )
+    t.merge(mk(spark, [(f"url{i:04d}", i) for i in range(600)]), batch_id=0)
+    m = t._manifest()
+    assert any(len(fl) > 1 for fl in m["buckets"].values())  # buckets split
+    for fl in m["buckets"].values():
+        ranges = []
+        for f in fl:
+            keys = pq.read_table(f, columns=["url"])["url"].to_pylist()
+            assert keys == sorted(keys), f"unsorted file {f}"
+            ranges.append((keys[0], keys[-1]))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi < lo, "bucket files overlap in key range"
+    assert t.read().count() == 600
+    assert _pdf(t.lookup("url0042")).v.tolist() == [42]
+
+
+def test_rebucket_rehashes_preserving_state_and_batch_ids(spark, tmp_path):
+    """rebucket() is the sanctioned layout change: content identical,
+    lookups route via the new hash, applied batch_ids survive (refires
+    still no-op), old snapshots still time-travel, and a reopen adopts
+    the new recorded n_buckets."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2, mode="mor")
+    t.merge(mk(spark, [(f"url{i}", i) for i in range(40)]), batch_id=0)
+    t.merge(
+        mk(spark, [("url3", 300)]),
+        delete_keys=mk(spark, [("url5",)], "url string"),
+        batch_id=1,
+    )  # leave MOR deltas outstanding — rebucket must fold them
+    v_before = t.current_version()
+    stats = t.rebucket(8)
+    assert stats["n_buckets"] == 8 and t.n_buckets == 8
+    got = _pdf(t.read())
+    assert len(got) == 39 and got.set_index("url").v.loc["url3"] == 300
+    assert _pdf(t.lookup("url3")).v.tolist() == [300]
+    assert t._manifest()["deltas"] == {}  # deltas folded by the rewrite
+    # refire of an already-applied batch is still a no-op after rebucket
+    assert t.merge(mk(spark, [("url3", 999)]), batch_id=1) is False
+    # old snapshot still time-travels under the old layout
+    assert t.read(version=v_before).count() == 39
+    # reopen adopts the recorded layout, not the constructor default
+    re = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    assert re.n_buckets == 8
+    assert _pdf(re.lookup("url7")).v.tolist() == [7]
+
+
 def test_schema_evolution_adds_column(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     widened = spark.createDataFrame(
