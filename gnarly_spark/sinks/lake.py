@@ -58,6 +58,13 @@ def bucket_of(key_col, n_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
 
 
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic-concurrency
+    loss). Callers recompute against the new current manifest and retry —
+    see ParquetLakeTable._retrying. Iceberg's catalog CAS plays this role
+    on the production path."""
+
+
 class ParquetLakeTable:
     """Bucketed lake table with snapshot manifests; two write paths:
 
@@ -158,15 +165,63 @@ class ParquetLakeTable:
         manifest["n_buckets"] = self.n_buckets
         v = manifest["version"]
         mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
-        tmp = mpath + ".tmp"
+        tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, mpath)
-        ptmp = self._current_path + ".tmp"
+        # optimistic concurrency: exactly ONE writer may create v{N}.json.
+        # os.link is atomic and fails with EEXIST if another writer (a
+        # concurrent merge vs a compact/rebucket maintenance job) committed
+        # this version first — the loser re-reads the new manifest and
+        # recomputes (_retrying) instead of silently overwriting the
+        # winner's commit out of the manifest chain. This is the local-fs
+        # analog of Iceberg's catalog pointer CAS.
+        try:
+            os.link(tmp, mpath)
+        except FileExistsError:
+            raise CommitConflict(f"version {v} was committed by another writer")
+        finally:
+            os.unlink(tmp)
+        ptmp = self._current_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(ptmp, "w") as f:
             f.write(str(v))
+        # _CURRENT only ever moves forward; with per-version CAS above, the
+        # only writer replacing it for version v is v's unique winner
         os.replace(ptmp, self._current_path)  # atomic snapshot swap
         return v
+
+    def _retrying(self, attempt_fn, attempts: int = 5):
+        """Run ``attempt_fn()`` (which reads the latest committed manifest,
+        writes data files, and _commits) until it wins the version CAS. Each
+        retry recomputes against the NEW manifest, so a lost race never
+        drops the winner's rows; the loser's orphaned data files are
+        reclaimed by expire_snapshots. Concurrent WRITER support is for
+        maintenance-vs-ingest races — steady-state ingest is still one
+        streaming writer."""
+        import time as _time
+
+        for i in range(attempts):
+            try:
+                return attempt_fn()
+            except CommitConflict:
+                if i == attempts - 1:
+                    raise
+                # brief backoff: the winner may not have swapped _CURRENT
+                # yet, but _latest_committed() already sees its manifest
+                _time.sleep(0.05 * (i + 1))
+        raise AssertionError("unreachable")
+
+    def _latest_committed(self) -> int:
+        """Highest durably-committed version — what a WRITER must build on.
+        Readers use _CURRENT (a consistent published snapshot); a writer
+        using _CURRENT could race the window between a competitor's version
+        CAS and its pointer swap, then spin losing the same version."""
+        mdir = os.path.join(self.path, "_manifests")
+        vs = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(vs, default=-1)
 
     def applied_batch_ids(self) -> set[int]:
         return set(self._manifest()["batch_ids"])
@@ -319,9 +374,19 @@ class ParquetLakeTable:
         Returns False (no-op) when ``batch_id`` was already applied — the
         idempotence that makes foreachBatch exactly-once under refires
         (replaces the reference's save-tx-then-apply replay protocol,
-        Ourbit.ts:144-150 + ReducerRunner.ts:63-104).
+        Ourbit.ts:144-150 + ReducerRunner.ts:63-104). Optimistically
+        retried on a version-CAS loss to a concurrent maintenance commit
+        (compact/rebucket) — recomputed against the winner's manifest.
         """
-        m = self._manifest()
+        return self._retrying(lambda: self._merge_once(upserts, delete_keys, batch_id))
+
+    def _merge_once(
+        self,
+        upserts: DataFrame | None,
+        delete_keys: DataFrame | None,
+        batch_id: int | None,
+    ) -> bool:
+        m = self._manifest(self._latest_committed())
         if batch_id is not None and batch_id in m["batch_ids"]:
             return False
 
@@ -366,7 +431,9 @@ class ParquetLakeTable:
             tdf = tdf.unionAll(t)
         buckets = [r.b for r in tdf.distinct().collect()]
 
-        existing = self.read_buckets(buckets) if m["schema"] else None
+        # read survivors from the WRITER's manifest m (not _CURRENT — on a
+        # CAS retry m is the competitor's newer commit)
+        existing = self._read_snapshot(m, buckets) if m["schema"] else None
 
         changed_keys = None
         if up is not None:
@@ -419,7 +486,7 @@ class ParquetLakeTable:
         if m["schema"] and schema_ddl != m["schema"]:
             stale = [b for b, fl in bucket_map.items() if fl and int(b) not in set(buckets)]
             if stale:
-                keep = self.read_buckets([int(b) for b in stale])
+                keep = self._read_snapshot(m, [int(b) for b in stale])
                 keep = self._align(keep, columns).withColumn(
                     "_bucket", bucket_of(F.col(key), self.n_buckets)
                 )
@@ -491,8 +558,12 @@ class ParquetLakeTable:
         the rewrite (at 100 TB you compact the hottest buckets on a cadence
         — cost is O(selected buckets' data), never the table). No-op
         (no commit) when nothing is pending. Returns {"compacted_buckets",
-        "folded_delta_files", "version"}."""
-        m = self._manifest()
+        "folded_delta_files", "version"}. CAS-retried against concurrent
+        ingest commits (the maintenance-vs-ingest race)."""
+        return self._retrying(lambda: self._compact_once(buckets))
+
+    def _compact_once(self, buckets: list[int] | None) -> dict:
+        m = self._manifest(self._latest_committed())
         dmap = m.get("deltas", {})
         pending = [int(b) for b, fl in dmap.items() if fl]
         todo = pending if buckets is None else [b for b in pending if b in set(buckets)]
@@ -547,7 +618,10 @@ class ParquetLakeTable:
         """
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        m = self._manifest()
+        return self._retrying(lambda: self._rebucket_once(n_buckets))
+
+    def _rebucket_once(self, n_buckets: int) -> dict:
+        m = self._manifest(self._latest_committed())
         if m["version"] < 0:
             self.n_buckets = n_buckets  # empty table: just adopt the layout
             return {"version": -1, "n_buckets": n_buckets, "rows": 0}
@@ -560,20 +634,22 @@ class ParquetLakeTable:
             )
             version = m["version"] + 1
             files = self._write_buckets(resolved, version)
+            self._commit(
+                {
+                    "version": version,
+                    "buckets": files,
+                    "deltas": {},
+                    "batch_ids": m["batch_ids"],
+                    "schema": m["schema"],
+                    "parent": m["version"],
+                    "mode": self.mode,
+                }
+            )
         except Exception:
-            self.n_buckets = old  # failed write: table layout unchanged
+            # failed write OR lost the version CAS: layout unchanged (a
+            # CAS retry re-enters with the pre-rebucket bucket count)
+            self.n_buckets = old
             raise
-        self._commit(
-            {
-                "version": version,
-                "buckets": files,
-                "deltas": {},
-                "batch_ids": m["batch_ids"],
-                "schema": m["schema"],
-                "parent": m["version"],
-                "mode": self.mode,
-            }
-        )
         return {
             "version": version,
             "n_buckets": n_buckets,

@@ -164,6 +164,43 @@ def test_rebucket_rehashes_preserving_state_and_batch_ids(spark, tmp_path):
     assert _pdf(re.lookup("url7")).v.tolist() == [7]
 
 
+def test_merge_retries_on_commit_conflict(spark, tmp_path):
+    """Optimistic concurrency: when another writer (a maintenance job, a
+    second pipeline) commits the version a merge was about to claim, the
+    merge must lose the manifest CAS, recompute against the winner's
+    manifest, and commit on top — BOTH commits' rows and batch_ids land,
+    nothing is silently overwritten out of the manifest chain."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+
+    competitor = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    orig = t._write_buckets
+    raced = {"n": 0}
+
+    def racing_write(df, version):
+        files = orig(df, version)
+        if raced["n"] == 0:  # steal the version exactly once, mid-commit
+            raced["n"] += 1
+            assert competitor.merge(mk(spark, [("x", 99)]), batch_id=100)
+        return files
+
+    t._write_buckets = racing_write
+    assert t.merge(mk(spark, [("y", 7), ("a", 10)]), batch_id=1) is True
+    assert raced["n"] == 1
+    got = _pdf(t.read()).set_index("url").v
+    assert got.to_dict() == {"a": 10, "b": 2, "x": 99, "y": 7}
+    assert {0, 1, 100} <= t.applied_batch_ids()
+    assert t.current_version() == 2  # batch0 = v0, competitor = v1, retried merge = v2
+    # losing attempt's orphaned files are reclaimed once manifests age out
+    t.merge(mk(spark, [("z", 1)]), batch_id=2)
+    t.expire_snapshots(keep_last=1)
+    assert _pdf(t.read()).set_index("url").v.to_dict() == {
+        "a": 10, "b": 2, "x": 99, "y": 7, "z": 1
+    }
+
+
 def test_schema_evolution_adds_column(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     widened = spark.createDataFrame(
