@@ -4,11 +4,17 @@ rewrite_data_files + expire_snapshots procedures).
 
     spark-submit --master <cluster> --py-files dist/gnarly_spark.zip \
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
-        [--keep-last 2] [--compact]
+        [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K]
 
-Run it between ingest runs (same work dir): snapshot expiry is
-control-plane-only; compaction rewrites every bucket into one snapshot.
-Prints one JSON line of what was reclaimed.
+Run it between ingest runs — or concurrently: lake commits are
+version-CAS'd, so a maintenance commit racing an ingest merge makes the
+loser recompute and retry instead of erasing the winner (lake.py
+_commit/_retrying). On a MOR table --compact folds outstanding deltas
+(bucket-granular); on COW it rewrites every bucket into one snapshot.
+--rebucket N re-hashes the table into N buckets (the sanctioned layout
+migration — the constructor arg is manifest-sticky and deliberately
+ignored on reopen). Snapshot expiry is control-plane-only. Prints one
+JSON line of what was done/reclaimed.
 """
 
 from __future__ import annotations
@@ -23,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--key", default="url")
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--compact", action="store_true")
+    ap.add_argument("--rebucket", type=int, default=None, metavar="N")
+    ap.add_argument("--files-per-bucket", type=int, default=1, metavar="K")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -31,11 +39,18 @@ def main(argv=None):
 
     from gnarly_spark.sinks.lake import ParquetLakeTable
 
-    tbl = ParquetLakeTable(spark, args.table, key=args.key)
+    tbl = ParquetLakeTable(
+        spark, args.table, key=args.key, files_per_bucket=args.files_per_bucket
+    )
     out = {"table": args.table, "version_before": tbl.current_version()}
     if args.compact and tbl.current_version() >= 0:
-        tbl.overwrite(tbl.read())  # one file per bucket, single snapshot
-        out["compacted"] = True
+        if tbl.mode == "mor":
+            out["compact"] = tbl.compact()  # fold deltas, bucket-granular
+        else:
+            tbl.overwrite(tbl.read())  # one snapshot, files_per_bucket-wide
+            out["compacted"] = True
+    if args.rebucket is not None:
+        out["rebucket"] = tbl.rebucket(args.rebucket)
     out.update(tbl.expire_snapshots(keep_last=args.keep_last))
     out["version_after"] = tbl.current_version()
     print(json.dumps(out))
