@@ -224,7 +224,12 @@ class ParquetLakeTable:
         return max(vs, default=-1)
 
     def applied_batch_ids(self) -> set[int]:
-        return set(self._manifest()["batch_ids"])
+        """Batch ids that are DURABLY applied — read from the latest
+        committed manifest, not the _CURRENT pointer: a crash between a
+        commit's version CAS and its pointer swap leaves the batch durable
+        (the next commit chains from it) but unpublished, and the refire
+        guard must treat it as applied or the batch would double-apply."""
+        return set(self._manifest(self._latest_committed())["batch_ids"])
 
     # ---- data plane ---------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:

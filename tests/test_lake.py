@@ -201,6 +201,35 @@ def test_merge_retries_on_commit_conflict(spark, tmp_path):
     }
 
 
+def test_crash_between_cas_and_pointer_swap_is_durable(spark, tmp_path):
+    """A writer that crashes AFTER winning the version CAS but BEFORE the
+    _CURRENT swap has durably committed: readers still see the old
+    snapshot (consistent), but the refire guard treats the batch as
+    applied and the next commit chains from the crashed one — no
+    double-apply, no lost commit."""
+    import os
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1)]), batch_id=0)
+
+    # simulate the crash window: commit v1 normally, then roll the
+    # _CURRENT pointer back to v0 (v1.json stays — it won its CAS)
+    t.merge(mk(spark, [("b", 2)]), batch_id=1)
+    with open(os.path.join(t.path, "_CURRENT"), "w") as f:
+        f.write("0")
+
+    re = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    assert re.read().count() == 1  # readers: published snapshot only
+    assert 1 in re.applied_batch_ids()  # refire guard: batch 1 IS applied
+    assert re.merge(mk(spark, [("b", 99)]), batch_id=1) is False  # no-op
+    # a new batch chains from the crashed-but-durable v1, republishing it
+    assert re.merge(mk(spark, [("c", 3)]), batch_id=2) is True
+    got = _pdf(re.read()).set_index("url").v.to_dict()
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+
 def test_schema_evolution_adds_column(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     widened = spark.createDataFrame(
