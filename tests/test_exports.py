@@ -50,7 +50,7 @@ def test_public_api_surface():
         ],
         lake: [
             "ParquetLakeTable", "IcebergLakeTable", "bucket_of",
-            "build_merge_source", "build_merge_sql",
+            "build_merge_source", "build_merge_sql", "CommitConflict",
         ],
         changelog: [
             "read_changelog", "stream_changelog", "order_files_by_name",
