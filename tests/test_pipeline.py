@@ -58,6 +58,33 @@ def test_incremental_equals_replay_linear(spark, tmp_path):
     assert_pdf_equal(_got(p), _want(log))
 
 
+def test_rebucket_mid_stream_preserves_exactly_once(spark, tmp_path):
+    """An operator rebuckets the target BETWEEN micro-batches (the layout
+    migration a growing table eventually needs): processing resumes on the
+    new layout, refires of pre-migration batches stay no-ops (batch_ids
+    carry across rebucket), a reorg spanning the migration still resolves,
+    and the final table equals one-shot replay."""
+    log = gen_changelog(n_blocks=16, events_per_block=5, fork_depth=3, seed=33)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    n_batches = 4
+    chunk = (len(log) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        part = log.iloc[i * chunk : (i + 1) * chunk]
+        if not len(part):
+            continue
+        p.process_batch(spark.createDataFrame(part, schema=CHANGELOG_DDL), i)
+        if i == 1:  # migrate mid-stream: 16 -> 64 buckets
+            stats = p.target.rebucket(64)
+            assert stats["n_buckets"] == 64
+            # refire of a PRE-migration batch must still be a no-op
+            refire = log.iloc[0:chunk]
+            v = p.target.current_version()
+            p.process_batch(spark.createDataFrame(refire, schema=CHANGELOG_DDL), 0)
+            assert p.target.current_version() == v, "refired batch re-applied"
+    assert p.target.n_buckets == 64
+    assert_pdf_equal(_got(p), _want(log))
+
+
 def test_reorg_across_batches(spark, tmp_path):
     """Fork events and their reverts land in DIFFERENT micro-batches —
     the incremental revert path (target re-adjudication), not just replay."""
