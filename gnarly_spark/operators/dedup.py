@@ -111,15 +111,18 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         sh = cap_hot_shingles(sh, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
+    # self-join: both sides are the O(corpus x shingles) relation —
+    # broadcast is never the right build at scale (see minhash_lsh_pairs)
+    a = sh.alias("a").hint("shuffle_hash")
     b = sh.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # corpus-sized sides never broadcast (see minhash_lsh_pairs)
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")).hint("shuffle_hash")
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")).hint("shuffle_hash")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
@@ -291,7 +294,13 @@ def minhash_lsh_pairs(
     sh = sh.localCheckpoint(eager=True)
     sig = _minhash_agg(sh, k)
     banded = _banded(sig, k, bands)
-    a = banded.alias("a")
+    # SELF-join: both sides are O(corpus) by construction, so broadcasting
+    # either side is never right — at 200k docs AQE's broadcast pick of the
+    # 800k-row banded relation OOM'd an 8 GB driver (hash-relation build is
+    # several x the shuffled bytes AQE compares against its threshold).
+    # shuffle_hash pins a scale-safe strategy: co-partition on the band key,
+    # hash-build per partition, no driver involvement, no sort.
+    a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b")
     cand = (
         a.join(
@@ -304,18 +313,27 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-verify ONLY the candidate pairs (this is the LSH win: the full
-    # all-pairs Jaccard relation is never built)
+    # all-pairs Jaccard relation is never built).
+    #
+    # Every sh/sizes side below carries a shuffle_hash hint: localCheckpoint
+    # PRESERVES the child plan's size estimate, and explode's estimate does
+    # not grow with fan-out — so the static planner sees the 10^7-row
+    # shingle relation as "a few MB" and BROADCASTS it (observed: two 11.6M
+    # -row broadcast builds at 200k docs, driver OOM at 8 GB; AQE cannot
+    # demote a statically-planned broadcast). shuffle_hash keeps these
+    # joins distributed; the build side within each partition is still the
+    # smaller (candidate-derived) relation.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle").hint("shuffle_hash")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle").hint("shuffle_hash")
     common = (
         cand.join(sh_a, "id_a")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")).hint("shuffle_hash")
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")).hint("shuffle_hash")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
@@ -535,7 +553,9 @@ def simhash_hamming_pairs(
             )
         ).alias("band", "band_val"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # self-join of the O(corpus) banded relation: pin shuffle_hash so no
+    # side is ever broadcast-built on the driver (see minhash_lsh_pairs)
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
     return (
         a.join(
             b,

@@ -165,6 +165,26 @@ def test_simhash_pairs_blocking_is_equi_join_no_cartesian(spark):
     assert "band_val" in plan  # the blocking key is the join key
 
 
+def test_corpus_dedup_joins_never_broadcast(spark):
+    """Every join side in the shingle-pair operators is O(corpus) — banded
+    self-join, shingle verify joins, per-doc size joins — so NONE may be
+    planned as a broadcast: localCheckpoint preserves the child's size
+    estimate and explode doesn't grow it, so the static planner happily
+    broadcast an 11.6M-row shingle relation (8 GB-driver OOM at 200k docs)
+    until the shuffle_hash hints pinned these joins distributed."""
+    from gnarly_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs, simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").localCheckpoint()
+    for df in (
+        minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5),
+        jaccard_pairs(docs, threshold=0.5),
+        simhash_hamming_pairs(docs, max_hamming=3, bands=4, bits=64),
+    ):
+        plan = plan_of(df)
+        assert "BroadcastExchange" not in plan, plan[:800]
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ivf_plan_constant_in_centroids_and_dim(spark):
     """C=256, dim=128 (a real IVF shape scaled down): centroid coordinates
     must live in a broadcast relation, never as plan literals — plan size
