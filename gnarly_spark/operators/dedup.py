@@ -374,13 +374,23 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
     )
     changed = 0
     for _ in range(max_iterations):
+        # every side of every per-round join is O(graph), and checkpointed
+        # relations carry the ORIGINAL plan's (often tiny) size estimate —
+        # pin shuffle_hash so the static planner never broadcast-builds the
+        # label/edge relations at 10^8 edges (same trap as the shingle
+        # relations in minhash_lsh_pairs; AQE cannot demote a static
+        # broadcast)
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            labels.join(
+                neighbor_min.hint("shuffle_hash"),
+                labels.id == neighbor_min.src,
+                "left",
+            )
             .select(
                 "id", F.least(F.col("lbl"), F.coalesce("nlbl", "lbl")).alias("lbl")
             )
@@ -388,7 +398,7 @@ def duplicate_clusters(pairs: DataFrame, max_iterations: int = 25) -> DataFrame:
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(labels.alias("o").hint("shuffle_hash"), "id")
             .where(F.col("n.lbl") != F.col("o.lbl"))
             .limit(1)
             .count()
