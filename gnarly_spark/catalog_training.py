@@ -760,14 +760,16 @@ def dedup_winnow_containment(spark, sf_dir):
 
     fp = winnow_fingerprints(_t(spark, sf_dir, "documents"), k=8, w=4)
     sizes = fp.groupBy("id").agg(F.count("*").alias("n_fp"))
-    a, b = fp.alias("a"), fp.alias("b")
+    # every side is O(corpus x fingerprints): pin shuffle_hash so the
+    # static planner never broadcast-builds one (see minhash_lsh_pairs)
+    a, b = fp.alias("a").hint("shuffle_hash"), fp.alias("b")
     common = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a")).hint("shuffle_hash")
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b")).hint("shuffle_hash")
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
