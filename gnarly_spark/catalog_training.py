@@ -714,7 +714,14 @@ def dedup_keep_list(spark, sf_dir):
     clusters = duplicate_clusters(jaccard_pairs(docs, threshold=0.5))
     return (
         docs.select(F.col("doc_id"))
-        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        # clusters is O(dup docs) — worst-case a constant fraction of the
+        # corpus, and its checkpointed plan carries inherited (unreliable)
+        # stats: never let the static planner broadcast it
+        .join(
+            clusters.withColumnRenamed("id", "doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
         .select(
             "doc_id",
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
@@ -1183,14 +1190,20 @@ def pipeline_training_corpus(spark, sf_dir):
     )
     clean = filt.join(uncontaminated, "doc_id")
     clusters = duplicate_clusters(jaccard_pairs(clean, threshold=0.5))
+    # clusters and keep are O(corpus) worst-case with inherited checkpoint
+    # stats — pin distributed (see dedup_keep_list)
     keep = (
         clean.select("doc_id")
-        .join(clusters.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(
+            clusters.withColumnRenamed("id", "doc_id").hint("shuffle_hash"),
+            "doc_id",
+            "left",
+        )
         .where(F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"))
         .select("doc_id")
     )
     d = (
-        clean.join(keep, "doc_id")
+        clean.join(keep.hint("shuffle_hash"), "doc_id")
         .select(
             "doc_id",
             "source",
