@@ -775,10 +775,14 @@ def dedup_winnow_containment(spark, sf_dir):
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a")).hint("shuffle_hash")
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b")).hint("shuffle_hash")
+    # hint the PAIR side: hinted = per-partition build side, and a hinted
+    # SHJ pre-empts any static broadcast of the corpus-sized sizes relation
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
     return (
-        common.join(sa, "id_a")
+        common.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .where(
             (F.col("n_common") / F.col("n_a") >= 0.5)

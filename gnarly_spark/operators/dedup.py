@@ -120,11 +120,18 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    # corpus-sized sides never broadcast (see minhash_lsh_pairs)
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")).hint("shuffle_hash")
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")).hint("shuffle_hash")
+    # shuffle_hash on the PAIR side: the hinted side of a shuffle_hash
+    # join is the per-partition hash BUILD side, and common (O(pairs)) is
+    # far smaller than the per-doc sizes relation; the hint also pins the
+    # join distributed (a hinted SHJ is chosen before any size-based
+    # broadcast, so sizes' misleadingly-tiny inherited stats can't invite
+    # a static broadcast of an O(corpus) relation)
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
+        common.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
@@ -315,27 +322,32 @@ def minhash_lsh_pairs(
     # exact-verify ONLY the candidate pairs (this is the LSH win: the full
     # all-pairs Jaccard relation is never built).
     #
-    # Every sh/sizes side below carries a shuffle_hash hint: localCheckpoint
-    # PRESERVES the child plan's size estimate, and explode's estimate does
-    # not grow with fan-out — so the static planner sees the 10^7-row
-    # shingle relation as "a few MB" and BROADCASTS it (observed: two 11.6M
-    # -row broadcast builds at 200k docs, driver OOM at 8 GB; AQE cannot
-    # demote a statically-planned broadcast). shuffle_hash keeps these
-    # joins distributed; the build side within each partition is still the
-    # smaller (candidate-derived) relation.
+    # Every verify join carries a shuffle_hash hint ON ITS SMALL
+    # (candidate-derived) SIDE. Two effects, both needed: (1) a hinted SHJ
+    # is selected before any size-based broadcast, so the 10^7-row shingle
+    # relation — whose localCheckpoint PRESERVES the child plan's tiny
+    # pre-explode size estimate — can never be statically broadcast
+    # (observed: two 11.6M-row broadcast builds at 200k docs, driver OOM
+    # at 8 GB; AQE cannot demote a static broadcast); (2) the HINTED side
+    # is the per-partition hash BUILD side, so executors build the small
+    # candidate relation, never a slice of the corpus-sized one.
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    sh_a = sh.select(F.col("id").alias("id_a"), "shingle").hint("shuffle_hash")
-    sh_b = sh.select(F.col("id").alias("id_b"), "shingle").hint("shuffle_hash")
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
     common = (
-        cand.join(sh_a, "id_a")
+        cand.hint("shuffle_hash")
+        .join(sh_a, "id_a")
+        .hint("shuffle_hash")
         .join(sh_b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")).hint("shuffle_hash")
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")).hint("shuffle_hash")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
+        common.hint("shuffle_hash")
+        .join(sa, "id_a")
+        .hint("shuffle_hash")
         .join(sb, "id_b")
         .withColumn(
             "jaccard",

@@ -43,6 +43,7 @@ Two implementations share the interface:
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
@@ -56,6 +57,23 @@ def bucket_of(key_col, n_buckets: int):
     """Deterministic bucket id for a key — xxhash64 is a JVM-side codegen'd
     expression, so bucketing never leaves the JVM."""
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+
+
+#: type changes an existing column may undergo via schema evolution — the
+#: parquet widening reads Spark 4 supports at scan time (int32 file under a
+#: wider integral read schema, float under double), so evolution never
+#: requires rewriting old base files.
+_WIDENINGS = frozenset(
+    {
+        ("tinyint", "smallint"),
+        ("tinyint", "int"),
+        ("tinyint", "bigint"),
+        ("smallint", "int"),
+        ("smallint", "bigint"),
+        ("int", "bigint"),
+        ("float", "double"),
+    }
+)
 
 
 class CommitConflict(Exception):
@@ -181,13 +199,30 @@ class ParquetLakeTable:
             raise CommitConflict(f"version {v} was committed by another writer")
         finally:
             os.unlink(tmp)
+        self._publish(v)
+        return v
+
+    def _publish(self, v: int) -> None:
+        """Swap _CURRENT to version ``v`` — guarded so the pointer never
+        moves BACKWARD. The per-version CAS serializes manifest creation
+        but not pointer swaps: winner A (v5) can stall before its swap
+        while B builds on v5, commits v6, and publishes — A's late swap
+        must then be a no-op, or readers time-travel backward and
+        expire_snapshots computes its keep window from a regressed head.
+        The read-compare-replace is serialized with a pointer lock (local
+        FS engine; the Iceberg path delegates this to the catalog)."""
         ptmp = self._current_path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(ptmp, "w") as f:
             f.write(str(v))
-        # _CURRENT only ever moves forward; with per-version CAS above, the
-        # only writer replacing it for version v is v's unique winner
-        os.replace(ptmp, self._current_path)  # atomic snapshot swap
-        return v
+        with open(os.path.join(self.path, "_PTR_LOCK"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if self.current_version() < v:
+                    os.replace(ptmp, self._current_path)  # atomic swap
+                else:
+                    os.unlink(ptmp)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def _retrying(self, attempt_fn, attempts: int = 5):
         """Run ``attempt_fn()`` (which reads the latest committed manifest,
@@ -209,6 +244,17 @@ class ParquetLakeTable:
                 # yet, but _latest_committed() already sees its manifest
                 _time.sleep(0.05 * (i + 1))
         raise AssertionError("unreachable")
+
+    def _adopt_layout(self, m: dict) -> None:
+        """A writer must use the layout of the manifest it BUILDS ON, not
+        __init__-time state: a concurrent rebucket() (or a CAS retry against
+        one) changes n_buckets mid-handle, and hashing with the stale count
+        would read survivors from the wrong buckets, miss old copies of
+        upserted keys, and stamp the old layout back over the manifest —
+        silent duplicates and lost lookups."""
+        if m["version"] >= 0:
+            self.mode = m.get("mode", self.mode)
+            self.n_buckets = int(m.get("n_buckets", self.n_buckets))
 
     def _latest_committed(self) -> int:
         """Highest durably-committed version — what a WRITER must build on.
@@ -314,17 +360,31 @@ class ParquetLakeTable:
     def read_buckets(self, buckets: list[int]) -> DataFrame:
         return self._read_snapshot(self._manifest(), buckets)
 
-    def _write_buckets(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        version: int,
+        n_write_buckets: int | None = None,
+        range_split: bool = True,
+    ) -> dict[str, list[str]]:
         """Write df (carrying ``_bucket``) as one dir per bucket; returns
-        bucket -> file list. Data files are immutable once written."""
+        bucket -> file list. Data files are immutable once written.
+
+        ``n_write_buckets``: how many distinct buckets df actually holds —
+        range partitioning must scale to THAT, not the table's bucket
+        count: a 1-bucket merge on a 16-bucket/fpb=4 table range-split 64
+        ways would scatter one bucket's rows across ~64 tiny key ranges
+        (file-count explosion per commit). None means all buckets."""
         out_dir = os.path.join(self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
-        if self.files_per_bucket > 1:
-            # range partition on (_bucket, key): each bucket splits into
-            # ~files_per_bucket contiguous key ranges written by parallel
-            # tasks (one range-sampling job extra — worth it for big COW
-            # rewrites, skip for hot MOR delta appends via the default 1)
+        if self.files_per_bucket > 1 and range_split:
+            # range partition on (_bucket, key): each written bucket splits
+            # into ~files_per_bucket contiguous key ranges written by
+            # parallel tasks (one range-sampling job extra — worth it for
+            # big COW rewrites; MOR delta appends bypass this, see
+            # _merge_mor)
+            nb = self.n_buckets if n_write_buckets is None else max(1, n_write_buckets)
             df = df.repartitionByRange(
-                self.n_buckets * self.files_per_bucket, "_bucket", self.key
+                nb * self.files_per_bucket, "_bucket", self.key
             )
         else:
             df = df.repartition(F.col("_bucket"))
@@ -392,6 +452,7 @@ class ParquetLakeTable:
         batch_id: int | None,
     ) -> bool:
         m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
         if batch_id is not None and batch_id in m["batch_ids"]:
             return False
 
@@ -410,11 +471,44 @@ class ParquetLakeTable:
         # no rewrite on the MOR path (parquet widening reads upcast at scan
         # time), and the COW path rewrites stale buckets below as before.
         if m["schema"] and up is not None:
-            columns = [
+            # evolve each existing column by the _WIDENINGS whitelist, NOT
+            # by Spark's union least-common-type: ANSI string promotion
+            # resolves (int, string) to bigint — one misconfigured batch
+            # (e.g. quoted JSON numbers) would slip past a
+            # coerced-type-vs-whitelist check and then blow up (or flip a
+            # string column's stored type) at write. A batch column must be
+            # the table type, a sanctioned widening of it (table widens in
+            # place; old base files stay readable — Spark 4 parquet
+            # widening reads), or a narrowing of it (the batch upcasts in
+            # _align); anything else is a hard error.
+            old = [
                 (f.name, f.dataType.simpleString())
-                for f in self.spark.createDataFrame([], m["schema"])
-                .unionByName(up.limit(0), allowMissingColumns=True)
-                .schema.fields
+                for f in self.spark.createDataFrame([], m["schema"]).schema.fields
+            ]
+            up_types = {
+                f.name: f.dataType.simpleString() for f in up.schema.fields
+            }
+            columns = []
+            for name, t in old:
+                bt = up_types.get(name)
+                if bt is None or bt == t:
+                    columns.append((name, t))
+                elif (t, bt) in _WIDENINGS:
+                    columns.append((name, bt))
+                elif (bt, t) in _WIDENINGS:
+                    columns.append((name, t))
+                else:
+                    raise ValueError(
+                        f"incompatible type for column {name!r}: table has "
+                        f"{t}, batch has {bt} (only widenings "
+                        f"{sorted(_WIDENINGS)} evolve in place; fix the "
+                        "upstream types or migrate explicitly)"
+                    )
+            old_names = {n for n, _ in old}
+            columns += [
+                (f.name, f.dataType.simpleString())
+                for f in up.schema.fields
+                if f.name not in old_names
             ]
         elif m["schema"]:
             columns = [tuple(f.split(" ", 1)) for f in m["schema"].split(", ")]
@@ -469,7 +563,7 @@ class ParquetLakeTable:
         merged = merged.withColumn("_bucket", bucket_of(F.col(key), self.n_buckets))
 
         version = m["version"] + 1
-        new_files = self._write_buckets(merged, version)
+        new_files = self._write_buckets(merged, version, n_write_buckets=len(buckets))
 
         schema_ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in merged.drop("_bucket").schema.fields
@@ -495,7 +589,7 @@ class ParquetLakeTable:
                 keep = self._align(keep, columns).withColumn(
                     "_bucket", bucket_of(F.col(key), self.n_buckets)
                 )
-                extra = self._write_buckets(keep, version)
+                extra = self._write_buckets(keep, version, n_write_buckets=len(stale))
                 for b in stale:
                     bucket_map[b] = extra.get(b, [])
         self._commit(manifest)
@@ -532,7 +626,10 @@ class ParquetLakeTable:
         delta = delta.withColumn(
             "_delta_seq", F.lit(version).cast("bigint")
         ).withColumn("_bucket", bucket_of(F.col(self.key), self.n_buckets))
-        files = self._write_buckets(delta, version)
+        # delta appends are O(batch) small: always the hash path (one file
+        # per touched bucket), never the range split — files_per_bucket is
+        # a big-rewrite knob and would multiply tiny files per commit here
+        files = self._write_buckets(delta, version, range_split=False)
         dmap = {b: list(fl) for b, fl in m.get("deltas", {}).items()}
         for b, fl in files.items():
             dmap[b] = dmap.get(b, []) + fl
@@ -569,6 +666,7 @@ class ParquetLakeTable:
 
     def _compact_once(self, buckets: list[int] | None) -> dict:
         m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
         dmap = m.get("deltas", {})
         pending = [int(b) for b, fl in dmap.items() if fl]
         todo = pending if buckets is None else [b for b in pending if b in set(buckets)]
@@ -582,7 +680,7 @@ class ParquetLakeTable:
             "_bucket", bucket_of(F.col(self.key), self.n_buckets)
         )
         version = m["version"] + 1
-        files = self._write_buckets(resolved, version)
+        files = self._write_buckets(resolved, version, n_write_buckets=len(todo))
         bucket_map = dict(m["buckets"])
         new_deltas = {b: list(fl) for b, fl in dmap.items()}
         folded = 0
@@ -627,6 +725,7 @@ class ParquetLakeTable:
 
     def _rebucket_once(self, n_buckets: int) -> dict:
         m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
         if m["version"] < 0:
             self.n_buckets = n_buckets  # empty table: just adopt the layout
             return {"version": -1, "n_buckets": n_buckets, "rows": 0}
@@ -803,8 +902,17 @@ class ParquetLakeTable:
         return {"kept": keep, "dropped_manifests": dropped, "deleted_files": deleted}
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
-        """Full-table replace (initial load / compaction)."""
-        m = self._manifest()
+        """Full-table replace — for INITIAL loads: it RESETS the applied
+        batch_id history (a refire of a pre-overwrite batch would re-apply).
+        Table maintenance on a live table is compact() (fold MOR deltas /
+        consolidate COW files) or rebucket() — both preserve batch_ids and
+        recompute on a lost CAS. CAS-retried so a replace racing another
+        writer fails cleanly instead of overwriting its commit."""
+        return self._retrying(lambda: self._overwrite_once(df, batch_id))
+
+    def _overwrite_once(self, df: DataFrame, batch_id: int | None) -> None:
+        m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
         withb = df.withColumn("_bucket", bucket_of(F.col(self.key), self.n_buckets))
         version = m["version"] + 1
         files = self._write_buckets(withb, version)

@@ -322,7 +322,9 @@ class CdcIngestPipeline:
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # ----- the per-micro-batch program ---------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+    def process_batch(
+        self, batch_df: DataFrame, batch_id: int, prespread: bool = False
+    ) -> None:
         """One micro-batch. Wrapper pins/unpins the batch-lifetime caches:
         persist() with an explicit unpersist here, NEVER localCheckpoint —
         checkpoint blocks are only released by the ContextCleaner after a
@@ -331,7 +333,7 @@ class CdcIngestPipeline:
         the same JVM degraded 3x by the third 2M-event drain)."""
         pinned: list[DataFrame] = []
         try:
-            self._process_batch(batch_df, batch_id, pinned)
+            self._process_batch(batch_df, batch_id, pinned, prespread)
         finally:
             for df in pinned:
                 try:
@@ -340,7 +342,11 @@ class CdcIngestPipeline:
                     pass
 
     def _process_batch(
-        self, batch_df: DataFrame, batch_id: int, pinned: list[DataFrame]
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        pinned: list[DataFrame],
+        prespread: bool = False,
     ) -> None:
         t0 = time.monotonic()
 
@@ -350,7 +356,12 @@ class CdcIngestPipeline:
                 batch_df = batch_df.withColumnRenamed(src, dst)
 
         phases = {}
-        if self.spread_batch:
+        # prespread: the caller already repartitioned AND persisted the
+        # batch (the JSONL _fb caches the parse for dead-letter routing);
+        # batch_df is a narrow projection of that cached spread relation,
+        # so a second repartition+persist here would re-shuffle the whole
+        # batch and hold a duplicate cached copy for the batch lifetime
+        if self.spread_batch and not prespread:
             batch_df = batch_df.repartition(
                 self.spark.sparkContext.defaultParallelism
             ).persist()
@@ -693,9 +704,20 @@ class CdcIngestPipeline:
         new_docs = upserts.select("url", "text").where(F.col("text").isNotNull())
         flags = None
         if self.sig_table.current_version() >= 0:
+            # every url this batch REPLACES or deletes leaves the corpus
+            # before flagging — not just the ones with usable new text
+            # (new_docs): a same-batch signatureless update (null/short
+            # text) would otherwise leave its OLD signature live for this
+            # batch's flags, marking another new doc as a dup of content
+            # the corpus no longer holds (the cross-batch case is handled
+            # by the no_sig deletion below; this keeps the one-batch and
+            # two-batch splits of the same events consistent)
+            replaced = upserts.select("url")
+            if deletes is not None:
+                replaced = replaced.unionByName(deletes.select("url"))
             corpus = self.sig_table.read().join(
-                new_docs.select("url"), "url", "left_anti"
-            )  # a url's own previous version is being replaced — not a dup
+                replaced.distinct(), "url", "left_anti"
+            )
             flags = incremental_lsh_dups(
                 new_docs,
                 corpus.select(F.col("url").alias("id"), "minhash"),
@@ -840,7 +862,9 @@ class CdcIngestPipeline:
                         os.path.join(self.dead_letter_dir, f"batch={batch_id}")
                     )
                     self.process_batch(
-                        jsonl_events(parsed, self.source_schema), batch_id
+                        jsonl_events(parsed, self.source_schema),
+                        batch_id,
+                        prespread=True,
                     )
                 finally:
                     parsed.unpersist()

@@ -41,6 +41,10 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
+    # only stop a session this job itself created: under spark-submit
+    # getOrCreate makes one, but an embedder (tests, a driver program)
+    # may already own the active session and must keep it
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("gnarly_spark_ingest").getOrCreate()
     for k, v in {
         "spark.sql.adaptive.enabled": "true",
@@ -79,7 +83,8 @@ def main(argv=None):
             }
         )
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -35,6 +35,10 @@ def main(argv=None):
 
     from pyspark.sql import SparkSession
 
+    # only stop a session this job itself created: under spark-submit
+    # getOrCreate makes one, but an embedder (tests, a driver program)
+    # may already own the active session and must keep it
+    owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("gnarly_spark_maintenance").getOrCreate()
 
     from gnarly_spark.sinks.lake import ParquetLakeTable
@@ -47,14 +51,20 @@ def main(argv=None):
         if tbl.mode == "mor":
             out["compact"] = tbl.compact()  # fold deltas, bucket-granular
         else:
-            tbl.overwrite(tbl.read())  # one snapshot, files_per_bucket-wide
-            out["compacted"] = True
+            # COW consolidation = rebucket at the SAME bucket count: one
+            # snapshot rewriting every bucket files_per_bucket-wide, with
+            # batch_ids PRESERVED (the refire guard survives maintenance)
+            # and the commit CAS-retried against concurrent ingest.
+            # overwrite(read()) did neither — it resets batch_ids and
+            # builds on the unpublished-window pointer.
+            out["compact"] = tbl.rebucket(tbl.n_buckets)
     if args.rebucket is not None:
         out["rebucket"] = tbl.rebucket(args.rebucket)
     out.update(tbl.expire_snapshots(keep_last=args.keep_last))
     out["version_after"] = tbl.current_version()
     print(json.dumps(out))
-    spark.stop()
+    if owns_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

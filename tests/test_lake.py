@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from gnarly_spark.sinks.lake import ParquetLakeTable
 
@@ -179,8 +180,8 @@ def test_merge_retries_on_commit_conflict(spark, tmp_path):
     orig = t._write_buckets
     raced = {"n": 0}
 
-    def racing_write(df, version):
-        files = orig(df, version)
+    def racing_write(df, version, **kw):
+        files = orig(df, version, **kw)
         if raced["n"] == 0:  # steal the version exactly once, mid-commit
             raced["n"] += 1
             assert competitor.merge(mk(spark, [("x", 99)]), batch_id=100)
@@ -370,3 +371,99 @@ def test_snapshot_diff_change_feed(spark, table):
     got = {r.url: r._change for r in table.diff(0, 1).collect()}
     assert got == {"a": "update", "b": "delete", "d": "insert"}  # c unchanged (null field)
     assert table.diff(1, 1).count() == 0
+
+
+def test_merge_adopts_layout_from_concurrent_rebucket(spark, tmp_path):
+    """An ingest handle opened before a concurrent rebucket() must hash
+    with the NEW layout when it next merges (it builds on the rebucketed
+    manifest): old copies of upserted keys are replaced, lookups route,
+    and the manifest keeps the new n_buckets — not the handle's stale
+    __init__-time count stamped back over it."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    ingest = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    ingest.merge(mk(spark, [(f"url{i}", i) for i in range(20)]), batch_id=0)
+
+    maint = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    maint.rebucket(8)
+
+    # stale handle merges: update an existing key + insert a new one
+    assert ingest.merge(mk(spark, [("url3", 300), ("new", 1)]), batch_id=1)
+    assert ingest.n_buckets == 8  # adopted mid-merge
+    assert ingest._manifest()["n_buckets"] == 8
+    got = _pdf(ingest.read()).set_index("url").v.to_dict()
+    assert got["url3"] == 300 and got["new"] == 1 and len(got) == 21
+    # no duplicate row for url3 under the old hash, and lookup routes
+    assert _pdf(ingest.lookup("url3")).v.tolist() == [300]
+
+
+def test_current_pointer_never_moves_backward(spark, tmp_path):
+    """_publish is a guarded swap: a stalled winner's late pointer write
+    for an OLDER version must be a no-op once a newer version published
+    (otherwise readers time-travel backward and expire_snapshots computes
+    its keep window from a regressed head)."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1)]), batch_id=0)  # v0
+    t.merge(mk(spark, [("b", 2)]), batch_id=1)  # v1
+    assert t.current_version() == 1
+    t._publish(0)  # the stalled winner's late swap
+    assert t.current_version() == 1
+
+
+def test_incompatible_type_change_rejected(spark, table):
+    """A batch delivering an existing numeric column as string must be
+    rejected, not silently flip the table column's type forever."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    with pytest.raises(ValueError, match="incompatible type.*'v'"):
+        table.merge(
+            mk(spark, [("b", "oops")], schema="url string, v string"),
+            batch_id=1,
+        )
+    # sanctioned widening still works (int -> bigint)
+    table.merge(
+        mk(spark, [("c", 2**40)], schema="url string, v bigint"), batch_id=2
+    )
+    assert dict(
+        (f.name, f.dataType.simpleString())
+        for f in table.read().schema.fields
+    )["v"] == "bigint"
+
+
+def test_small_merge_does_not_explode_file_count(spark, tmp_path):
+    """files_per_bucket range-splits scale to the buckets a commit actually
+    writes: a merge touching 1 of 16 buckets on an fpb=4 table must write
+    ~fpb files for that bucket, not scatter it across 64 range partitions."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=16, files_per_bucket=4
+    )
+    t.merge(mk(spark, [(f"url{i}", i) for i in range(200)]), batch_id=0)
+    # single-key merge: exactly one bucket rewritten
+    assert t.merge(mk(spark, [("url7", 700)]), batch_id=1)
+    m = t._manifest()
+    from gnarly_spark.sinks.lake import bucket_of
+    b = spark.createDataFrame([("url7",)], "url string").select(
+        bucket_of(F.col("url"), 16).alias("b")
+    ).collect()[0].b
+    assert len(m["buckets"][str(b)]) <= 4
+    assert _pdf(t.lookup("url7")).v.tolist() == [700]
+
+
+def test_maintenance_cow_compact_preserves_batch_ids(spark, tmp_path):
+    """The COW --compact maintenance path must keep the refire guard and
+    go through the CAS (rebucket-at-same-count), never overwrite()."""
+    from jobs.maintenance_job import main
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    p = str(tmp_path / "t")
+    t = ParquetLakeTable(spark, p, key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    t.merge(mk(spark, [("a", 10)]), batch_id=1)
+    main(["--table", p, "--compact", "--keep-last", "10"])
+    re = ParquetLakeTable(spark, p, key="url")
+    assert {0, 1} <= re.applied_batch_ids()  # refire guard survived
+    assert re.merge(mk(spark, [("a", 999)]), batch_id=1) is False  # no-op
+    assert _pdf(re.read()).set_index("url").v.to_dict() == {"a": 10, "b": 2}

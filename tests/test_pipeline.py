@@ -451,6 +451,47 @@ def test_dedup_stale_signature_removed_on_signatureless_update(spark, tmp_path):
     assert p.dup_flags().count() == 0
 
 
+def test_dedup_stale_signature_same_batch(spark, tmp_path):
+    """The ONE-batch form of the stale-signature case must agree with the
+    two-batch split: a signatureless update of url a and an insert of url b
+    matching a's OLD content arriving in the SAME micro-batch — a's old
+    signature must not flag b (flags are computed against the corpus minus
+    every url this batch replaces, not just the ones with usable text)."""
+    from gnarly_spark.fixtures import CHANGELOG_COLUMNS, block_hash, html_for
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["op_seq", "block_id", "op", "url", "html", "revert_of_block"],
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.op_seq, unit="s")
+        pdf["lang"] = "en"
+        pdf["reason"] = None
+        return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+    ha = html_for("https://a", 1)
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), dedup_minhash={"min_est_jaccard": 0.5}
+    )
+    p.process_batch(mk([(1, 0, "insert", "https://a", ha, None)]), 0)
+    assert p.sig_table.read().count() == 1
+    # same batch: a loses its signature AND b arrives with a's old content
+    p.process_batch(
+        mk(
+            [
+                (2, 1, "update", "https://a", None, None),
+                (3, 1, "insert", "https://b", ha, None),
+            ]
+        ),
+        1,
+    )
+    assert p.dup_flags().count() == 0  # b not flagged against removed content
+    sigs = {r.url for r in p.sig_table.read().select("url").collect()}
+    assert sigs == {"https://b"}  # a's stale signature gone, b's live
+
+
 def test_dedup_requires_with_text(spark, tmp_path):
     """dedup_minhash over a pipeline that never materializes text must fail
     at construction, not mid-batch."""
