@@ -1233,3 +1233,50 @@ def pipeline_training_corpus(spark, sf_dir):
             F.floor(start / 2048).cast("string"),
         ).alias("pack_id"),
     )
+
+
+@register(
+    "text_source_cap",
+    """
+    SELECT doc_id, source, rank FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rank
+        FROM documents) WHERE rank <= 10
+    """,
+)
+def text_source_cap(spark, sf_dir):
+    """Per-source document cap — the anti-spam 'domain cap' of web-corpus
+    pipelines: keep at most K docs per source, best-first (n_chars here;
+    any quality column slots in), deterministic tie-break on doc_id. One
+    window over the source partition — the only exchange is the
+    partition-by-source shuffle, and at 100 TB the cap bounds any single
+    domain's contribution no matter how many pages it published."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 10)
+
+
+@register(
+    "text_lm_quality",
+    f"""
+    WITH toks AS (SELECT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS w
+                  FROM documents),
+    vocab AS (SELECT w, COUNT(*)::DOUBLE AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS t FROM vocab)
+    SELECT id AS doc_id, ROUND(AVG(-ln(c / t)), 6) AS lm_score,
+           COUNT(*) AS n_tokens
+    FROM toks JOIN vocab USING (w), tot GROUP BY id
+    """,
+)
+def text_lm_quality(spark, sf_dir):
+    """Average token surprisal under the corpus's own unigram LM (CCNet's
+    quality-filter shape without an external model) — see
+    functions/text.py lm_quality for the scale notes."""
+    from gnarly_spark.functions.text import lm_quality
+
+    return lm_quality(_t(spark, sf_dir, "documents"))

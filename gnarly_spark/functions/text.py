@@ -249,3 +249,34 @@ def scrub_boilerplate(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def lm_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-unigram-LM quality score per doc: average token surprisal
+    -ln p(w) under the corpus's OWN unigram distribution (the shape of
+    CCNet's LM quality filter, with the corpus itself standing in for the
+    external model). Low = templated/common wording, high = rare/garbled —
+    either tail is a filter candidate.
+
+    Scale shape: one explode → one groupBy(w) for the vocab → one equi-join
+    back → one groupBy(doc). The vocab relation is O(distinct words), tiny
+    next to the token relation, so AQE broadcasts the join; the token total
+    rides a 1-row broadcast crossJoin, never a driver collect.
+    """
+    from gnarly_spark.operators.dedup import _spread
+
+    toks = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("lm_score"),
+            F.count("*").alias("n_tokens"),
+        )
+        .select(F.col("id").alias(id_col), "lm_score", "n_tokens")
+    )
