@@ -183,6 +183,11 @@ def test_corpus_dedup_joins_never_broadcast(spark):
         plan = plan_of(df)
         assert "BroadcastExchange" not in plan, plan[:800]
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+        # the hinted side of a shuffle_hash join is its per-partition hash
+        # BUILD side — every hint sits on the LEFT (candidate-derived or
+        # self-join) relation, so a BuildRight here means a corpus-sized
+        # relation is being hash-built in executor memory
+        assert "BuildRight" not in plan, plan[:800]
 
 
 def test_ivf_plan_constant_in_centroids_and_dim(spark):
