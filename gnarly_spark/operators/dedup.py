@@ -233,6 +233,10 @@ def incremental_lsh_dups(
     the job. Pass False to let AQE pick broadcast-vs-shuffle per batch
     from the actual relation sizes (the streaming pipeline does).
     """
+    # same contract as minhash_lsh_pairs: _banded silently drops the
+    # trailing k % bands minhash positions from candidate generation
+    # (recall loss with no error) — reject the misconfiguration instead
+    assert k % bands == 0, f"k ({k}) must be divisible by bands ({bands})"
     maybe_bc = F.broadcast if broadcast_batch else (lambda d: d)
     new_sigs = minhash_signatures(
         new_docs, k=k, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq

@@ -342,22 +342,35 @@ class ParquetLakeTable:
         the reference's indexed `findOne` (typeStore/Sequelize.ts:117-124),
         without a row store. Bucket ids for the literal keys are computed
         with one tiny metadata-only Spark job (n_keys rows, no table I/O).
+
+        Bucket ids come from the layout of the manifest BEING READ, never
+        __init__-time state: a concurrent rebucket() changes n_buckets, and
+        hashing with a stale count would scan the wrong buckets and return
+        empty for keys that exist (the reader-side twin of the writer's
+        _adopt_layout hazard). One manifest fetch serves both the bucket
+        computation and the scan, so the pair is always consistent.
         """
         if not keys:
             raise ValueError("lookup() needs at least one key")
+        m = self._manifest()
+        n = int(m.get("n_buckets", self.n_buckets)) if m["version"] >= 0 else self.n_buckets
         kdf = self.spark.createDataFrame([(k,) for k in keys], schema=f"{self.key} string")
         buckets = [
             r.b
-            for r in kdf.select(bucket_of(F.col(self.key), self.n_buckets).alias("b"))
+            for r in kdf.select(bucket_of(F.col(self.key), n).alias("b"))
             .distinct()
             .collect()
         ]
-        df = self.read_buckets(buckets)
+        df = self._read_snapshot(m, buckets)
         if df is None:
             return self.spark.createDataFrame([], schema=f"{self.key} string")
         return df.where(F.col(self.key).isin(list(keys)))
 
     def read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Read only the named buckets of the current snapshot. Bucket ids
+        are interpreted against the CURRENT manifest's layout — compute
+        them with the n_buckets of the same snapshot (as lookup() does),
+        or a concurrent rebucket() silently remaps them."""
         return self._read_snapshot(self._manifest(), buckets)
 
     def _write_buckets(

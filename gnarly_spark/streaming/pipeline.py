@@ -158,6 +158,13 @@ class CdcIngestPipeline:
             self.dedup_params = {
                 "k": 8, "bands": 4, "min_est_jaccard": 0.5, **dedup_minhash
             }
+            if self.dedup_params["k"] % self.dedup_params["bands"] != 0:
+                # fail at construction: banding silently ignores the
+                # trailing k % bands positions (quiet recall loss mid-drain)
+                raise ValueError(
+                    f"dedup_minhash: k ({self.dedup_params['k']}) must be "
+                    f"divisible by bands ({self.dedup_params['bands']})"
+                )
             self.dedup_dir = os.path.join(self.work_dir, "dedup_flags")
             os.makedirs(self.dedup_dir, exist_ok=True)
             self.sig_table = ParquetLakeTable(
@@ -632,7 +639,11 @@ class CdcIngestPipeline:
         # batch no-ops the merge, and compact on an empty backlog no-ops.
         if (
             self.compact_every
-            and self.target.mode == "mor"
+            # getattr: only the parquet lake table has a storage mode —
+            # an Iceberg (or custom) target compacts via its own
+            # maintenance, and dereferencing .mode here would kill the
+            # stream post-commit on every batch hitting the cadence
+            and getattr(self.target, "mode", None) == "mor"
             and (batch_id + 1) % self.compact_every == 0
         ):
             t_c = time.monotonic()
@@ -890,7 +901,16 @@ class CdcIngestPipeline:
     def reset(self) -> None:
         """Drop all engine state: target table, logs, checkpoints, reducer
         sinks (≈ gnarly.reset / setdown+setup, Gnarly.ts:44-56,
-        stores/sequelize.ts:161-177). The changelog source is untouched."""
+        stores/sequelize.ts:161-177). The changelog source is untouched.
+
+        Parquet-lake targets only: an Iceberg target has no local path to
+        wipe — drop/recreate the table with engine SQL instead."""
+        if not isinstance(self.target, ParquetLakeTable):
+            raise TypeError(
+                "reset() only manages ParquetLakeTable targets; drop the "
+                f"{type(self.target).__name__} with its own DDL and rebuild "
+                "the pipeline"
+            )
         for d in (
             self.log_dir,
             self.undo_dir,
@@ -912,6 +932,10 @@ class CdcIngestPipeline:
         self.target = ParquetLakeTable(
             self.spark, self.target.path, key=self.target.key,
             n_buckets=self.target.n_buckets, mode=self.target.mode,
+            # preserve the write-parallelism knob: dropping it here would
+            # silently revert every post-reset COW rewrite to one task per
+            # bucket (the 6-10x serial-encode regression BENCH.md measures)
+            files_per_bucket=self.target.files_per_bucket,
         )
         if self.dedup_minhash is not None:
             os.makedirs(self.dedup_dir, exist_ok=True)

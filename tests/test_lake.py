@@ -397,6 +397,32 @@ def test_merge_adopts_layout_from_concurrent_rebucket(spark, tmp_path):
     assert _pdf(ingest.lookup("url3")).v.tolist() == [300]
 
 
+def test_lookup_adopts_layout_from_concurrent_rebucket(spark, tmp_path):
+    """A READER handle opened before a concurrent rebucket() must compute
+    bucket ids with the layout of the manifest it reads: hashing with the
+    stale __init__-time count scans the wrong buckets and silently returns
+    empty for keys that exist (the reader-side twin of the writer's
+    _adopt_layout hazard)."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    writer = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    writer.merge(mk(spark, [(f"url{i}", i) for i in range(20)]), batch_id=0)
+
+    reader = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    assert _pdf(reader.lookup("url3")).v.tolist() == [3]  # sanity pre-rebucket
+
+    writer.rebucket(8)
+
+    # stale reader: every key must still resolve under the new layout
+    for k in ("url3", "url7", "url19"):
+        got = _pdf(reader.lookup(k))
+        assert got.v.tolist() == [int(k[3:])], f"lookup({k}) missed after rebucket"
+    # and the lookup still prunes (scans a strict subset of the table files)
+    all_files = set(reader.read().inputFiles())
+    looked = set(reader.lookup("url3").inputFiles())
+    assert looked and looked < all_files
+
+
 def test_current_pointer_never_moves_backward(spark, tmp_path):
     """_publish is a guarded swap: a stalled winner's late pointer write
     for an OLDER version must be a no-op once a newer version published

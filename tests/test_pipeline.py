@@ -527,3 +527,82 @@ def test_mor_target_with_compaction_matches_replay(spark, tmp_path):
         len(fl) for fl in p.target._manifest().get("deltas", {}).values()
     )
     assert pending <= 3 * p.target.n_buckets  # at most compact_every batches
+
+
+class _ModelessTarget:
+    """Duck-typed sink exposing only the shared LakeTable surface — no
+    .mode/.path/.n_buckets (the IcebergLakeTable shape). Delegates the
+    actual storage to a wrapped ParquetLakeTable."""
+
+    _HIDDEN = {"mode", "path", "n_buckets", "files_per_bucket"}
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def __getattr__(self, name):
+        if name in _ModelessTarget._HIDDEN:
+            raise AttributeError(name)
+        return getattr(self.__dict__["_inner"], name)
+
+
+def test_compact_cadence_tolerates_modeless_target(spark, tmp_path):
+    """compact_every on a target WITHOUT a .mode attribute (the Iceberg
+    surface) must be a post-commit no-op, not an AttributeError that kills
+    the stream after every merge (and again on each refire, wedging it)."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = gen_changelog(n_blocks=12, events_per_block=5, seed=31)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=4)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        target=_ModelessTarget(
+            ParquetLakeTable(spark, str(tmp_path / "work" / "pages"), key="url")
+        ),
+        compact_every=1,  # would hit the cadence check on every batch
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+    assert not any("compact" in m["phase_s"] for m in p.metrics())
+
+
+def test_reset_preserves_files_per_bucket(spark, tmp_path):
+    """reset() rebuilds the target handle — it must carry the
+    parallel-write knob, not silently revert to 1 file per bucket."""
+    log = gen_changelog(n_blocks=6, events_per_block=4)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=2)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), files_per_bucket=4)
+    run_stream(p, src)
+    p.reset()
+    assert p.target.files_per_bucket == 4
+    # and the reset table still ingests correctly at that layout
+    p2 = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), files_per_bucket=4,
+    )
+    run_stream(p2, src)
+    assert_pdf_equal(_got(p2), _want(log))
+
+
+def test_reset_rejects_non_parquet_target(spark, tmp_path):
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        target=_ModelessTarget(
+            ParquetLakeTable(spark, str(tmp_path / "work" / "pages"), key="url")
+        ),
+    )
+    with pytest.raises(TypeError, match="ParquetLakeTable"):
+        p.reset()
+
+
+def test_dedup_minhash_rejects_non_divisible_bands(spark, tmp_path):
+    """k % bands != 0 silently drops trailing minhash positions from
+    banding — the pipeline must reject it at construction."""
+    with pytest.raises(ValueError, match="divisible"):
+        CdcIngestPipeline(
+            spark, str(tmp_path / "work"), dedup_minhash={"k": 10, "bands": 4}
+        )
