@@ -664,7 +664,7 @@ def text_url_canonicalize(spark, sf_dir):
            regexp_replace(
              regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                             '<EMAIL>', 'g'),
-             '\d(?:[\d .-]{5,}\d|\d{5,})', '<NUMBER>', 'g') AS scrubbed
+             '\d(?:[ .-]?\d){6,}', '<NUMBER>', 'g') AS scrubbed
     FROM raw
     """,
 )
@@ -891,32 +891,13 @@ def text_pack_sequences(spark, sf_dir):
     by (source, doc_id div 1000) — packs never cross a chunk boundary, so
     at corpus scale no single window task sees more than one chunk (the
     slight fill loss at chunk edges is the price of parallelism; a global
-    ORDER BY would serialize the corpus through one task)."""
-    from gnarly_spark.operators.dedup import normalize_text
-    from pyspark.sql import Window
+    ORDER BY would serialize the corpus through one task).
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split(normalize_text(F.col("text")), " ")).cast("long").alias("n_tok"),
-        F.expr("doc_id div 1000").alias("chunk"),
-    )
-    w = (
-        Window.partitionBy("source", "chunk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.sum("n_tok").over(w) - F.col("n_tok")
-    return d.select(
-        "doc_id",
-        "n_tok",
-        F.concat_ws(
-            "/",
-            "source",
-            F.col("chunk").cast("string"),
-            F.floor(start / 2048).cast("string"),
-        ).alias("pack_id"),
-    )
+    Packing rule lives in functions/text.py pack_sequences — the SAME
+    helper the composed pipeline_training_corpus consumes."""
+    from gnarly_spark.functions.text import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -1163,14 +1144,11 @@ def pipeline_training_corpus(spark, sf_dir):
     checked operator; this row proves they COMPOSE (the pipeline's joins
     stay on doc_id, the only wide relations are the shingle tables, and
     nothing recomputes text twice)."""
-    from pyspark.sql import Window
-
-    from gnarly_spark.functions.text import lang_id, quality_features
+    from gnarly_spark.functions.text import lang_id, pack_sequences, quality_features
     from gnarly_spark.operators.dedup import (
         decontaminate,
         duplicate_clusters,
         jaccard_pairs,
-        normalize_text,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -1206,33 +1184,10 @@ def pipeline_training_corpus(spark, sf_dir):
         .where(F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id"))
         .select("doc_id")
     )
-    d = (
-        clean.join(keep.hint("shuffle_hash"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.size(F.split(normalize_text(F.col("text")), " "))
-            .cast("long")
-            .alias("n_tok"),
-            F.expr("doc_id div 1000").alias("chunk"),
-        )
-    )
-    w = (
-        Window.partitionBy("source", "chunk")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.sum("n_tok").over(w) - F.col("n_tok")
-    return d.select(
-        "doc_id",
-        "n_tok",
-        F.concat_ws(
-            "/",
-            "source",
-            F.col("chunk").cast("string"),
-            F.floor(start / 2048).cast("string"),
-        ).alias("pack_id"),
-    )
+    # pack the surviving docs with the SAME rule the standalone
+    # text_pack_sequences query is oracle-checked against (one shared
+    # helper — the composed pipeline cannot silently diverge from it)
+    return pack_sequences(clean.join(keep.hint("shuffle_hash"), "doc_id"))
 
 
 @register(

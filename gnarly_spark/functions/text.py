@@ -128,13 +128,16 @@ def scrub_pii(col):
     (phone/account numbers) — the standard pre-training hygiene transform.
     Rule (order matters, fully specified for the oracle):
       1. email-like tokens -> '<EMAIL>';
-      2. runs of >= 7 digits (optionally . - or space separated, starting
-         and ending with a digit) -> '<NUMBER>'.
+      2. runs of >= 7 DIGITS, each adjacent pair optionally separated by
+         ONE of [. - space] -> '<NUMBER>'. Counting digits (not chars)
+         keeps 6-digit values (dates '202408', postal codes, short ids)
+         intact, and the single-separator bound stops the match from
+         swallowing prose around spaced-out numbers.
     """
     s = F.regexp_replace(
         col, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
     )
-    return F.regexp_replace(s, r"\d(?:[\d .-]{5,}\d|\d{5,})", "<NUMBER>")
+    return F.regexp_replace(s, r"\d(?:[ .-]?\d){6,}", "<NUMBER>")
 
 
 def collapse_repeat_tokens(
@@ -279,4 +282,54 @@ def lm_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             F.count("*").alias("n_tokens"),
         )
         .select(F.col("id").alias(id_col), "lm_score", "n_tokens")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    chunk_rows: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Greedy first-fit sequence packing for training: docs fill
+    fixed-token-budget packs by cumulative whitespace-token count.
+    Output: (id, n_tok, pack_id).
+
+    Deterministic AND distributed: the cumsum window is partitioned by
+    (source, id div chunk_rows) — packs never cross a chunk boundary, so
+    at corpus scale no single window task sees more than one chunk (the
+    slight fill loss at chunk edges is the price of parallelism; a global
+    ORDER BY would serialize the corpus through one task).
+
+    The single source of the packing rule — text_pack_sequences and the
+    composed pipeline_training_corpus both call this, so the rule cannot
+    silently diverge between the oracle-checked operator and the pipeline.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(F.split(normalize_text(F.col(text_col)), " "))
+        .cast("long")
+        .alias("n_tok"),
+        F.expr(f"{id_col} div {chunk_rows}").alias("chunk"),
+    )
+    w = (
+        Window.partitionBy(source_col, "chunk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tok").over(w) - F.col("n_tok")
+    return d.select(
+        id_col,
+        "n_tok",
+        F.concat_ws(
+            "/",
+            source_col,
+            F.col("chunk").cast("string"),
+            F.floor(start / budget).cast("string"),
+        ).alias("pack_id"),
     )

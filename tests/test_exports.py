@@ -24,7 +24,7 @@ def test_public_api_surface():
         text: [
             "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
             "fingerprint", "canonicalize_url", "scrub_pii", "collapse_repeat_tokens",
-            "lm_quality",
+            "lm_quality", "pack_sequences",
         ],
         paths: ["parse_path"],
         replay: [

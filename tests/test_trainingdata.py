@@ -387,3 +387,22 @@ def test_collapse_repeat_tokens(spark):
     assert got[0] == ("a b c", 3)
     assert got[1] == ("x y x y", 0)  # non-consecutive repeats survive
     assert got[2] == ("solo", 0)
+
+
+def test_scrub_pii_digit_run_boundaries(spark):
+    """The digit rule counts DIGITS (>= 7), not characters: 6-digit values
+    (dates, postal codes) survive; 7+ digits are masked plain or with one
+    [ .-] between each pair; double separators break the run."""
+    from gnarly_spark.functions.text import scrub_pii
+
+    rows = [
+        ("date 202408 end", "date 202408 end"),          # 6 digits: kept
+        ("id 1234567 end", "id <NUMBER> end"),           # 7 digits: masked
+        ("tel 555-123-4567 end", "tel <NUMBER> end"),    # 10 digits, dashed
+        ("a 1 2 3 4 5 6 7 b", "a <NUMBER> b"),           # 7 spaced digits
+        ("x 123  4567890 y", "x 123  <NUMBER> y"),       # double space splits
+        ("mail bob@x.org now", "mail <EMAIL> now"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
+    got = [r.s for r in df.select(scrub_pii("t").alias("s")).collect()]
+    assert got == [w for _, w in rows]
