@@ -252,7 +252,9 @@ class CdcIngestPipeline:
                 return json.load(f)
         return []
 
-    def _record_seq_range(self, batch_id: int, log_stats: dict) -> None:
+    def _record_seq_range(
+        self, batch_id: int, log_stats: dict, files: list[str] | None = None
+    ) -> None:
         ranges = [r for r in self._seq_ranges() if r["batch_id"] != batch_id]
         ranges.append(
             {
@@ -260,12 +262,45 @@ class CdcIngestPipeline:
                 "min_seq": log_stats["mn_seq"],
                 "max_seq": log_stats["mx_seq"],
                 "max_block": log_stats["mx"],
+                # the trigger's source files: lets the retain_log=False
+                # re-read scan exactly the retained batches' files instead
+                # of the whole source dir (None = unknown -> full-dir read)
+                "files": files,
             }
         )
         tmp = self._ranges_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(ranges, f)
         os.replace(tmp, self._ranges_path)
+
+    def _trigger_files(self, batch_id: int) -> list[str] | None:
+        """Source files of one streaming trigger, from the file-source
+        checkpoint log (``<checkpoint>/sources/0/<batchId>``: a version
+        header line then one JSON entry per file, stamped with the batch
+        that picked it up; every 10th batch is a ``.compact`` file holding
+        the full history, so entries are filtered by batchId). Written to
+        the WAL before foreachBatch runs, so always present here. None if
+        the log can't be read (non-file source / format drift) — callers
+        must then fall back to scanning the whole source dir."""
+        d = os.path.join(self.checkpoint_dir, "sources", "0")
+        try:
+            for name in (str(batch_id), f"{batch_id}.compact"):
+                fp = os.path.join(d, name)
+                if not os.path.exists(fp):
+                    continue
+                out = []
+                with open(fp) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line or line.startswith("v"):
+                            continue
+                        e = json.loads(line)
+                        if e.get("batchId") == batch_id and "path" in e:
+                            out.append(e["path"])
+                return out or None
+        except (OSError, ValueError):  # pragma: no cover - defensive
+            return None
+        return None
 
     def _high_block(self) -> int | None:
         """Highest block delivered so far (the order-contract watermark)."""
@@ -431,14 +466,28 @@ class CdcIngestPipeline:
             lo = min(
                 [r["min_seq"] for r in ranges] + [log_stats["mn_seq"] or 0]
             )
+            # bound the re-read to the retained batches' FILES, not the
+            # whole source dir: a full-dir read is O(history) per trigger
+            # (every parquet footer re-opened; for jsonl a full re-parse of
+            # every delivered line) — quadratic over a long drain. The
+            # per-batch file lists recorded alongside the seq ranges make
+            # the scan O(retention window). The trigger's files come from
+            # the file-source checkpoint log (inputFiles() is empty on
+            # micro-batch frames); any gap falls back to the full dir
+            # (correct, just unbounded), and the op_seq window filter below
+            # keeps the semantics identical either way.
+            batch_files = self._trigger_files(batch_id)
+            flists = [r.get("files") for r in ranges] + [batch_files]
+            files = sorted({f for fl in flists for f in (fl or [])})
+            bounded = bool(files) and all(fl for fl in flists)
             log = (
-                self._read_source()
+                self._read_source(files=files if bounded else None)
                 .where(
                     (F.col("op_seq") <= F.lit(log_stats["mx_seq"]))
                     & (F.col("op_seq") >= F.lit(lo))
                 )
             )
-            self._record_seq_range(batch_id, log_stats)
+            self._record_seq_range(batch_id, log_stats, files=batch_files)
 
         # columns added mid-stream (schema evolution) ride along end-to-end:
         # log -> candidates -> LWW payload -> MERGE (which widens the target)
@@ -802,17 +851,26 @@ class CdcIngestPipeline:
         )
 
     # ----- stream wiring ------------------------------------------------
-    def _read_source(self) -> DataFrame:
+    def _read_source(self, files: list[str] | None = None) -> DataFrame:
         """Batch re-read of the (replayable) changelog source in whatever
-        format start() tailed it — used by the retain_log=False revert
-        adjudication path."""
+        format start() tailed it — the retain_log=False adjudication log.
+
+        ``files``: restrict the scan to these source files (the retained
+        batches' triggers). None reads the whole dir — correct but
+        O(history); callers should pass the bounded list whenever the
+        per-batch file metadata is complete."""
+        paths = files if files else self.source_dir
         if self.source_format == "jsonl":
-            from gnarly_spark.sources.jsonl import jsonl_events, read_changelog_jsonl
+            from gnarly_spark.sources.jsonl import jsonl_events, parse_changelog_jsonl
 
             return jsonl_events(
-                read_changelog_jsonl(self.spark, self.source_dir, self.source_schema),
+                parse_changelog_jsonl(
+                    self.spark.read.text(paths), self.source_schema
+                ),
                 self.source_schema,
             )
+        if files:
+            return self.spark.read.schema(self.source_schema).parquet(*files)
         return self.spark.read.schema(self.source_schema).parquet(self.source_dir)
     def start(
         self,

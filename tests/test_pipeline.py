@@ -606,3 +606,37 @@ def test_dedup_minhash_rejects_non_divisible_bands(spark, tmp_path):
         CdcIngestPipeline(
             spark, str(tmp_path / "work"), dedup_minhash={"k": 10, "bands": 4}
         )
+
+
+def test_retain_log_off_rereads_only_retained_files(spark, tmp_path, monkeypatch):
+    """The retain_log=False adjudication re-read must scan the retained
+    batches' FILES, not the whole source dir: a full-dir read is
+    O(delivered history) per trigger (quadratic over a long drain). With a
+    small retention window, later triggers must read strictly fewer files
+    than the dir holds — while the final state still equals the replay."""
+    seen: list = []
+    orig = CdcIngestPipeline._read_source
+
+    def spy(self, files=None):
+        seen.append(files)
+        return orig(self, files)
+
+    monkeypatch.setattr(CdcIngestPipeline, "_read_source", spy)
+
+    log = gen_changelog(n_blocks=30, events_per_block=5, fork_depth=2, seed=13)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=10)
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), retention_blocks=4, retain_log=False
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+
+    assert len(seen) == 10  # one adjudication read per trigger
+    # every read was file-bounded (inputFiles() resolved on each trigger)
+    assert all(files is not None and len(files) >= 1 for files in seen)
+    # once retention pruning kicks in, the read covers a strict subset of
+    # the 10 delivered files — the O(window) bound this fix exists for
+    assert len(seen[-1]) < 10
+    # and the recorded per-batch metadata carries the file lists
+    assert all(r.get("files") for r in p._seq_ranges())
