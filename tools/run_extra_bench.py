@@ -24,6 +24,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 MARK = "\n<!-- extra-bench -->\n"
+MARK_END = "\n<!-- extra-bench-end -->\n"
 
 
 def _gen(changelog: str, n_events: int, skew: float, partitions: int) -> None:
@@ -151,9 +152,17 @@ def main():
     bench_path = os.path.join(REPO, "BENCH.md")
     with open(bench_path) as f:
         current = f.read()
-    current = current.split(MARK)[0].rstrip() + "\n"
+    # replace ONLY the span between the two markers: everything after
+    # MARK_END (manually-added evidence sections) must survive a re-run —
+    # splitting on MARK alone would truncate the rest of the file
+    head = current.split(MARK)[0].rstrip() + "\n"
+    tail = ""
+    if MARK in current:
+        rest = current.split(MARK, 1)[1]
+        if MARK_END in rest:
+            tail = MARK_END.lstrip("\n") + rest.split(MARK_END, 1)[1]
     with open(bench_path, "w") as f:
-        f.write(current + MARK + "\n".join(lines) + "\n")
+        f.write(head + MARK + "\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
