@@ -366,13 +366,6 @@ class ParquetLakeTable:
             return self.spark.createDataFrame([], schema=f"{self.key} string")
         return df.where(F.col(self.key).isin(list(keys)))
 
-    def read_buckets(self, buckets: list[int]) -> DataFrame:
-        """Read only the named buckets of the current snapshot. Bucket ids
-        are interpreted against the CURRENT manifest's layout — compute
-        them with the n_buckets of the same snapshot (as lookup() does),
-        or a concurrent rebucket() silently remaps them."""
-        return self._read_snapshot(self._manifest(), buckets)
-
     def _write_buckets(
         self,
         df: DataFrame,

@@ -55,8 +55,10 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -158,12 +160,16 @@ class CdcIngestPipeline:
             self.dedup_params = {
                 "k": 8, "bands": 4, "min_est_jaccard": 0.5, **dedup_minhash
             }
-            if self.dedup_params["k"] % self.dedup_params["bands"] != 0:
+            if (
+                self.dedup_params["bands"] < 1
+                or self.dedup_params["k"] % self.dedup_params["bands"] != 0
+            ):
                 # fail at construction: banding silently ignores the
                 # trailing k % bands positions (quiet recall loss mid-drain)
                 raise ValueError(
                     f"dedup_minhash: k ({self.dedup_params['k']}) must be "
-                    f"divisible by bands ({self.dedup_params['bands']})"
+                    f"divisible by bands ({self.dedup_params['bands']}; "
+                    "bands must be >= 1)"
                 )
             self.dedup_dir = os.path.join(self.work_dir, "dedup_flags")
             os.makedirs(self.dedup_dir, exist_ok=True)
@@ -273,6 +279,19 @@ class CdcIngestPipeline:
             json.dump(ranges, f)
         os.replace(tmp, self._ranges_path)
 
+    def _retained_ranges(self, batch_id: int, prev_high: int | None) -> list[dict]:
+        """Prior batches still inside the reorg-retention window. A range
+        with NULL max_block cannot be proven outside the window — the
+        pruner keeps it (same predicate in the retention step), so the
+        adjudication read must include it too, or its files silently
+        vanish from the bounded scan while ``bounded`` stays True."""
+        horizon_prev = (prev_high if prev_high is not None else 0) - self.retention_blocks
+        return [
+            r for r in self._seq_ranges()
+            if r["batch_id"] != batch_id
+            and (r["max_block"] is None or r["max_block"] >= horizon_prev)
+        ]
+
     def _trigger_files(self, batch_id: int) -> list[str] | None:
         """Source files of one streaming trigger, from the file-source
         checkpoint log (``<checkpoint>/sources/0/<batchId>``: a version
@@ -296,7 +315,11 @@ class CdcIngestPipeline:
                             continue
                         e = json.loads(line)
                         if e.get("batchId") == batch_id and "path" in e:
-                            out.append(e["path"])
+                            # entries are URI-encoded (space -> %20 etc.);
+                            # Spark itself decodes via new Path(new URI(p))
+                            # before re-reading — mirror that, or a file
+                            # named "ev 1.jsonl" 404s on the re-read
+                            out.append(urllib.parse.unquote(e["path"]))
                 return out or None
         except (OSError, ValueError):  # pragma: no cover - defensive
             return None
@@ -457,14 +480,10 @@ class CdcIngestPipeline:
                     "retain_log=False needs the source dir; drive the "
                     "pipeline via start() (the source is the retained log)"
                 )
-            horizon_prev = (prev_high if prev_high is not None else 0) - self.retention_blocks
-            ranges = [
-                r for r in self._seq_ranges()
-                if r["batch_id"] != batch_id and r["max_block"] is not None
-                and r["max_block"] >= horizon_prev
-            ]
+            ranges = self._retained_ranges(batch_id, prev_high)
             lo = min(
-                [r["min_seq"] for r in ranges] + [log_stats["mn_seq"] or 0]
+                [r["min_seq"] for r in ranges if r["min_seq"] is not None]
+                + [log_stats["mn_seq"] or 0]
             )
             # bound the re-read to the retained batches' FILES, not the
             # whole source dir: a full-dir read is O(history) per trigger
@@ -859,18 +878,23 @@ class CdcIngestPipeline:
         batches' triggers). None reads the whole dir — correct but
         O(history); callers should pass the bounded list whenever the
         per-batch file metadata is complete."""
-        paths = files if files else self.source_dir
+        if files:
+            # DataFrameReader paths are GLOBS: a literal "[", "{", "*" or
+            # "?" in a file name matches nothing (silently empty scan) —
+            # escape them so the decoded checkpoint-log paths read back
+            # exactly the files the trigger saw
+            paths = [re.sub(r"([*?\[\]{}\\])", r"\\\1", p) for p in files]
+        else:
+            paths = self.source_dir
         if self.source_format == "jsonl":
-            from gnarly_spark.sources.jsonl import jsonl_events, parse_changelog_jsonl
+            from gnarly_spark.sources.jsonl import jsonl_events, read_changelog_jsonl
 
             return jsonl_events(
-                parse_changelog_jsonl(
-                    self.spark.read.text(paths), self.source_schema
-                ),
+                read_changelog_jsonl(self.spark, paths, self.source_schema),
                 self.source_schema,
             )
         if files:
-            return self.spark.read.schema(self.source_schema).parquet(*files)
+            return self.spark.read.schema(self.source_schema).parquet(*paths)
         return self.spark.read.schema(self.source_schema).parquet(self.source_dir)
     def start(
         self,
@@ -987,7 +1011,10 @@ class CdcIngestPipeline:
                 os.remove(fp)
         for d in (self.log_dir, self.undo_dir, self.audit_dir, self.metrics_dir):
             os.makedirs(d, exist_ok=True)
-        self.target = ParquetLakeTable(
+        # type(...): a ParquetLakeTable SUBCLASS passed as target must come
+        # back as the same class after reset, not silently downgrade to the
+        # base (a subclass with an incompatible __init__ fails loudly here)
+        self.target = type(self.target)(
             self.spark, self.target.path, key=self.target.key,
             n_buckets=self.target.n_buckets, mode=self.target.mode,
             # preserve the write-parallelism knob: dropping it here would

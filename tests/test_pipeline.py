@@ -640,3 +640,69 @@ def test_retain_log_off_rereads_only_retained_files(spark, tmp_path, monkeypatch
     assert len(seen[-1]) < 10
     # and the recorded per-batch metadata carries the file lists
     assert all(r.get("files") for r in p._seq_ranges())
+
+
+def test_retain_log_off_handles_spaced_file_names(spark, tmp_path):
+    """Checkpoint-log entries are URI-encoded (space -> %20): the bounded
+    adjudication re-read must decode them (and glob-escape the result), or
+    a changelog file named 'chunk 1.parquet' 404s the stream mid-drain."""
+    import shutil
+
+    log = gen_changelog(n_blocks=12, events_per_block=5, fork_depth=2, seed=17)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=4)
+    # flatten each chunk's part file into the source root under a name
+    # containing a space (rename preserves mtime, so delivery order holds;
+    # the stream source lists them fine — only the re-read path ever sees
+    # the %20-encoded form)
+    for i, d in enumerate(sorted(os.listdir(src))):
+        part = [f for f in os.listdir(os.path.join(src, d)) if f.startswith("part-")][0]
+        shutil.move(
+            os.path.join(src, d, part), os.path.join(src, f"events {i:02d}.parquet")
+        )
+        shutil.rmtree(os.path.join(src, d))
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), retain_log=False, retention_blocks=4
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+    # the re-read really was bounded: every retained range recorded files,
+    # and the decoded paths contain the literal space
+    rng = p._seq_ranges()
+    assert rng and all(r.get("files") for r in rng)
+    assert all("events " in f for r in rng for f in r["files"])
+    assert not any("%20" in f for r in rng for f in r["files"])
+
+
+def test_retained_ranges_keep_null_max_block(spark, tmp_path):
+    """A batch whose events all carry NULL block_id records max_block=None;
+    the pruner keeps such ranges forever, so the bounded adjudication read
+    must include their files too — dropping them would silently remove the
+    batch's upserts from revert re-adjudication."""
+    import json as _json
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), retain_log=False,
+                          retention_blocks=5)
+    ranges = [
+        {"batch_id": 0, "min_seq": 1, "max_seq": 10, "max_block": 1,
+         "files": ["f0"]},                                   # beyond window
+        {"batch_id": 1, "min_seq": 11, "max_seq": 20, "max_block": None,
+         "files": ["f1"]},                                   # unprovable
+        {"batch_id": 2, "min_seq": 21, "max_seq": 30, "max_block": 99,
+         "files": ["f2"]},                                   # in window
+    ]
+    with open(p._ranges_path, "w") as f:
+        _json.dump(ranges, f)
+    kept = p._retained_ranges(batch_id=3, prev_high=100)
+    assert [r["batch_id"] for r in kept] == [1, 2]
+    # and a None min_seq in a kept range must not break the lo computation
+    kept[0]["min_seq"] = None
+    lo = min([r["min_seq"] for r in kept if r["min_seq"] is not None] + [0])
+    assert lo == 0
+
+
+def test_dedup_minhash_rejects_zero_bands(spark, tmp_path):
+    with pytest.raises(ValueError, match="bands"):
+        CdcIngestPipeline(
+            spark, str(tmp_path / "work"), dedup_minhash={"k": 8, "bands": 0}
+        )
