@@ -71,16 +71,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
 )
 def dedup_minhash_signatures(spark, sf_dir):
     """Flattened (id, i, mh) minhash rows — row shape chosen over arrays so
-    the oracle hash is representation-independent."""
-    from gnarly_spark.operators.dedup import shingles
+    the oracle hash is representation-independent. Computed by the real
+    operator (ONE groupBy carrying k min columns) and posexploded AFTER
+    aggregation: k rows per doc on the way out, never k x |shingles| rows
+    through the shuffle (the explode-before-groupBy shape _minhash_agg's
+    docstring warns about)."""
+    from gnarly_spark.operators.dedup import minhash_signatures
 
-    sh = shingles(_t(spark, sf_dir, "documents"))
-    return (
-        sh.select("id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"), "shingle")
-        .select("id", "i", F.md5(F.concat_ws(":", "i", "shingle")).alias("h"))
-        .groupBy("id", "i")
-        .agg(F.min("h").alias("mh"))
-    )
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
+    return sig.select("id", F.posexplode("minhash").alias("i", "mh"))
 
 
 @register(
@@ -910,7 +909,7 @@ def text_pack_sequences(spark, sf_dir):
     "mm_media_features",
     """
     WITH p AS (SELECT doc_id,
-                      CASE WHEN doc_id % 3 = 0 THEN 'RIFF' || text
+                      CASE WHEN doc_id % 3 = 0 THEN 'RIFFxxxxWAVE' || text
                            WHEN doc_id % 3 = 1 THEN '    ftyp' || text
                            ELSE 'DATA' || text END AS ptxt
                FROM documents)
@@ -942,7 +941,7 @@ def mm_media_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
-            F.col("doc_id") % 3 == 0, F.concat(F.lit("RIFF"), F.col("text"))
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("RIFFxxxxWAVE"), F.col("text"))
         )
         .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("    ftyp"), F.col("text")))
         .otherwise(F.concat(F.lit("DATA"), F.col("text")))
@@ -1170,7 +1169,11 @@ def pipeline_training_corpus(spark, sf_dir):
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
-    clean = filt.join(uncontaminated, "doc_id")
+    # clean feeds THREE plan branches (dup pairs, the keep join, the final
+    # pack join) — checkpoint so the quality/lang/decontamination subtree
+    # runs once, not once per branch (the same rule minhash_lsh_pairs
+    # applies to its shingle relation)
+    clean = filt.join(uncontaminated, "doc_id").localCheckpoint(eager=True)
     clusters = duplicate_clusters(jaccard_pairs(clean, threshold=0.5))
     # clusters and keep are O(corpus) worst-case with inherited checkpoint
     # stats — pin distributed (see dedup_keep_list)

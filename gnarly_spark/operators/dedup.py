@@ -63,7 +63,15 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = 
     )
     base = _spread(base)
     w = F.col("_w")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(-1)))
+    # docs shorter than n words yield NO shingles (matching the SQL
+    # oracles): sequence(0, size-n) is only evaluated when size >= n —
+    # sequence(0, -1) is NOT empty (it steps DOWN to [0, -1]), so the
+    # tempting greatest(size-n, -1) bound crashes element_at on every
+    # short or null-text doc. The when() also maps null text to no rows
+    # (size(null) is null -> otherwise-branch empty array).
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)])
     )
@@ -216,10 +224,12 @@ def incremental_lsh_dups(
 
     At ingest scale the corpus signatures (id, minhash[k]) are computed once
     and stored (e.g. a ParquetLakeTable keyed by id); each micro-batch only
-    shingles its own documents. The batch side is tiny relative to the
-    corpus, so its banded relation and signatures are broadcast — the
-    corpus-side band table is scanned but NEVER shuffled, and nothing ever
-    re-reads corpus text. Estimated Jaccard = fraction of the k minhash
+    shingles its own documents. The batch's banded relation is tiny and is
+    broadcast into the corpus band scan (``broadcast_batch``); the CANDIDATE
+    relation, however, is bounded by band collisions — corpus-scale on
+    boilerplate-heavy data — so the verify join is left to AQE (broadcast
+    when small at runtime, shuffle when not). Nothing ever re-reads corpus
+    text. Estimated Jaccard = fraction of the k minhash
     positions that agree (the standard MinHash estimator — values are exact
     multiples of 1/k, so thresholding is engine-portable); candidates come
     only from band collisions, so the estimator never runs all-pairs.
@@ -257,15 +267,20 @@ def incremental_lsh_dups(
         f"CAST(size(filter(zip_with(mh_new, mh_cor, (x, y) -> x = y), v -> v)) AS DOUBLE)"
         f" / {k}"
     )
-    # candidates (band collisions, batch-bounded) broadcast INTO the corpus
-    # scan — the corpus signature table is read but never shuffled
+    # the candidate relation is bounded by band COLLISIONS against the
+    # corpus, NOT by batch size: one boilerplate doc whose band matches
+    # 10^6 near-identical corpus rows makes it corpus-scale, so it must
+    # never carry a hard broadcast hint (AQE would not demote it past the
+    # driver limit). Left unhinted, AQE broadcasts it at runtime when it
+    # really is small and falls back to a shuffle join when it is not —
+    # only the banded BATCH side above is truly batch-bounded.
     enriched = cand.join(
         new_sigs.select(F.col("id").alias("new_id"), F.col("minhash").alias("mh_new")),
         "new_id",
     )
     return (
         corpus_sigs.select(F.col("id").alias("dup_of"), F.col("minhash").alias("mh_cor"))
-        .join(maybe_bc(enriched), "dup_of")
+        .join(enriched, "dup_of")
         .withColumn("est_jaccard", F.round(est, 6))
         .where(F.col("est_jaccard") >= min_est_jaccard)
         .select("new_id", "dup_of", "est_jaccard")

@@ -37,15 +37,23 @@ FEATURES_DDL = f"doc_id long, media_type string, n_bytes long, feature array<flo
 def media_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     """Cheap JVM-side metadata: size + magic-byte sniffing (no decode).
 
-    Magic numbers: PNG \\x89PNG, JPEG \\xff\\xd8, RIFF/WAV, 'ftyp' mp4.
+    Magic numbers: PNG \\x89PNG, JPEG \\xff\\xd8, 'ftyp' mp4, and RIFF —
+    which is a generic CONTAINER, so bytes 9-12 pick the concrete type
+    (WAVE -> audio/wav, 'AVI ' -> video/avi, WEBP -> image/webp); an
+    unknown RIFF form falls through to octet-stream rather than
+    masquerading as audio and hitting the wrong decoder at deploy time.
     """
     b = F.col(binary_col)
     hexhead = F.hex(F.substring(b, 1, 8))
+    riff = hexhead.startswith("52494646")
+    form = F.hex(F.substring(b, 9, 4))
     return df.withColumn("n_bytes", F.length(b)).withColumn(
         "sniffed_type",
         F.when(hexhead.startswith("89504E47"), "image/png")
         .when(hexhead.startswith("FFD8"), "image/jpeg")
-        .when(hexhead.startswith("52494646"), "audio/wav")
+        .when(riff & (form == "57415645"), "audio/wav")
+        .when(riff & (form == "41564920"), "video/avi")
+        .when(riff & (form == "57454250"), "image/webp")
         .when(F.substring(F.hex(F.substring(b, 5, 4)), 1, 8) == "66747970", "video/mp4")
         .otherwise("application/octet-stream"),
     )
@@ -178,10 +186,14 @@ def sample_frames(
     """Frame-sampling plan: one output row per (video, frame_ts). The frame
     timestamps are computed JVM-side with sequence+explode; the actual frame
     decode would plug into extract_media_features. Demonstrates the S6-style
-    expansion (models/Block.ts:83-99) on media."""
-    return df.select(
+    expansion (models/Block.ts:83-99) on media.
+
+    Media with NULL or non-positive duration yields NO rows (nothing to
+    decode) — the greatest(dur-1, 0) form would emit a phantom ts=0 frame
+    for zero-length assets."""
+    return df.where(F.col(duration_col) > 0).select(
         F.col(id_col),
         F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(every_ms))
+            F.sequence(F.lit(0), F.col(duration_col) - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )

@@ -136,8 +136,15 @@ def lsh_sketch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sign-bit LSH sketch: bucket = sum over planes of sign(v·plane)<<i."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    """Sign-bit LSH sketch: bucket = sum over planes of sign(v·plane)<<i.
+
+    Runs one tiny job up front to learn the vector dimension (first row);
+    an empty corpus (or a NULL leading vector) is rejected with a clear
+    error rather than a TypeError deep in plan construction."""
+    head = embeddings.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("lsh_sketch: empty corpus (or NULL leading vector)")
+    dim = len(head[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):

@@ -121,3 +121,32 @@ def test_sample_frames(spark):
     f0 = got[got.doc_id == 0].frame_ts_ms.tolist()
     assert f0 == [0, 1000, 2000, 3000]
     assert got[got.doc_id == 1].frame_ts_ms.tolist() == [0]
+
+
+def test_riff_container_disambiguation(spark):
+    """RIFF is a container: bytes 9-12 pick the concrete type — AVI video
+    and WebP images must not masquerade as audio/wav (they'd hit the wrong
+    decoder at deploy), and an unknown RIFF form stays octet-stream."""
+    rows = [
+        (0, b"RIFF...." + b"WAVE" + b"z" * 40),
+        (1, b"RIFF...." + b"AVI " + b"v" * 40),
+        (2, b"RIFF...." + b"WEBP" + b"w" * 40),
+        (3, b"RIFF...." + b"WHAT" + b"?" * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = media_metadata(df).select("doc_id", "sniffed_type").toPandas().set_index("doc_id")
+    assert got.loc[0, "sniffed_type"] == "audio/wav"
+    assert got.loc[1, "sniffed_type"] == "video/avi"
+    assert got.loc[2, "sniffed_type"] == "image/webp"
+    assert got.loc[3, "sniffed_type"] == "application/octet-stream"
+
+
+def test_sample_frames_skips_empty_media(spark):
+    """NULL or non-positive duration yields NO frames — not a phantom
+    ts=0 row handed to the frame decoder."""
+    df = spark.createDataFrame(
+        [(0, 2500), (1, 0), (2, None), (3, -5)], "doc_id long, duration_ms long"
+    )
+    got = sample_frames(df, every_ms=1000).toPandas()
+    assert got.doc_id.unique().tolist() == [0]
+    assert got.frame_ts_ms.tolist() == [0, 1000, 2000]

@@ -406,3 +406,33 @@ def test_scrub_pii_digit_run_boundaries(spark):
     df = spark.createDataFrame([(t,) for t, _ in rows], "t string")
     got = [r.s for r in df.select(scrub_pii("t").alias("s")).collect()]
     assert got == [w for _, w in rows]
+
+
+def test_shingles_short_null_and_empty_docs(spark):
+    """Docs with fewer than n words (incl. empty and NULL text) yield NO
+    shingles — matching the SQL oracles — instead of crashing element_at
+    (sequence(0,-1) is [0,-1], not empty). Reachable from the streaming
+    dedup path, whose short-text contract is 'no signature', not 'job
+    dies'."""
+    from gnarly_spark.operators.dedup import jaccard_pairs, minhash_signatures, shingles
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, ""), (4, "exactly three words"),
+         (5, "a much longer document with plenty of words here"),
+         (6, "a much longer document with plenty of words here")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs).toPandas()
+    assert sorted(sh.id.unique()) == [4, 5, 6]
+    assert len(sh[sh.id == 4]) == 1  # exactly-n-words doc: one shingle
+    assert sorted(minhash_signatures(docs, k=4).toPandas().id) == [4, 5, 6]
+    pairs = jaccard_pairs(docs, threshold=0.9).toPandas()
+    assert list(zip(pairs.id_a, pairs.id_b)) == [(5, 6)]
+
+
+def test_lsh_sketch_rejects_empty_corpus(spark):
+    from gnarly_spark.operators.similarity import lsh_sketch
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        lsh_sketch(empty)
