@@ -261,25 +261,34 @@ def lm_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     external model). Low = templated/common wording, high = rare/garbled —
     either tail is a filter candidate.
 
-    Scale shape: one explode → one groupBy(w) for the vocab → one equi-join
-    back → one groupBy(doc). The vocab relation is O(distinct words), tiny
-    next to the token relation, so AQE broadcasts the join; the token total
-    rides a 1-row broadcast crossJoin, never a driver collect.
+    Scale shape: ONE scan of the text. The exploded tokens collapse
+    immediately to per-doc word counts (id, w, n) — smaller than the raw
+    token relation by the repetition factor — and that checkpointed
+    relation feeds both the vocab aggregate and the score join (two lazy
+    branches over the raw explode would scan + regex-normalize every
+    document twice; a partial-agg exchange can't be ReuseExchange'd against
+    a plain one). Vocab is O(distinct words), tiny next to the counts, so
+    AQE broadcasts the join; the token total rides a 1-row broadcast
+    crossJoin, never a driver collect. avg surprisal = sum(n·-ln p)/sum(n),
+    weighted by the collapsed counts.
     """
     from gnarly_spark.operators.dedup import _spread
 
     toks = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col))).select(
         "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
     )
-    vocab = toks.groupBy("w").agg(F.count("*").cast("double").alias("c"))
+    tw = toks.groupBy("id", "w").agg(F.count("*").alias("n")).localCheckpoint()
+    vocab = tw.groupBy("w").agg(F.sum("n").cast("double").alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
     return (
-        toks.join(vocab, "w")
+        tw.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(
-            F.round(F.avg(-F.log(F.col("c") / F.col("t"))), 6).alias("lm_score"),
-            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("n") * -F.log(F.col("c") / F.col("t"))) / F.sum("n"), 6
+            ).alias("lm_score"),
+            F.sum("n").alias("n_tokens"),
         )
         .select(F.col("id").alias(id_col), "lm_score", "n_tokens")
     )

@@ -218,9 +218,16 @@ def incremental_lsh_dups(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
     broadcast_batch: bool = True,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-batch near-dup check of an INCOMING batch against a persisted
     corpus signature table — the CDC/streaming form of minhash_lsh_pairs.
+
+    ``new_sigs`` (id, minhash[k]) lets a caller that ALSO persists the
+    batch's signatures (the streaming pipeline merges them into its sig
+    table right after flagging) hand in the relation it already computed —
+    otherwise the shingle explode + k-column min groupBy would run twice
+    per micro-batch, once under the flags write and once under the merge.
 
     At ingest scale the corpus signatures (id, minhash[k]) are computed once
     and stored (e.g. a ParquetLakeTable keyed by id); each micro-batch only
@@ -245,12 +252,16 @@ def incremental_lsh_dups(
     """
     # same contract as minhash_lsh_pairs: _banded silently drops the
     # trailing k % bands minhash positions from candidate generation
-    # (recall loss with no error) — reject the misconfiguration instead
-    assert k % bands == 0, f"k ({k}) must be divisible by bands ({bands})"
+    # (recall loss with no error) — reject the misconfiguration instead.
+    # ValueError, not assert: spark-submit under PYTHONOPTIMIZE strips
+    # asserts, silently restoring the hazard.
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands}) > 0")
     maybe_bc = F.broadcast if broadcast_batch else (lambda d: d)
-    new_sigs = minhash_signatures(
-        new_docs, k=k, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
-    )
+    if new_sigs is None:
+        new_sigs = minhash_signatures(
+            new_docs, k=k, n=n, text_col=text_col, id_col=id_col, max_doc_freq=max_doc_freq
+        )
     cand = (
         _banded(corpus_sigs, k, bands)
         .alias("c")
@@ -305,7 +316,8 @@ def minhash_lsh_pairs(
     ``max_doc_freq`` (default off) drops stop-shingles before signatures
     AND verification — see cap_hot_shingles.
     """
-    assert k % bands == 0
+    if bands <= 0 or k % bands != 0:
+        raise ValueError(f"k ({k}) must be divisible by bands ({bands}) > 0")
     r = k // bands
     # the shingle relation feeds three plan branches (signatures + both
     # sides of the verify join) — checkpoint so it's computed once.
@@ -576,7 +588,11 @@ def simhash_hamming_pairs(
     colliding in several bands) is deduped AFTER the cheap xor verify so
     the distinct runs on the filtered (small) relation.
     """
-    assert bits % bands == 0 and max_hamming <= bands - 1
+    if bands <= 0 or bits % bands != 0 or max_hamming > bands - 1:
+        raise ValueError(
+            f"need bits ({bits}) divisible by bands ({bands}) > 0 and "
+            f"max_hamming ({max_hamming}) <= bands-1 (pigeonhole coverage)"
+        )
     r = bits // bands
     mask = (1 << r) - 1
     sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)

@@ -420,7 +420,11 @@ class ParquetLakeTable:
     def _align(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
         """Project df to `columns` [(name, ddl_type)], null-filling (typed)
         the ones it lacks — the schema-merge half of evolution."""
-        have = set(df.columns)
+        # resolve case-insensitively (Spark's default spark.sql.caseSensitive
+        # =false): a batch delivering 'V' for table column 'v' feeds the
+        # EXISTING column under the table's spelling instead of null-filling
+        # it while the data forks into a new column
+        have = {c.lower(): c for c in df.columns}
         return df.select(
             *[
                 # the cast is a no-op when types already match; when a merge
@@ -429,7 +433,9 @@ class ParquetLakeTable:
                 # file written from here on carries exactly the manifest
                 # schema (old base files upcast at scan time — Spark 4
                 # parquet widening reads)
-                F.col(c).cast(t).alias(c) if c in have else F.lit(None).cast(t).alias(c)
+                F.col(have[c.lower()]).cast(t).alias(c)
+                if c.lower() in have
+                else F.lit(None).cast(t).alias(c)
                 for c, t in columns
             ]
         )
@@ -491,12 +497,23 @@ class ParquetLakeTable:
                 (f.name, f.dataType.simpleString())
                 for f in self.spark.createDataFrame([], m["schema"]).schema.fields
             ]
-            up_types = {
-                f.name: f.dataType.simpleString() for f in up.schema.fields
-            }
+            # key by lowercase: Spark resolves names case-insensitively by
+            # default, so a case-only rename ('v' -> 'V') is the SAME column
+            # — matching exactly would fork a new column and null-fill the
+            # old one (silent data loss + AMBIGUOUS_REFERENCE on next read)
+            up_types: dict[str, str] = {}
+            for f in up.schema.fields:
+                lo = f.name.lower()
+                if lo in up_types:
+                    raise ValueError(
+                        f"batch has columns differing only in case around "
+                        f"{f.name!r} — ambiguous under Spark's default "
+                        "case-insensitive resolution"
+                    )
+                up_types[lo] = f.dataType.simpleString()
             columns = []
             for name, t in old:
-                bt = up_types.get(name)
+                bt = up_types.get(name.lower())
                 if bt is None or bt == t:
                     columns.append((name, t))
                 elif (t, bt) in _WIDENINGS:
@@ -510,11 +527,11 @@ class ParquetLakeTable:
                         f"{sorted(_WIDENINGS)} evolve in place; fix the "
                         "upstream types or migrate explicitly)"
                     )
-            old_names = {n for n, _ in old}
+            old_names = {n.lower() for n, _ in old}
             columns += [
                 (f.name, f.dataType.simpleString())
                 for f in up.schema.fields
-                if f.name not in old_names
+                if f.name.lower() not in old_names
             ]
         elif m["schema"]:
             columns = [tuple(f.split(" ", 1)) for f in m["schema"].split(", ")]

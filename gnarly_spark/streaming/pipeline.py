@@ -506,7 +506,13 @@ class CdcIngestPipeline:
                     & (F.col("op_seq") >= F.lit(lo))
                 )
             )
-            self._record_seq_range(batch_id, log_stats, files=batch_files)
+            # an all-dead-lettered trigger has no rows: its max_block=None
+            # entry could never be proven outside the retention window, so
+            # the keep-unprovable rule would retain it (and re-read its
+            # files) FOREVER — and it contributes nothing to `lo` or to
+            # adjudication. Don't record it.
+            if log_stats["n"]:
+                self._record_seq_range(batch_id, log_stats, files=batch_files)
 
         # columns added mid-stream (schema evolution) ride along end-to-end:
         # log -> candidates -> LWW payload -> MERGE (which widens the target)
@@ -781,6 +787,13 @@ class CdcIngestPipeline:
             return
         p = self.dedup_params
         new_docs = upserts.select("url", "text").where(F.col("text").isNotNull())
+        # the batch's signatures feed TWO actions (the flags write below and
+        # the sig-table merge at the end) — compute the shingle explode +
+        # k-column min groupBy once and materialize it (eager checkpoint;
+        # k bigints per url, tiny)
+        sigs_raw = minhash_signatures(
+            new_docs, k=p["k"], text_col="text", id_col="url"
+        ).localCheckpoint()
         flags = None
         if self.sig_table.current_version() >= 0:
             # every url this batch REPLACES or deletes leaves the corpus
@@ -809,6 +822,7 @@ class CdcIngestPipeline:
                 # millions of docs — AQE picks broadcast vs shuffle from
                 # actual sizes per batch
                 broadcast_batch=False,
+                new_sigs=sigs_raw,
             ).select(
                 F.col("new_id").alias("url"), "dup_of", "est_jaccard"
             )
@@ -819,9 +833,7 @@ class CdcIngestPipeline:
         flags.write.mode("overwrite").parquet(
             os.path.join(self.dedup_dir, f"batch={batch_id}")
         )
-        sigs = minhash_signatures(
-            new_docs, k=p["k"], text_col="text", id_col="url"
-        ).withColumnRenamed("id", "url")
+        sigs = sigs_raw.withColumnRenamed("id", "url")
         # a url whose NEW version yields no signature (null text, or too
         # short to shingle) must not keep its OLD signature live — later
         # batches would be flagged as dups of content the corpus no longer
@@ -1039,12 +1051,15 @@ class CdcIngestPipeline:
         return out
 
     def metrics(self) -> list[dict]:
+        """Per-batch ingest metrics in TRIGGER order (filenames sort
+        lexicographically — batch-10 < batch-2 — so sort on the recorded
+        batch_id, not the name)."""
         out = []
-        for fn in sorted(os.listdir(self.metrics_dir)):
+        for fn in os.listdir(self.metrics_dir):
             if fn.endswith(".json"):
                 with open(os.path.join(self.metrics_dir, fn)) as f:
                     out.append(json.load(f))
-        return out
+        return sorted(out, key=lambda m: m["batch_id"])
 
     def pages(self) -> DataFrame:
         """User-facing view of the target (lineage columns hidden)."""

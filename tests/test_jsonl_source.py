@@ -121,3 +121,34 @@ def test_jsonl_retain_log_off_reads_source(spark, to_spark, tmp_path):
         drop=True
     )
     assert_pdf_equal(got, want)
+
+
+def test_all_poison_trigger_leaves_no_unprunable_range(spark, to_spark, tmp_path):
+    """A trigger whose every line dead-letters yields a 0-row batch. It
+    must NOT record a seq-range entry: its max_block would be None, which
+    the keep-unprovable retention rule retains (and re-reads) forever."""
+    log = gen_changelog(n_blocks=9, events_per_block=4, fork_depth=2)
+    src = str(tmp_path / "jl")
+    write_jsonl_chunks(spark, to_spark, log, src, n_chunks=3)
+    # a whole extra file of poison — one all-dead-letter micro-batch
+    with open(os.path.join(src, "0001a.txt"), "w") as f:
+        f.write("not json at all\n{also: bad\n")
+    order_files_by_name(src, "*.txt")
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), retain_log=False)
+    p.start(
+        src, available_now=True, max_files_per_trigger=1, source_format="jsonl"
+    ).awaitTermination()
+    ranges = p._seq_ranges()
+    assert len(ranges) >= 1
+    assert all(r["max_block"] is not None for r in ranges)
+    assert p.dead_letters().count() == 2
+    got = (
+        p.pages()
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)[["url", "warc_ts", "text", "lang"]]
+    )
+    want = oracle_final_state(log)[["url", "warc_ts", "text", "lang"]].reset_index(
+        drop=True
+    )
+    assert_pdf_equal(got, want)

@@ -493,3 +493,24 @@ def test_maintenance_cow_compact_preserves_batch_ids(spark, tmp_path):
     assert {0, 1} <= re.applied_batch_ids()  # refire guard survived
     assert re.merge(mk(spark, [("a", 999)]), batch_id=1) is False  # no-op
     assert _pdf(re.read()).set_index("url").v.to_dict() == {"a": 10, "b": 2}
+
+
+def test_case_only_rename_feeds_existing_column(spark, tmp_path):
+    """A batch delivering 'V' for table column 'v' must feed the EXISTING
+    column (Spark resolves case-insensitively by default) — not fork a new
+    'V' column while null-filling 'v'."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    t.merge(mk(spark, [("a", 10)], schema="url string, V int"), batch_id=1)
+    got = t.read()
+    assert [c.lower() for c in got.columns].count("v") == 1
+    rows = {r.url: r.v for r in got.collect()}
+    assert rows == {"a": 10, "b": 2}
+    # ambiguous batch (both cases present) is rejected, not silently merged
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="case"):
+        t.merge(
+            mk(spark, [("a", 1, 2)], schema="url string, v int, V int"),
+            batch_id=2,
+        )

@@ -706,3 +706,15 @@ def test_dedup_minhash_rejects_zero_bands(spark, tmp_path):
         CdcIngestPipeline(
             spark, str(tmp_path / "work"), dedup_minhash={"k": 8, "bands": 0}
         )
+
+
+def test_metrics_are_trigger_ordered(spark, tmp_path):
+    """metrics() sorts by batch_id, not filename (batch-10 < batch-2
+    lexicographically) — BENCH first/last-N slices depend on it."""
+    import json as _json
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    for b in (10, 2, 0, 11):
+        with open(os.path.join(p.metrics_dir, f"batch-{b}.json"), "w") as f:
+            _json.dump({"batch_id": b, "wall_s": float(b)}, f)
+    assert [m["batch_id"] for m in p.metrics()] == [0, 2, 10, 11]
