@@ -466,6 +466,22 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the delta computed in pure SQL from the two replay cutoffs — the
     feed must recover exactly the per-url insert/update/delete that the
     second commit applied."""
+    t, v1 = _two_commit_pages(spark, sf_dir, "gnarly_change_feed_")
+    return t.diff(v1).select("url", F.col("_change").alias("change"))
+
+
+def _two_commit_pages(
+    spark: SparkSession, sf_dir: str, work_prefix: str, split: str = "half"
+):
+    """Shared scaffold for the change-feed queries: commit the changelog's
+    first-cutoff LWW state (batch 1), then the incremental delta to the
+    full state (batch 2) into a fresh ParquetLakeTable; returns (table, v1)
+    so callers can read the feed between the two snapshots. ``split="half"``
+    cuts at max(op_seq)//2; ``split="median"`` cuts at the median LIVE
+    op_seq — on heavily-reorged data (sf0.01: 199 of 200 blocks reverted,
+    all live rows in the last block) the half cut leaves snapshot 1 empty,
+    while the median cut guarantees both snapshots are populated so
+    update/delete retraction paths are actually exercised."""
     import os
     import tempfile
 
@@ -473,7 +489,10 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnarly_spark.sinks.lake import ParquetLakeTable
 
     log = live_events(_changelog_df(spark, sf_dir))
-    mx = log.agg(F.max("op_seq")).collect()[0][0]  # scalar only
+    if split == "median":
+        cut = log.agg(F.expr("percentile(op_seq, 0.5)")).collect()[0][0]
+    else:
+        cut = log.agg(F.max("op_seq")).collect()[0][0] // 2  # scalar only
 
     def state(df: DataFrame) -> DataFrame:
         w = last_writer_wins(df)
@@ -483,7 +502,7 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("last_value"),
         )
 
-    a = state(log.where(F.col("op_seq") <= mx // 2))
+    a = state(log.where(F.col("op_seq") <= cut))
     b = state(log)
     ao = a.select("url", F.struct("last_seq", "last_value").alias("_a"))
     j = b.join(ao, "url", "full_outer")
@@ -496,12 +515,100 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", "last_seq", "last_value")
     dels = j.where(F.col("last_seq").isNull()).select("url")
 
-    work = tempfile.mkdtemp(prefix="gnarly_change_feed_")
+    work = tempfile.mkdtemp(prefix=work_prefix)
     t = ParquetLakeTable(spark, os.path.join(work, "pages"), key="url")
     t.merge(a, batch_id=1)
     v1 = t.current_version()
     t.merge(ups, delete_keys=dels, batch_id=2)
-    return t.diff(v1).select("url", F.col("_change").alias("change"))
+    return t, v1
+
+
+@register(
+    "cdc_incremental_mv",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live),
+    fin AS (SELECT url, ROUND(value, 4) AS last_value
+            FROM ranked WHERE rn = 1 AND op != 'delete')
+    SELECT CAST(SUBSTR(url, 11) AS BIGINT) % 10 AS grp,
+           COUNT(*) AS n_pages,
+           ROUND(CAST(SUM(CAST(last_value AS DECIMAL(28,6))) AS DOUBLE), 4)
+             AS sum_value
+    FROM fin GROUP BY 1
+    """,
+)
+def cdc_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the lake's OWN
+    image-carrying change feed (operators/mv.py over
+    ParquetLakeTable.changelog): bootstrap a per-group COUNT/SUM aggregate
+    from snapshot v1, then fold commit 2's changelog (update_before rows
+    retract, update_after/insert rows apply, deletes retract) — never
+    rescanning the corpus. Oracle = a direct aggregate over the FINAL
+    replay state: incremental maintenance must equal recompute exactly
+    (decimal arithmetic makes the sums bit-identical). This closes
+    gnarly's reducer loop downstream of the lake: the table a pipeline
+    maintains is itself a changelog any dependent aggregate can tail
+    (reference semantics: ourbit/Ourbit.ts:60-167 patch consumers)."""
+    from gnarly_spark.operators.mv import maintain_sum_mv
+
+    t, v1 = _two_commit_pages(spark, sf_dir, "gnarly_mv_", split="median")
+    grp = (F.expr("CAST(substring(url, 11) AS BIGINT)") % 10).alias("grp")
+    mv1 = (
+        t.read(v1)
+        .select(grp, "last_value")
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.col("last_value").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+    )
+    feed = t.changelog(v1).select(grp, "_change_type", "last_value")
+    mv = maintain_sum_mv(
+        mv1, feed, "grp", "last_value", count_alias="n_pages", sum_alias="sum_value"
+    )
+    return mv.select(
+        "grp",
+        "n_pages",
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "cdc_restore_snapshot",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live WHERE op_seq <= (SELECT MEDIAN(op_seq) FROM live))
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot rollback, oracle-checked end-to-end: commit the first-half
+    LWW state, commit the full-state delta, then ``restore()`` back to the
+    first snapshot and read the table — the result must be EXACTLY the
+    first cutoff's replay state (oracle recomputes it in pure SQL). This is
+    the reorg-deeper-than-retention recovery path: instead of replaying
+    undo rows, the lake rolls its manifest back (control-plane only) and
+    the resumed stream refires the unwound batches."""
+    t, v1 = _two_commit_pages(spark, sf_dir, "gnarly_restore_", split="median")
+    t.restore(v1)
+    return t.read().select("url", "last_seq", "last_value")
 
 
 @register(

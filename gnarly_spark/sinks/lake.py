@@ -839,24 +839,93 @@ class ParquetLakeTable:
         only columns present in BOTH snapshots are compared (a row whose
         only change is in a column the old snapshot predates reads as
         unchanged)."""
+        changed, _ = self._joined_changes(v_from, v_to)
+        return changed.select(self.key, F.col("_kind").alias("_change"))
+
+    def _joined_changes(self, v_from: int, v_to: int | None):
+        """Shared core of diff()/changelog(): full-outer join old vs new
+        snapshot on the key, keep only rows that differ, classify as
+        insert/delete/update in ``_kind``; returns (changed_rows, cols)
+        where changed_rows carries ``_o``/``_n`` image structs."""
         old = self.read(v_from)
         new = self.read(self.current_version() if v_to is None else v_to)
         cols = [c for c in new.columns if c != self.key and c in old.columns]
         o = old.select(self.key, F.struct(*cols).alias("_o"))
         n = new.select(self.key, F.struct(*cols).alias("_n"))
         j = o.join(n, self.key, "full_outer")
-        return (
-            j.withColumn(
-                "_change",
-                F.when(F.col("_o").isNull(), "insert")
-                .when(F.col("_n").isNull(), "delete")
-                # null-safe: a null FIELD inside the struct must compare
-                # equal to null, not poison the comparison
-                .when(~F.col("_o").eqNullSafe(F.col("_n")), "update"),
+        changed = j.withColumn(
+            "_kind",
+            F.when(F.col("_o").isNull(), "insert")
+            .when(F.col("_n").isNull(), "delete")
+            # null-safe: a null FIELD inside the struct must compare
+            # equal to null, not poison the comparison
+            .when(~F.col("_o").eqNullSafe(F.col("_n")), "update"),
+        ).where(F.col("_kind").isNotNull())
+        return changed, cols
+
+    def changelog(self, v_from: int, v_to: int | None = None) -> DataFrame:
+        """Image-carrying change feed between snapshots (the Iceberg
+        changelog-read shape): one row per change with ``_change_type`` in
+        insert / delete / update_before / update_after, carrying the FULL
+        row as of the corresponding snapshot. ``diff()`` is the keys-only
+        projection of this; the images are what downstream incremental
+        consumers need — materialized-view maintenance (operators/mv.py),
+        cache invalidation, search-index sync — because an update/delete
+        must retract the OLD row's contribution, not just apply the new
+        one. Same cost shape as diff(): one shuffle on the key over the two
+        snapshots; updates fan out to a before/after pair only after the
+        join has already reduced the relation to changed rows."""
+        changed, cols = self._joined_changes(v_from, v_to)
+        sides = (
+            F.when(
+                F.col("_kind") == "update",
+                F.array(F.lit("update_before"), F.lit("update_after")),
             )
-            .where(F.col("_change").isNotNull())
-            .select(self.key, "_change")
+            .when(F.col("_kind") == "insert", F.array(F.lit("insert")))
+            .otherwise(F.array(F.lit("delete")))
         )
+        ex = changed.select(
+            self.key, "_o", "_n", F.explode(sides).alias("_change_type")
+        )
+        img = F.when(
+            F.col("_change_type").isin("insert", "update_after"), F.col("_n")
+        ).otherwise(F.col("_o"))
+        return ex.select(
+            self.key,
+            "_change_type",
+            *[img.getField(c).alias(c) for c in cols],
+        )
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        rollback_to_snapshot analog) as a NEW forward commit: the restored
+        manifest copies the target version's file lists / schema / layout
+        but takes the next version number, so history stays linear, the
+        _CURRENT pointer only ever moves forward, and expire_snapshots'
+        keep-window math is unaffected. Control-plane only — no data files
+        move. ``batch_ids`` revert to the restored snapshot's set, so
+        batches applied after it stop being durably applied and a resumed
+        stream's refire guard re-applies them — the recovery path for a
+        reorg deeper than the retention window (reference semantics:
+        re-running ourbit from an older head, ourbit/Ourbit.ts:60-167).
+
+        Raises FileNotFoundError if ``version`` was expired, ValueError if
+        it never existed."""
+
+        def attempt():
+            if version < 0 or version > self._latest_committed():
+                raise ValueError(f"restore: no snapshot v{version}")
+            src = self._manifest(version)
+            base = self._manifest(self._latest_committed())
+            # _commit stamps self.mode/self.n_buckets — adopt the TARGET's
+            # layout so the restored manifest describes its own files
+            self._adopt_layout(src)
+            m = dict(src)
+            m["version"] = base["version"] + 1
+            m["restored_from"] = version
+            return self._commit(m)
+
+        return self._retrying(attempt)
 
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop manifests older than the last ``keep_last`` versions and

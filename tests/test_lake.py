@@ -373,6 +373,108 @@ def test_snapshot_diff_change_feed(spark, table):
     assert table.diff(1, 1).count() == 0
 
 
+def test_changelog_emits_before_after_images(spark, table):
+    """changelog(v_from, v_to): the image-carrying feed — updates fan out
+    to an update_before/update_after PAIR carrying old and new row values,
+    deletes carry the old image, inserts the new one; unchanged rows
+    (null-safely compared) never appear. This is the shape downstream
+    incremental consumers (operators/mv.py) retract/apply from."""
+    table.merge(mk(spark, [("a", 1), ("b", 1), ("c", None)]), batch_id=0)
+    table.merge(
+        mk(spark, [("a", 2), ("d", 4)]),
+        delete_keys=mk(spark, [("b", 0)]).select("url"),
+        batch_id=1,
+    )
+    rows = {(r.url, r._change_type): r.v for r in table.changelog(0, 1).collect()}
+    assert rows == {
+        ("a", "update_before"): 1,
+        ("a", "update_after"): 2,
+        ("b", "delete"): 1,
+        ("d", "insert"): 4,
+    }
+    assert table.changelog(1, 1).count() == 0
+
+
+def test_incremental_mv_matches_recompute(spark, table):
+    """maintain_sum_mv: bootstrapping a COUNT/SUM view at v1 and folding
+    changelog(v1) in must equal a direct recompute over v2 — including a
+    group that vanishes entirely (its row count reaches zero)."""
+    from gnarly_spark.operators.mv import maintain_sum_mv
+
+    rows = [(f"u{i}", i % 3, float(i)) for i in range(12)]
+    schema = "url string, grp int, val double"
+    table.merge(spark.createDataFrame(rows, schema=schema), batch_id=0)
+    v1 = table.current_version()
+    # batch 2: move u1 across groups, change u4's value, delete ALL of grp 2
+    table.merge(
+        spark.createDataFrame([("u1", 0, 99.0), ("u4", 1, 40.0)], schema=schema),
+        delete_keys=spark.createDataFrame(
+            [(f"u{i}",) for i in range(12) if i % 3 == 2], "url string"
+        ),
+        batch_id=1,
+    )
+    mv1 = (
+        table.read(v1)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("val").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+    )
+    got = maintain_sum_mv(
+        mv1, table.changelog(v1), "grp", "val"
+    ).toPandas().set_index("grp").sort_index()
+    want = (
+        table.read()
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("val").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("sum_value"),
+        )
+        .toPandas()
+        .set_index("grp")
+        .sort_index()
+    )
+    assert got.n_rows.to_dict() == want.n_rows.to_dict()
+    assert got.sum_value.astype(float).to_dict() == want.sum_value.astype(float).to_dict()
+    assert 2 not in got.index  # vanished group dropped, as recompute would
+
+
+def test_restore_rolls_back_as_forward_commit(spark, table):
+    """restore(v): rollback-to-snapshot as a NEW commit — state reverts,
+    history stays linear (pointer moves forward), batch ids applied after
+    the restored snapshot stop being durably applied so a stream refires
+    them, and time travel to the rolled-back version still works."""
+    table.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=0)
+    v1 = table.current_version()
+    table.merge(
+        mk(spark, [("a", 2), ("c", 3)]),
+        delete_keys=mk(spark, [("b", 0)]).select("url"),
+        batch_id=1,
+    )
+    v2 = table.current_version()
+    v3 = table.restore(v1)
+    assert v3 > v2
+    got = _pdf(table.read())
+    assert got.url.tolist() == ["a", "b"] and got.v.tolist() == [1, 1]
+    # batch 1 is no longer durably applied — a refire re-applies it
+    assert table.applied_batch_ids() == {0}
+    assert table.merge(
+        mk(spark, [("a", 2), ("c", 3)]),
+        delete_keys=mk(spark, [("b", 0)]).select("url"),
+        batch_id=1,
+    )
+    assert _pdf(table.read()).url.tolist() == ["a", "c"]
+    # the rolled-back snapshot remains time-travel readable
+    assert _pdf(table.read(version=v2)).url.tolist() == ["a", "c"]
+    with pytest.raises(ValueError):
+        table.restore(99)
+
+
 def test_merge_adopts_layout_from_concurrent_rebucket(spark, tmp_path):
     """An ingest handle opened before a concurrent rebucket() must hash
     with the NEW layout when it next merges (it builds on the rebucketed
