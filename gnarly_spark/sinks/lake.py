@@ -59,6 +59,39 @@ def bucket_of(key_col, n_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
 
 
+def _key_bounds(path: str, key: str) -> list[str] | None:
+    """[min, max] of ``key`` in one parquet file, from FOOTER statistics
+    only (no data pages read) — what an Iceberg manifest writer records as
+    per-file column bounds. Returns None when stats are missing for any
+    row group (the file then simply isn't prunable — safe). Parquet stat
+    truncation (PARQUET-1685) keeps truncated min/max valid bounds (max is
+    truncated by increment), so pruning against them is always sound."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == key:
+                idx = i
+                break
+        if idx is None:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return None if lo is None else [lo, hi]
+    except Exception:  # pragma: no cover - stats layer never fails a commit
+        return None
+
+
 #: type changes an existing column may undergo via schema evolution — the
 #: parquet widening reads Spark 4 supports at scan time (int32 file under a
 #: wider integral read schema, float under double), so evolution never
@@ -181,6 +214,7 @@ class ParquetLakeTable:
         # restores them (see __init__)
         manifest["mode"] = self.mode
         manifest["n_buckets"] = self.n_buckets
+        self._attach_bounds(manifest)
         v = manifest["version"]
         mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
         tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -201,6 +235,32 @@ class ParquetLakeTable:
             os.unlink(tmp)
         self._publish(v)
         return v
+
+    def _attach_bounds(self, manifest: dict) -> None:
+        """Record per-file key [min, max] bounds in the manifest (Iceberg's
+        manifest column-bounds analog): one driver-side FOOTER read per NEW
+        file per commit — files carried over from the parent (or already
+        present when a manifest is copied, e.g. restore()) reuse their
+        recorded bounds. lookup() prunes files inside a bucket against
+        these before any Spark scan is planned, so a point read on object
+        storage opens ~1 file per bucket instead of files_per_bucket (and
+        skips delta files whose key range can't match). Files without
+        usable stats simply get no entry and are never pruned."""
+        reuse = dict(manifest.get("bounds", {}))
+        p = manifest.get("parent", -1)
+        if isinstance(p, int) and p >= 0:
+            try:
+                reuse.update(self._manifest(p).get("bounds", {}))
+            except FileNotFoundError:  # parent expired mid-flight
+                pass
+        bounds: dict[str, list[str]] = {}
+        for fmap in (manifest.get("buckets", {}), manifest.get("deltas", {})):
+            for fl in fmap.values():
+                for f in fl:
+                    b = reuse.get(f) or _key_bounds(f, self.key)
+                    if b is not None:
+                        bounds[f] = b
+        manifest["bounds"] = bounds
 
     def _publish(self, v: int) -> None:
         """Swap _CURRENT to version ``v`` — guarded so the pointer never
@@ -361,6 +421,29 @@ class ParquetLakeTable:
             .distinct()
             .collect()
         ]
+        bounds = m.get("bounds", {})
+        if bounds:
+            # file-level zone-map pruning WITHIN the routed buckets: a file
+            # whose recorded key range can't contain any requested key is
+            # dropped before the scan is even planned (files without bounds
+            # are kept — safe). With files_per_bucket>1 the writer's range
+            # split makes per-bucket files key-disjoint, so this reads ~1
+            # file per key instead of files_per_bucket.
+            def _keep(f: str) -> bool:
+                b = bounds.get(f)
+                return b is None or any(b[0] <= k <= b[1] for k in keys)
+
+            m = {
+                **m,
+                "buckets": {
+                    bk: [f for f in fl if _keep(f)]
+                    for bk, fl in m["buckets"].items()
+                },
+                "deltas": {
+                    bk: [f for f in fl if _keep(f)]
+                    for bk, fl in m.get("deltas", {}).items()
+                },
+            }
         df = self._read_snapshot(m, buckets)
         if df is None:
             return self.spark.createDataFrame([], schema=f"{self.key} string")

@@ -444,6 +444,31 @@ def test_incremental_mv_matches_recompute(spark, table):
     assert 2 not in got.index  # vanished group dropped, as recompute would
 
 
+def test_lookup_zone_map_prunes_files_within_bucket(spark, tmp_path):
+    """Manifest-recorded per-file key bounds (footer stats, Iceberg
+    column-bounds analog): with files_per_bucket>1 the range-split files
+    are key-disjoint, so a point lookup must plan a scan over ~1 file —
+    not every file in the routed bucket — and an out-of-range key must
+    read zero files."""
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=1, files_per_bucket=4
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(f"url{i:04d}", i) for i in range(400)], "url string, v int"
+        ),
+        batch_id=0,
+    )
+    all_files = t._manifest()["buckets"]["0"]
+    assert len(all_files) > 1  # range split actually produced several files
+    assert set(t._manifest()["bounds"]) == set(all_files)  # bounds recorded
+    hit = t.lookup("url0007")
+    assert [(r.url, r.v) for r in hit.collect()] == [("url0007", 7)]
+    assert len(hit.inputFiles()) == 1  # zone map pruned the other files
+    # key lexically outside every file's range: no files planned at all
+    assert t.lookup("zzz").count() == 0
+
+
 def test_restore_rolls_back_as_forward_commit(spark, table):
     """restore(v): rollback-to-snapshot as a NEW commit — state reverts,
     history stays linear (pointer moves forward), batch ids applied after
