@@ -540,11 +540,100 @@ class ParquetLakeTable:
         """
         return self._retrying(lambda: self._merge_once(upserts, delete_keys, batch_id))
 
+    # ---- write-audit-publish (staged commits) -------------------------
+    def _staged_path(self, token: str) -> str:
+        return os.path.join(self.path, "_staged", f"{token}.json")
+
+    def merge_staged(
+        self,
+        upserts: DataFrame | None,
+        delete_keys: DataFrame | None = None,
+        batch_id: int | None = None,
+    ) -> str | None:
+        """Write-audit-publish: run the FULL merge (data files written,
+        manifest built, bounds recorded) but park the result as a staged
+        snapshot instead of committing — readers still see the old table.
+        Returns a stage token, or None when the merge was a no-op (empty
+        batch or batch_id already applied). Audit the staged state with
+        ``read_staged(token)`` (a data-quality gate runs its checks here),
+        then ``publish_staged(token)`` to make it the table's next version
+        atomically, or ``abandon_staged(token)`` to drop it. Until publish,
+        the batch_id is NOT durably applied — an abandoned batch can be
+        re-delivered, quarantined, or fixed upstream without any tombstone
+        surgery (Iceberg's WAP branch pattern)."""
+        staged: dict[str, str] = {}
+
+        def stage(manifest: dict) -> int:
+            manifest["mode"] = self.mode
+            manifest["n_buckets"] = self.n_buckets
+            self._attach_bounds(manifest)
+            token = f"s{manifest['parent']}-{uuid.uuid4().hex[:8]}"
+            os.makedirs(os.path.join(self.path, "_staged"), exist_ok=True)
+            with open(self._staged_path(token), "w") as f:
+                json.dump(manifest, f)
+            staged["token"] = token
+            return manifest["version"]
+
+        applied = self._merge_once(upserts, delete_keys, batch_id, commit_fn=stage)
+        return staged.get("token") if applied else None
+
+    def read_staged(self, token: str) -> DataFrame:
+        """Snapshot read of a staged (not yet published) merge — the audit
+        surface of write-audit-publish."""
+        with open(self._staged_path(token)) as f:
+            m = json.load(f)
+        df = self._read_snapshot(m, None)
+        if df is None:
+            return self.spark.createDataFrame(
+                [], schema=m["schema"] or f"{self.key} string"
+            )
+        return df
+
+    def publish_staged(self, token: str) -> int:
+        """Atomically commit a staged snapshot as the table's next version.
+        Raises CommitConflict if anything was committed after the stage was
+        built (its survivor rewrite / delta chain is stale) — re-stage on
+        the new head, exactly like an optimistic-commit retry."""
+        with open(self._staged_path(token)) as f:
+            m = json.load(f)
+        if self._latest_committed() != m.get("parent", -1):
+            raise CommitConflict(
+                f"staged snapshot {token} was built on v{m.get('parent')}, "
+                f"table is at v{self._latest_committed()} — re-stage"
+            )
+        v = self._commit(m)
+        os.unlink(self._staged_path(token))
+        return v
+
+    def abandon_staged(self, token: str) -> None:
+        """Drop a staged snapshot. Files written FOR the stage (their data
+        dir carries a version newer than any committed snapshot) are
+        unlinked promptly; anything else the stage referenced belongs to
+        committed history and is untouched. If a concurrent commit already
+        took the staged version number, the stage's files are left as
+        orphans for expire_snapshots to reclaim."""
+        with open(self._staged_path(token)) as f:
+            m = json.load(f)
+        os.unlink(self._staged_path(token))
+        cur = self._latest_committed()
+        for fmap in (m.get("buckets", {}), m.get("deltas", {})):
+            for fl in fmap.values():
+                for fpath in fl:
+                    vdir = os.path.dirname(os.path.dirname(fpath))
+                    name = os.path.basename(vdir)
+                    try:
+                        dir_version = int(name.split("-", 1)[0].lstrip("v"))
+                    except ValueError:
+                        continue
+                    if dir_version > cur and os.path.exists(fpath):
+                        os.unlink(fpath)
+
     def _merge_once(
         self,
         upserts: DataFrame | None,
         delete_keys: DataFrame | None,
         batch_id: int | None,
+        commit_fn=None,
     ) -> bool:
         m = self._manifest(self._latest_committed())
         self._adopt_layout(m)
@@ -624,7 +713,7 @@ class ParquetLakeTable:
             return False
 
         if self.mode == "mor":
-            return self._merge_mor(m, up, dk, columns, batch_id)
+            return self._merge_mor(m, up, dk, columns, batch_id, commit_fn)
 
         # buckets touched by this merge — only these are rewritten
         touched = []
@@ -698,7 +787,7 @@ class ParquetLakeTable:
                 extra = self._write_buckets(keep, version, n_write_buckets=len(stale))
                 for b in stale:
                     bucket_map[b] = extra.get(b, [])
-        self._commit(manifest)
+        (commit_fn or self._commit)(manifest)
         return True
 
     def _merge_mor(
@@ -708,6 +797,7 @@ class ParquetLakeTable:
         dk: DataFrame | None,
         columns: list[tuple[str, str]],
         batch_id: int | None,
+        commit_fn=None,
     ) -> bool:
         """Merge-on-read commit: append ONLY the batch's rows as delta
         files — upserts plus delete tombstones, stamped with the commit
@@ -739,7 +829,7 @@ class ParquetLakeTable:
         dmap = {b: list(fl) for b, fl in m.get("deltas", {}).items()}
         for b, fl in files.items():
             dmap[b] = dmap.get(b, []) + fl
-        self._commit(
+        (commit_fn or self._commit)(
             {
                 "version": version,
                 "buckets": m["buckets"],

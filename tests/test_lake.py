@@ -500,6 +500,67 @@ def test_restore_rolls_back_as_forward_commit(spark, table):
         table.restore(99)
 
 
+def test_write_audit_publish(spark, table):
+    """WAP: a staged merge is invisible to readers and not durably applied
+    until publish; the audit surface (read_staged) sees the staged state;
+    publish makes it the next version atomically."""
+    table.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=0)
+    v1 = table.current_version()
+    tok = table.merge_staged(mk(spark, [("a", 2), ("c", 3)]), batch_id=1)
+    assert tok is not None
+    assert _pdf(table.read_staged(tok)).v.tolist() == [2, 1, 3]
+    assert _pdf(table.read()).v.tolist() == [1, 1]  # readers unaffected
+    assert table.applied_batch_ids() == {0}  # batch 1 not durable yet
+    v2 = table.publish_staged(tok)
+    assert v2 > v1 and _pdf(table.read()).v.tolist() == [2, 1, 3]
+    assert table.applied_batch_ids() == {0, 1}
+    with pytest.raises(FileNotFoundError):  # stage consumed by publish
+        table.read_staged(tok)
+    # an already-applied batch stages as a no-op
+    assert table.merge_staged(mk(spark, [("a", 7)]), batch_id=1) is None
+
+
+def test_abandon_staged_drops_new_files_and_frees_batch(spark, table):
+    """Abandoning a stage deletes the files written for it, leaves the
+    table untouched, and frees the batch_id for a clean re-merge (the
+    quarantine-then-redeliver path of a data-quality gate)."""
+    import json as _json
+    import os as _os
+
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    cur = table.current_version()
+    tok = table.merge_staged(mk(spark, [("a", 99), ("b", 2)]), batch_id=1)
+    with open(table._staged_path(tok)) as f:
+        staged_m = _json.load(f)
+    new_files = [
+        f
+        for fl in staged_m["buckets"].values()
+        for f in fl
+        if f"/v{cur + 1}-" in f
+    ]
+    assert new_files
+    table.abandon_staged(tok)
+    assert _pdf(table.read()).v.tolist() == [1]
+    assert table.applied_batch_ids() == {0}
+    assert all(not _os.path.exists(f) for f in new_files)
+    # the batch can be re-delivered normally afterwards
+    assert table.merge(mk(spark, [("a", 99), ("b", 2)]), batch_id=1)
+    assert _pdf(table.read()).v.tolist() == [99, 2]
+
+
+def test_publish_staged_conflicts_with_interleaved_commit(spark, table):
+    """A commit landing between stage and publish invalidates the stage's
+    survivor rewrite — publish must refuse (optimistic concurrency), not
+    silently drop the interleaved commit's rows."""
+    from gnarly_spark.sinks.lake import CommitConflict
+
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    tok = table.merge_staged(mk(spark, [("a", 2)]), batch_id=1)
+    table.merge(mk(spark, [("z", 9)]), batch_id=2)  # interleaved writer
+    with pytest.raises(CommitConflict):
+        table.publish_staged(tok)
+
+
 def test_merge_adopts_layout_from_concurrent_rebucket(spark, tmp_path):
     """An ingest handle opened before a concurrent rebucket() must hash
     with the NEW layout when it next merges (it builds on the rebucketed
