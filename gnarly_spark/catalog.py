@@ -1437,3 +1437,56 @@ def q5_multijoin(spark, sf_dir):
             ).alias("revenue")
         )
     )
+
+
+@register(
+    "dq_expectations",
+    """
+    WITH a AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS v0,
+             count(doc_id) - count(DISTINCT doc_id) AS v1,
+             sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS v2,
+             sum(CASE WHEN lang IN ('de','en','es','fr','zh') THEN 0 ELSE 1 END) AS v3,
+             sum(CASE WHEN n_chars >= 300 THEN 0 ELSE 1 END) AS v4,
+             sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS v5
+      FROM documents),
+    r AS (
+      SELECT 'doc_id_not_null' AS check_name, v0 AS violations, 0.0 AS max_fraction, total FROM a
+      UNION ALL SELECT 'doc_id_unique', v1, 0.0, total FROM a
+      UNION ALL SELECT 'nchars_consistent', v2, 0.0, total FROM a
+      UNION ALL SELECT 'lang_known', v3, 0.0, total FROM a
+      UNION ALL SELECT 'text_min_300_chars', v4, 0.6, total FROM a
+      UNION ALL SELECT 'lang_is_en', v5, 0.5, total FROM a)
+    SELECT check_name, CAST(violations AS BIGINT) AS violations, total,
+           violations <= max_fraction * greatest(total, 1) AS passed
+    FROM r
+    """,
+)
+def dq_expectations(spark, sf_dir):
+    """Data-quality expectations report over `documents` — the audit step
+    of write-audit-publish (quality.evaluate_expectations): N checks = ONE
+    aggregation pass (conditional sums + exact count_distinct on the same
+    scan), report reshaped to rows in-plan via stack(). The same checks
+    gate staged lake commits in the streaming pipeline (quality_gate=...).
+    Mixed outcomes by construction: the two thresholded checks carry real
+    violation counts (fraction budgets), the four invariants are clean."""
+    from gnarly_spark.quality import Expectation, UniqueKey, evaluate_expectations
+
+    return evaluate_expectations(
+        _t(spark, sf_dir, "documents"),
+        [
+            Expectation("doc_id_not_null", "doc_id IS NOT NULL"),
+            UniqueKey("doc_id_unique", "doc_id"),
+            Expectation("nchars_consistent", "n_chars = length(text)"),
+            Expectation("lang_known", "lang IN ('de','en','es','fr','zh')"),
+            Expectation(
+                "text_min_300_chars", "n_chars >= 300",
+                mode="warn", max_violation_fraction=0.6,
+            ),
+            Expectation(
+                "lang_is_en", "lang = 'en'",
+                mode="warn", max_violation_fraction=0.5,
+            ),
+        ],
+    )

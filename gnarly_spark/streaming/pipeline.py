@@ -94,6 +94,7 @@ class CdcIngestPipeline:
         dedup_minhash: dict | None = None,
         compact_every: int | None = None,
         files_per_bucket: int = 1,
+        quality_gate: list | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -175,6 +176,24 @@ class CdcIngestPipeline:
             os.makedirs(self.dedup_dir, exist_ok=True)
             self.sig_table = ParquetLakeTable(
                 spark, os.path.join(self.work_dir, "_dedup_sigs"), key="url"
+            )
+        # quality_gate (None = off): a list of quality.Expectation /
+        # UniqueKey checks evaluated over the STAGED post-merge table every
+        # batch (write-audit-publish: merge_staged -> audit -> publish).
+        # A fail-mode breach raises QualityGateError and HALTS the stream —
+        # a CDC batch cannot be silently skipped (later batches' LWW
+        # adjudication depends on it) — leaving the stage parked on disk:
+        # read_staged() reproduces the exact audited state, publish_staged()
+        # ships it after a manual override, abandon_staged() frees the
+        # batch_id so the fixed batch can be redelivered and the stream
+        # restarted from its checkpoint. Warn-mode violations only land in
+        # the batch metrics. Requires a target with merge_staged
+        # (ParquetLakeTable; Iceberg's WAP branch is the production analog).
+        self.quality_gate = quality_gate
+        if quality_gate is not None and not hasattr(self.target, "merge_staged"):
+            raise ValueError(
+                "quality_gate requires a target supporting staged commits "
+                "(merge_staged/publish_staged)"
             )
         self.source_dir: str | None = None
         self.source_schema: str = CHANGELOG_DDL
@@ -704,7 +723,21 @@ class CdcIngestPipeline:
 
         # ---- the commit point (idempotent keyed MERGE) ----
         t_m = time.monotonic()
-        self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
+        quality_report = None
+        if self.quality_gate is not None:
+            from gnarly_spark.quality import gate_and_publish
+
+            token = self.target.merge_staged(
+                upserts, delete_keys=deletes, batch_id=batch_id
+            )
+            if token is not None:  # None = refire/empty no-op, nothing new
+                # raises QualityGateError on a fail-mode breach: the stream
+                # halts with the stage parked for forensics (see __init__)
+                quality_report = gate_and_publish(
+                    self.target, token, self.quality_gate
+                )
+        else:
+            self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
         phases["lww_merge"] = round(time.monotonic() - t_m, 3)
 
         # MOR targets: fold the delta backlog into base files every
@@ -734,6 +767,8 @@ class CdcIngestPipeline:
             "target_version": self.target.current_version(),
             "phase_s": phases,
         }
+        if quality_report is not None:
+            metrics["quality"] = quality_report
         with open(os.path.join(self.metrics_dir, f"batch-{batch_id}.json"), "w") as f:
             json.dump(metrics, f)
 

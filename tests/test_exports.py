@@ -6,7 +6,9 @@ from __future__ import annotations
 
 def test_public_api_surface():
     import gnarly_spark
-    from gnarly_spark import catalog, catalog_training, datagen, fixtures, reducers, session
+    from gnarly_spark import (
+        catalog, catalog_training, datagen, fixtures, quality, reducers, session,
+    )
     from gnarly_spark.functions import extraction, paths, text
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
@@ -63,6 +65,10 @@ def test_public_api_surface():
         reducers: ["AppendReducer", "FoldReducer", "IdempotentReducer"],
         datagen: ["gen_changelog_spark"],
         catalog: ["QUERIES", "ORACLES", "register"],
+        quality: [
+            "Expectation", "UniqueKey", "evaluate_expectations",
+            "gate_and_publish", "QualityGateError",
+        ],
     }
     for mod, names in surface.items():
         for n in names:

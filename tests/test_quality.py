@@ -1,0 +1,234 @@
+"""Data-quality expectations + the write-audit-publish gate.
+
+The expectations layer replaces the reference's unconditional store writes
+(typeStore/Sequelize.ts:28-191 applies every op with no audit step) with a
+declared-invariant gate between "merge computed" and "readers see it"."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from gnarly_spark.quality import (
+    Expectation,
+    QualityGateError,
+    UniqueKey,
+    evaluate_expectations,
+    gate_and_publish,
+)
+from gnarly_spark.sinks.lake import ParquetLakeTable
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "hello world", "en"),
+            (2, "bonjour", "fr"),
+            (3, None, "en"),
+            (3, "dup id", "xx"),
+            (None, "no id", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+
+
+def test_evaluate_expectations_counts_and_null_predicates(spark):
+    rep = {
+        r["check_name"]: r.asDict()
+        for r in evaluate_expectations(
+            _docs(spark),
+            [
+                Expectation("id_not_null", "doc_id IS NOT NULL"),
+                UniqueKey("id_unique", "doc_id"),
+                # length(NULL) is NULL -> the NULL-text row must count as a
+                # violation (FALSE and NULL both fail)
+                Expectation("text_min_5", "length(text) >= 5"),
+                Expectation(
+                    "lang_known",
+                    "lang IN ('en','fr')",
+                    max_violation_fraction=0.25,
+                ),
+            ],
+        ).collect()
+    }
+    assert rep["id_not_null"] == {
+        "check_name": "id_not_null", "violations": 1, "total": 5, "passed": False,
+    }
+    assert rep["id_unique"]["violations"] == 1  # doc_id 3 twice (NULL excluded)
+    assert rep["text_min_5"]["violations"] == 1  # NULL text (NULL pred fails)
+    # 1 violation out of 5 = 0.2 <= 0.25 budget -> passes
+    assert rep["lang_known"] == {
+        "check_name": "lang_known", "violations": 1, "total": 5, "passed": True,
+    }
+
+
+def test_evaluate_expectations_single_scan_plan(spark):
+    """N checks must ride ONE pass: the physical plan reads the relation
+    once (no self-joins / repeated subtrees per check)."""
+    df = _docs(spark).localCheckpoint()
+    rep = evaluate_expectations(
+        df,
+        [
+            Expectation("a", "doc_id IS NOT NULL"),
+            Expectation("b", "length(text) >= 5"),
+            Expectation("c", "lang = 'en'"),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") == 1
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # checks combine map-side before the shuffle
+
+
+def test_evaluate_expectations_rejects_bad_input(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="no checks"):
+        evaluate_expectations(df, [])
+    with pytest.raises(ValueError, match="duplicate check name"):
+        evaluate_expectations(
+            df, [Expectation("x", "1=1"), Expectation("x", "2=2")]
+        )
+    with pytest.raises(ValueError, match="mode"):
+        Expectation("x", "1=1", mode="ignore")
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_gate_publishes_when_checks_pass(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="k")
+    t.merge(_mk(spark, [("a", 1)]), batch_id=0)
+    tok = t.merge_staged(_mk(spark, [("b", 2)]), batch_id=1)
+    report = gate_and_publish(
+        t, tok, [Expectation("v_positive", "v > 0"), UniqueKey("k_unique", "k")]
+    )
+    assert all(r["passed"] for r in report)
+    assert sorted(r.k for r in t.read().collect()) == ["a", "b"]
+    assert t.applied_batch_ids() == {0, 1}
+
+
+def test_gate_failure_parks_stage_and_blocks_publish(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="k")
+    t.merge(_mk(spark, [("a", 1)]), batch_id=0)
+    tok = t.merge_staged(_mk(spark, [("b", -5)]), batch_id=1)
+    with pytest.raises(QualityGateError) as ei:
+        gate_and_publish(
+            t,
+            tok,
+            [
+                Expectation("v_positive", "v > 0"),
+                Expectation("k_nonempty", "length(k) > 0", mode="warn"),
+            ],
+        )
+    # readers unaffected, batch not durably applied, stage still parked
+    assert [r.k for r in t.read().collect()] == ["a"]
+    assert t.applied_batch_ids() == {0}
+    assert ei.value.failed[0]["check_name"] == "v_positive"
+    assert {r["check_name"] for r in ei.value.report} == {"v_positive", "k_nonempty"}
+    # forensics: the audited state is still reproducible, then publishable
+    # after a manual override
+    assert sorted(r.k for r in t.read_staged(tok).collect()) == ["a", "b"]
+    t.publish_staged(tok)
+    assert t.applied_batch_ids() == {0, 1}
+
+
+def test_gate_warn_mode_never_blocks(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="k")
+    tok = t.merge_staged(_mk(spark, [("a", -1)]), batch_id=0)
+    report = gate_and_publish(t, tok, [Expectation("v_pos", "v > 0", mode="warn")])
+    assert report == [
+        {"check_name": "v_pos", "violations": 1, "total": 1, "passed": False,
+         "mode": "warn"}
+    ]
+    assert t.applied_batch_ids() == {0}
+
+
+def test_gate_abandon_on_fail_frees_batch(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="k")
+    tok = t.merge_staged(_mk(spark, [("a", -1)]), batch_id=0)
+    with pytest.raises(QualityGateError):
+        gate_and_publish(
+            t, tok, [Expectation("v_pos", "v > 0")], abandon_on_fail=True
+        )
+    with pytest.raises(FileNotFoundError):
+        t.read_staged(tok)
+    # the fixed batch can be redelivered under the same batch_id
+    assert t.merge(_mk(spark, [("a", 1)]), batch_id=0)
+    assert [r.v for r in t.read().collect()] == [1]
+
+
+# ---- streaming pipeline integration ---------------------------------------
+
+
+def test_pipeline_quality_gate_passes_and_records_metrics(spark, tmp_path):
+    from gnarly_spark.fixtures import gen_changelog, oracle_final_state
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+    from tests.conftest import assert_pdf_equal
+    from tests.test_pipeline import PAGE_COLS, run_stream, write_changelog_files
+
+    log = gen_changelog(n_blocks=12, events_per_block=5)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=3)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        quality_gate=[
+            Expectation("url_not_null", "url IS NOT NULL"),
+            UniqueKey("url_unique", "url"),
+            Expectation("text_extracted", "text IS NOT NULL", mode="warn"),
+        ],
+    )
+    run_stream(p, src)
+    got = (
+        p.pages().select(*PAGE_COLS).toPandas().sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert_pdf_equal(got, oracle_final_state(log)[PAGE_COLS].reset_index(drop=True))
+    # every committed batch carries its audit report in the metrics
+    reports = [m["quality"] for m in p.metrics() if "quality" in m]
+    assert reports and all(
+        {r["check_name"] for r in rep}
+        == {"url_not_null", "url_unique", "text_extracted"}
+        for rep in reports
+    )
+
+
+def test_pipeline_quality_gate_halts_stream_with_stage_parked(spark, tmp_path):
+    from gnarly_spark.fixtures import gen_changelog
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+    from tests.test_pipeline import run_stream, write_changelog_files
+
+    log = gen_changelog(n_blocks=8, events_per_block=5)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=2)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        quality_gate=[Expectation("impossible", "1 = 0")],
+    )
+    with pytest.raises(Exception, match="quality gate failed: impossible"):
+        run_stream(p, src)
+    # nothing published; the failed batch's stage is parked for forensics
+    assert p.target.applied_batch_ids() == set()
+    staged = os.listdir(os.path.join(p.target.path, "_staged"))
+    assert len(staged) == 1
+    tok = staged[0][: -len(".json")]
+    assert p.target.read_staged(tok).count() > 0
+
+
+def test_pipeline_quality_gate_requires_stageable_target(spark, tmp_path):
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    class NoStage:
+        pass
+
+    with pytest.raises(ValueError, match="staged commits"):
+        CdcIngestPipeline(
+            spark,
+            str(tmp_path / "work"),
+            target=NoStage(),
+            quality_gate=[Expectation("x", "1=1")],
+        )
