@@ -1238,3 +1238,109 @@ def text_lm_quality(spark, sf_dir):
     from gnarly_spark.functions.text import lm_quality
 
     return lm_quality(_t(spark, sf_dir, "documents"))
+
+
+def mixture_sample(
+    docs,
+    weight,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    token_col: str = "n_chars",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Deterministic mixture sampling: downsample each source so the kept
+    corpus approaches a target per-source token share (the domain-mixing
+    step of web-corpus curation — Pile/DoReMi-style source weights).
+
+    ``weight`` is an integer Column giving the target weight of the row's
+    source; the token budget is ``budget_num/budget_den`` of the corpus
+    total. Source s is sampled at rate min(1, w_s*B / (W*tok_s)) — clamped
+    when the budget asks for more tokens than the source has (the standard
+    under-delivery case, surfaced via the `clamped` flag).
+
+    Engine-portable determinism: acceptance is an INTEGER comparison
+      u32(doc_id) * tok_s * W  <  w_s * B * 2^32
+    (u32 = first 8 md5 hex digits) carried in decimal(38,0) — no float
+    division, so any engine replays the exact same keep-set for a given
+    corpus. Appends rebalance rates (B and tok_s move), but a kept doc can
+    only flip when its source's rate falls — the hash-threshold rule makes
+    keep-sets NESTED across rate changes (shrinking a rate keeps a subset,
+    never a reshuffle). The clamp is implicit: w_s*B >= tok_s*W accepts
+    every u32.
+
+    Scale shape: one groupBy(source) agg for totals (tiny — one row per
+    source), rates broadcast back onto the corpus, acceptance is a
+    stateless map-side filter. Two scans of the corpus, zero corpus
+    shuffles."""
+    d = docs.withColumn("_w", weight.cast("long"))
+    totals = d.groupBy(source_col).agg(
+        F.sum(token_col).cast("long").alias("_tok"),
+        F.max("_w").alias("_sw"),
+    )
+    grand = totals.agg(
+        F.sum("_tok").alias("_T"), F.sum("_sw").alias("_W")
+    )
+    rates = totals.crossJoin(F.broadcast(grand)).select(
+        source_col,
+        "_tok",
+        "_sw",
+        "_W",
+        F.expr(f"(_T * {budget_num}) div {budget_den}").alias("_budget"),
+    )
+    u32 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    dec = "decimal(38,0)"
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(
+            u32.cast(dec) * F.col("_tok").cast(dec) * F.col("_W").cast(dec)
+            < F.col("_sw").cast(dec)
+            * F.col("_budget").cast(dec)
+            * F.lit(4294967296).cast(dec)
+        )
+        .withColumn(
+            "clamped", F.col("_sw") * F.col("_budget") >= F.col("_tok") * F.col("_W")
+        )
+    )
+
+
+@register(
+    "text_mixture_sample",
+    """
+    WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tok,
+                      CASE WHEN source IN ('src0','src1','src2','src3')
+                           THEN 5 ELSE 1 END AS wt
+               FROM documents GROUP BY source),
+    g AS (SELECT CAST(SUM(tok) AS BIGINT) AS T, CAST(SUM(wt) AS BIGINT) AS W FROM w),
+    r AS (SELECT source, tok, wt, W, (T * 1) // 2 AS budget FROM w, g),
+    s AS (SELECT d.source, d.doc_id, d.n_chars, r.wt, r.tok, r.W, r.budget
+          FROM documents d JOIN r USING (source)
+          WHERE CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS HUGEINT) * tok * W
+                < CAST(wt AS HUGEINT) * budget * 4294967296)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS tokens_sampled,
+           MAX(wt * budget >= tok * W) AS clamped
+    FROM s GROUP BY source
+    """,
+)
+def text_mixture_sample(spark, sf_dir):
+    """Per-source summary of a deterministic mixture sample: sources
+    src0-src3 carry weight 5, the rest weight 1, budget = half the corpus
+    tokens — so the upweighted sources clamp at keep-everything while the
+    long tail is hash-downsampled toward its share (see mixture_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    wt = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(5)
+    ).otherwise(F.lit(1))
+    return (
+        mixture_sample(d, wt)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("tokens_sampled"),
+            F.max("clamped").alias("clamped"),
+        )
+    )

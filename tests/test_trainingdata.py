@@ -436,3 +436,48 @@ def test_lsh_sketch_rejects_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         lsh_sketch(empty)
+
+
+def test_mixture_sample_clamp_nested_keepsets_and_plan(spark):
+    """mixture_sample: (1) a source whose target exceeds its tokens keeps
+    EVERYTHING (clamp); (2) keep-sets are nested when a source's rate
+    falls (hash-threshold rule — no reshuffle on rebalance); (3) the
+    corpus side is filtered via a broadcast join, never shuffled."""
+    import hashlib
+
+    from gnarly_spark.catalog_training import mixture_sample
+
+    rows = [(i, "hot" if i % 4 == 0 else "tail", 100) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, n_chars bigint")
+    wt = F.when(F.col("source") == "hot", F.lit(8)).otherwise(F.lit(1))
+
+    kept = mixture_sample(docs, wt).select("doc_id", "source", "clamped").collect()
+    hot = [r for r in kept if r.source == "hot"]
+    # hot: tok=10000, W=9, B=20000 -> target 8*20000/9 > 10000 => clamped
+    assert len(hot) == 100 and all(r.clamped for r in hot)
+    tail_keep = {r.doc_id for r in kept if r.source == "tail"}
+    # tail rate = 20000/(9*30000) ~ 0.074: sampled, not clamped, nonempty
+    assert 0 < len(tail_keep) < 300
+
+    # independent check of the integer acceptance rule for tail docs
+    def u32(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+
+    expect = {
+        i for (i, s, _) in rows if s == "tail"
+        and u32(i) * 30000 * 9 < 1 * 20000 * 4294967296
+    }
+    assert tail_keep == expect
+
+    # nested keep-sets: halving the budget must keep a SUBSET of tail docs
+    halved = mixture_sample(docs, wt, budget_num=1, budget_den=4)
+    tail_half = {r.doc_id for r in halved.collect() if r.source == "tail"}
+    assert tail_half < tail_keep
+
+    plan = (
+        mixture_sample(docs, wt)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # the corpus relation reaches the join without an exchange on its side
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
