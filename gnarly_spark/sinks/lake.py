@@ -59,37 +59,68 @@ def bucket_of(key_col, n_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
 
 
-def _key_bounds(path: str, key: str) -> list[str] | None:
-    """[min, max] of ``key`` in one parquet file, from FOOTER statistics
-    only (no data pages read) — what an Iceberg manifest writer records as
-    per-file column bounds. Returns None when stats are missing for any
-    row group (the file then simply isn't prunable — safe). Parquet stat
+def _norm_stat(v):
+    """Normalize a parquet footer min/max to a JSON-storable, ORDER-
+    PRESERVING value: bytes -> utf-8 text, timestamps -> fixed-width
+    '%Y-%m-%d %H:%M:%S.%f' strings (lexicographic == chronological),
+    dates -> ISO strings, numbers/strings unchanged. None = type we don't
+    prune on (the file just gets no bounds — safe)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool):  # bool before int: True/False bounds are useless
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _file_stats(path: str, cols: list[str]) -> dict[str, list]:
+    """{col: [min, max]} for the requested columns of one parquet file,
+    from ONE footer read (no data pages) — what an Iceberg manifest writer
+    records as per-file column bounds. A column is omitted when stats are
+    missing for any row group or the type isn't order-normalizable (the
+    file then simply isn't prunable on that column — safe). Parquet stat
     truncation (PARQUET-1685) keeps truncated min/max valid bounds (max is
     truncated by increment), so pruning against them is always sound."""
+    out: dict[str, list] = {}
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(path).metadata
-        idx = None
-        for i in range(md.num_columns):
-            if md.schema.column(i).name == key:
-                idx = i
-                break
-        if idx is None:
-            return None
-        lo = hi = None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                return None
-            mn, mx = st.min, st.max
-            if isinstance(mn, bytes):
-                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
-            lo = mn if lo is None or mn < lo else lo
-            hi = mx if hi is None or mx > hi else hi
-        return None if lo is None else [lo, hi]
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col in cols:
+            i = idx.get(col)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _norm_stat(st.min), _norm_stat(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                out[col] = [lo, hi]
     except Exception:  # pragma: no cover - stats layer never fails a commit
-        return None
+        return {}
+    return out
+
+
+def _key_bounds(path: str, key: str) -> list[str] | None:
+    """[min, max] of ``key`` in one parquet file (see _file_stats)."""
+    return _file_stats(path, [key]).get(key)
 
 
 #: type changes an existing column may undergo via schema evolution — the
@@ -151,6 +182,7 @@ class ParquetLakeTable:
         n_buckets: int = 16,
         mode: str = "cow",
         files_per_bucket: int = 1,
+        stats_columns: tuple[str, ...] = (),
     ):
         self.spark = spark
         # realpath: manifests record absolute data-file paths, and
@@ -172,6 +204,18 @@ class ParquetLakeTable:
         # into that many key-disjoint files written in parallel, preserving
         # per-file key sort (so row-group AND file-level pruning survive).
         self.files_per_bucket = max(1, int(files_per_bucket))
+        # secondary zone-map columns: per-file [min, max] of these columns
+        # are recorded in every manifest (one footer read per NEW file, at
+        # commit) and scan_range() prunes files against them — Iceberg's
+        # manifest column-bounds for non-key serving predicates (e.g.
+        # "pages changed in [t1, t2)" on warc_ts). Adding a column later is
+        # safe: old files lack bounds and are simply never pruned.
+        self.stats_columns = tuple(stats_columns)
+        if key in self.stats_columns:
+            raise ValueError(
+                f"stats_columns must not include the key ({key!r}); key "
+                "bounds are always recorded"
+            )
         os.makedirs(os.path.join(self.path, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(self.path, "data"), exist_ok=True)
         cur = self._manifest()
@@ -183,6 +227,11 @@ class ParquetLakeTable:
             # The manifest is authoritative once the table exists.
             self.mode = cur.get("mode", "cow")
             self.n_buckets = int(cur.get("n_buckets", n_buckets))
+            if not self.stats_columns:
+                # adopt the table's recorded stats columns so a plain
+                # reopen keeps maintaining them; an explicit constructor
+                # list wins (that's how a column is added or dropped)
+                self.stats_columns = tuple(cur.get("stats_columns", ()))
 
     # ---- snapshot control plane -------------------------------------
     @property
@@ -247,20 +296,47 @@ class ParquetLakeTable:
         skips delta files whose key range can't match). Files without
         usable stats simply get no entry and are never pruned."""
         reuse = dict(manifest.get("bounds", {}))
+        reuse_col: dict[str, dict] = {
+            c: dict(m) for c, m in manifest.get("col_bounds", {}).items()
+        }
         p = manifest.get("parent", -1)
         if isinstance(p, int) and p >= 0:
             try:
-                reuse.update(self._manifest(p).get("bounds", {}))
+                pm = self._manifest(p)
+                reuse.update(pm.get("bounds", {}))
+                for c, m in pm.get("col_bounds", {}).items():
+                    reuse_col.setdefault(c, {}).update(m)
             except FileNotFoundError:  # parent expired mid-flight
                 pass
         bounds: dict[str, list[str]] = {}
+        col_bounds: dict[str, dict[str, list]] = {c: {} for c in self.stats_columns}
         for fmap in (manifest.get("buckets", {}), manifest.get("deltas", {})):
             for fl in fmap.values():
                 for f in fl:
-                    b = reuse.get(f) or _key_bounds(f, self.key)
-                    if b is not None:
-                        bounds[f] = b
+                    missing = [
+                        c
+                        for c in self.stats_columns
+                        if f not in reuse_col.get(c, {})
+                    ]
+                    if f not in reuse:
+                        missing.append(self.key)
+                    if missing:
+                        # one footer read covers every missing column
+                        stats = _file_stats(f, missing)
+                        if self.key in stats:
+                            reuse[f] = stats[self.key]
+                        for c in self.stats_columns:
+                            if c in stats:
+                                reuse_col.setdefault(c, {})[f] = stats[c]
+                    if f in reuse:
+                        bounds[f] = reuse[f]
+                    for c in self.stats_columns:
+                        b = reuse_col.get(c, {}).get(f)
+                        if b is not None:
+                            col_bounds[c][f] = b
         manifest["bounds"] = bounds
+        manifest["col_bounds"] = {c: m for c, m in col_bounds.items() if m}
+        manifest["stats_columns"] = list(self.stats_columns)
 
     def _publish(self, v: int) -> None:
         """Swap _CURRENT to version ``v`` — guarded so the pointer never
@@ -448,6 +524,74 @@ class ParquetLakeTable:
         if df is None:
             return self.spark.createDataFrame([], schema=f"{self.key} string")
         return df.where(F.col(self.key).isin(list(keys)))
+
+    def scan_range(self, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read with manifest zone-map file skipping: rows of the
+        current snapshot where ``lo <= col <= hi`` (either bound may be
+        None), scanning ONLY files whose recorded [min, max] for ``col``
+        overlaps the range (plus files without bounds — never pruned,
+        always safe). With ``col`` in ``stats_columns`` (or the key), a
+        time-window serving query like "pages changed on 2026-08-14" opens
+        the handful of files that window's commits wrote instead of the
+        whole table — Iceberg's manifest-bounds scan planning, driver-side,
+        before Spark ever plans the scan.
+
+        Soundness on MOR: key-column pruning is always safe (every row of
+        a key carries the same key, so a kept key's base AND delta files
+        are all kept). A NON-key predicate over outstanding deltas is NOT
+        file-prunable — pruning a delta file whose rows fall outside the
+        range would resurrect the stale base row it supersedes — so that
+        case falls back to the resolved read + filter (compact() restores
+        prunability). Timestamp bounds are normalized to the fixed-width
+        format the manifest records, so lexicographic compare == time
+        compare."""
+        m = self._manifest()
+        if m["version"] < 0 or m["schema"] is None:
+            return self.spark.createDataFrame([], schema=f"{self.key} string")
+
+        def _pred(df: DataFrame):
+            c = F.col(col)
+            dt = df.schema[col].dataType
+            p = F.lit(True)
+            if lo is not None:
+                p = p & (c >= F.lit(lo).cast(dt))
+            if hi is not None:
+                p = p & (c <= F.lit(hi).cast(dt))
+            return p
+
+        has_deltas = any(fl for fl in m.get("deltas", {}).values())
+        if col != self.key and has_deltas:
+            r = self.read()
+            return r.where(_pred(r))
+
+        fb = m["bounds"] if col == self.key else m.get("col_bounds", {}).get(col, {})
+        lo_n = _norm_stat(lo) if lo is not None else None
+        hi_n = _norm_stat(hi) if hi is not None else None
+
+        def _keep(f: str) -> bool:
+            b = fb.get(f)
+            if b is None:
+                return True
+            if lo_n is not None and b[1] < lo_n:
+                return False
+            if hi_n is not None and b[0] > hi_n:
+                return False
+            return True
+
+        pruned = {
+            **m,
+            "buckets": {
+                bk: [f for f in fl if _keep(f)] for bk, fl in m["buckets"].items()
+            },
+            "deltas": {
+                bk: [f for f in fl if _keep(f)]
+                for bk, fl in m.get("deltas", {}).items()
+            },
+        }
+        df = self._read_snapshot(pruned, None)
+        if df is None:
+            return self.spark.createDataFrame([], schema=m["schema"])
+        return df.where(_pred(df))
 
     def _write_buckets(
         self,

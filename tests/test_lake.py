@@ -702,3 +702,98 @@ def test_case_only_rename_feeds_existing_column(spark, tmp_path):
             mk(spark, [("a", 1, 2)], schema="url string, v int, V int"),
             batch_id=2,
         )
+
+
+def test_scan_range_prunes_files_by_secondary_zone_map(spark, tmp_path):
+    """stats_columns=("ts",): per-file [min,max] of a NON-key column land
+    in the manifest at commit, and scan_range plans a scan over only the
+    overlapping files — a time-window serving read opens the window's
+    commits, not the table."""
+    import datetime as dt
+
+    from gnarly_spark.sinks.lake import bucket_of
+
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=3, stats_columns=("ts",)
+    )
+    day = dt.datetime(2026, 8, 14)
+    # route each day's keys to a DISTINCT bucket (the time-correlated
+    # commit pattern: a day's ingest touches its own buckets), so each
+    # base file carries one day's tight ts range
+    cand = spark.createDataFrame(
+        [(f"u{i:03d}",) for i in range(60)], "url string"
+    ).select("url", bucket_of(F.col("url"), 3).alias("b"))
+    by_bucket: dict[int, list[str]] = {}
+    for r in cand.collect():
+        by_bucket.setdefault(r.b, []).append(r.url)
+    assert set(by_bucket) == {0, 1, 2}
+    for d in range(3):
+        rows = [
+            (u, day + dt.timedelta(days=d, hours=i % 24))
+            for i, u in enumerate(by_bucket[d][:4])
+        ]
+        t.merge(
+            spark.createDataFrame(rows, "url string, ts timestamp"), batch_id=d
+        )
+    m = t._manifest()
+    files = [f for fl in m["buckets"].values() for f in fl]
+    assert set(m["col_bounds"]["ts"]) == set(files) and len(files) == 3
+
+    mid = t.scan_range(
+        "ts", day + dt.timedelta(days=1), day + dt.timedelta(days=1, hours=23)
+    )
+    assert sorted(r.url for r in mid.collect()) == sorted(by_bucket[1][:4])
+    assert len(mid.inputFiles()) == 1  # day-0/day-2 files skipped
+    # open-ended bounds + rows equal a plain filtered read
+    tail = t.scan_range("ts", lo=day + dt.timedelta(days=2))
+    assert tail.count() == 4
+    assert t.scan_range("ts", hi=day - dt.timedelta(days=1)).count() == 0
+    # reopening WITHOUT the arg adopts the table's recorded stats columns
+    t2 = ParquetLakeTable(spark, str(tmp_path / "t"), key="url")
+    assert t2.stats_columns == ("ts",)
+    t2.merge(
+        spark.createDataFrame(
+            [("late", day + dt.timedelta(days=9))], "url string, ts timestamp"
+        ),
+        batch_id=3,
+    )
+    assert len(t2._manifest()["col_bounds"]["ts"]) == len(
+        [f for fl in t2._manifest()["buckets"].values() for f in fl]
+    )
+
+
+def test_scan_range_key_column_prunes_even_on_mor(spark, tmp_path):
+    """Key-range pruning is sound with outstanding deltas (all rows of a
+    key share its key): scan_range on the key must prune AND resolve the
+    MOR winner."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=1, mode="mor")
+    t.merge(mk(spark, [("a", 1), ("m", 1), ("z", 1)]), batch_id=0)
+    t.merge(mk(spark, [("m", 2)]), batch_id=1)  # delta supersedes base 'm'
+    got = {(r.url, r.v) for r in t.scan_range("url", "m", "n").collect()}
+    assert got == {("m", 2)}
+
+
+def test_scan_range_nonkey_on_mor_falls_back_soundly(spark, tmp_path):
+    """A non-key range over outstanding deltas must NOT file-prune: a
+    delta moving a key OUT of the range would be pruned away and the
+    stale base row (inside the range) would resurrect. Expect the
+    resolved-then-filtered answer; after compact() pruning returns."""
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=1, mode="mor",
+        stats_columns=("v",),
+    )
+    t.merge(mk(spark, [("a", 10), ("b", 20)]), batch_id=0)
+    t.merge(mk(spark, [("a", 999)]), batch_id=1)  # 'a' leaves [0, 100]
+    got = {(r.url, r.v) for r in t.scan_range("v", 0, 100).collect()}
+    assert got == {("b", 20)}  # stale (a,10) must NOT resurrect
+    t.compact()
+    got2 = t.scan_range("v", 0, 100)
+    assert {(r.url, r.v) for r in got2.collect()} == {("b", 20)}
+
+
+def test_stats_columns_rejects_key_and_bools(spark, tmp_path):
+    with pytest.raises(ValueError, match="stats_columns"):
+        ParquetLakeTable(spark, str(tmp_path / "t"), key="url", stats_columns=("url",))
+    from gnarly_spark.sinks.lake import _norm_stat
+    assert _norm_stat(True) is None  # bool bounds are noise, not pruned on
+    assert _norm_stat(b"ab") == "ab" and _norm_stat(3.5) == 3.5
