@@ -49,6 +49,75 @@ def _track_head(
     )
 
 
+def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = None):
+    """`head_tracker` on the MODERN stateful API (Spark 4
+    transformWithStateInPandas + StatefulProcessor): same per-url
+    (n_events, last_seq, last_ts) fold, but state lives in a named
+    ValueState with an optional **TTL** — the state-bounding story the old
+    applyInPandasWithState path lacks (there, eviction needs explicit
+    timeout plumbing in the handler). At web scale the url universe is
+    unbounded; `ttl_ms` evicts urls idle longer than the reorg-retention
+    horizon, so the state store tracks the HOT set, not history.
+
+    Requires the RocksDB state store provider (the only backend
+    transformWithState supports):
+      spark.sql.streaming.stateStore.providerClass =
+        org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    Tests set it per-query via the session; an HDFS-backed store raises at
+    start. Semantics vs head_tracker are asserted equal in
+    tests/test_stateful.py (same input -> same final heads)."""
+    import pandas as pd  # noqa: F811 - vectorized path only
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HeadProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._head = handle.getValueState(
+                "head", STATE_SCHEMA, ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._head.exists():
+                n, last_seq, last_ts = self._head.get()
+            else:
+                n, last_seq, last_ts = 0, -1, None
+            for pdf in rows:
+                n += len(pdf)
+                top = pdf.sort_values(["warc_ts", "op_seq"]).iloc[-1]
+                if last_ts is None or (top.warc_ts, top.op_seq) > (
+                    last_ts,
+                    last_seq,
+                ):
+                    last_seq = int(top.op_seq)
+                    last_ts = top.warc_ts
+            self._head.update((n, last_seq, last_ts))
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "n_events": [n],
+                    "last_seq": [last_seq],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.where(events.url.isNotNull())
+        .groupBy("url")
+        .transformWithStateInPandas(
+            statefulProcessor=HeadProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode=output_mode,
+            # TTL is clocked by the store, so it needs a time mode
+            timeMode="ProcessingTime" if ttl_ms else "None",
+        )
+    )
+
+
 def head_tracker(events, output_mode: str = "append"):
     """events (streaming DataFrame with url/op_seq/warc_ts) -> per-url head
     state stream. ``output_mode='append'`` emits the updated head row each

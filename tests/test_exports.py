@@ -60,7 +60,7 @@ def test_public_api_surface():
             "block_by_seq", "block_by_hash", "latest_seq", "events_in_range",
         ],
         pipeline: ["CdcIngestPipeline", "TARGET_COLUMNS"],
-        stateful: ["head_tracker", "STATE_SCHEMA", "OUTPUT_SCHEMA"],
+        stateful: ["head_tracker", "head_tracker_v2", "STATE_SCHEMA", "OUTPUT_SCHEMA"],
         windows: ["windowed_lang_rates"],
         reducers: ["AppendReducer", "FoldReducer", "IdempotentReducer"],
         datagen: ["gen_changelog_spark"],

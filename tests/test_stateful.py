@@ -62,3 +62,129 @@ def test_head_tracker_state_across_batches(spark, changelog_dir, tmp_path):
     for url, n in want_counts.items():
         assert final.loc[url, "n_events"] == n, url
         assert final.loc[url, "last_seq"] == want_head[url], url
+
+
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState supports only the RocksDB state store; scope the
+    provider flip to the test (other suites keep the HDFS default)."""
+    pytest.importorskip("google.protobuf")  # TWS state client needs protobuf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def test_head_tracker_v2_transform_with_state_matches_v1(
+    spark, changelog_dir, tmp_path, rocksdb_state
+):
+    """head_tracker_v2 (transformWithStateInPandas + RocksDB ValueState):
+    state folds across micro-batches and the final per-url heads equal the
+    applyInPandasWithState path's."""
+    from gnarly_spark.streaming.stateful import head_tracker_v2
+
+    d, log = changelog_dir
+    stream = (
+        spark.readStream.schema(CHANGELOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = tmp_path / "out2"
+    q = (
+        head_tracker_v2(stream, output_mode="append")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    final = (
+        spark.read.parquet(str(out))
+        .groupBy("url")
+        .agg(F.max_by(F.struct("n_events", "last_seq"), "last_seq").alias("w"))
+        .select("url", "w.n_events", "w.last_seq")
+        .toPandas()
+        .set_index("url")
+    )
+    events = log[log.op != "revert"].dropna(subset=["url"])
+    want_counts = events.groupby("url").size()
+    want_head = events.sort_values(["warc_ts", "op_seq"]).groupby("url").op_seq.last()
+    assert len(final) == len(want_counts)
+    for url, n in want_counts.items():
+        assert final.loc[url, "n_events"] == n, url
+        assert final.loc[url, "last_seq"] == want_head[url], url
+
+
+def test_head_tracker_v2_ttl_evicts_idle_state(spark, tmp_path, rocksdb_state):
+    """ttl_ms: a url idle past the TTL loses its ValueState — the second
+    sighting restarts the fold (n_events=1) instead of continuing it. This
+    is the state-bounding knob for an unbounded url universe."""
+    import datetime as dt
+    import time
+
+    from gnarly_spark.streaming.stateful import head_tracker_v2
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def drop(name, seq):
+        spark.createDataFrame(
+            [("u1", seq, dt.datetime(2026, 1, 1, 0, seq))],
+            "url string, op_seq long, warc_ts timestamp",
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+        import glob as g
+        import shutil as sh
+
+        sh.copy(g.glob(f"{tmp_path}/stage/*.parquet")[0], src / name)
+
+    def run_until(n_rows):
+        # ProcessingTime timeMode keeps the query alive past availableNow
+        # (timer maintenance), so poll the sink and stop explicitly
+        stream = spark.readStream.schema(
+            "url string, op_seq long, warc_ts timestamp"
+        ).parquet(str(src))
+        q = (
+            head_tracker_v2(stream, output_mode="append", ttl_ms=1500)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                try:
+                    if spark.read.parquet(str(tmp_path / "out")).count() >= n_rows:
+                        return
+                except Exception:
+                    pass
+                time.sleep(1)
+            raise AssertionError(f"sink never reached {n_rows} rows")
+        finally:
+            q.stop()
+
+    drop("a.parquet", 1)
+    run_until(1)
+    time.sleep(3)  # let the 1.5s TTL lapse on the processing clock
+    drop("b.parquet", 2)
+    run_until(2)  # same checkpoint: state (if alive) would carry over
+    got = (
+        spark.read.parquet(str(tmp_path / "out"))
+        .orderBy("last_seq")
+        .collect()
+    )
+    assert [(r.n_events, r.last_seq) for r in got] == [(1, 1), (1, 2)]
