@@ -1490,3 +1490,59 @@ def dq_expectations(spark, sf_dir):
             ),
         ],
     )
+
+
+@register(
+    "cdc_time_window_scan",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT url, op, strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           op_seq, ROUND(value, 4) AS value
+    FROM changelog
+    WHERE op != 'revert'
+      AND warc_ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND warc_ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def cdc_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map range scan end-to-end on driver data: the changelog's
+    mutation history (audit shape — every non-revert event) is MERGEd into
+    a ParquetLakeTable keyed by op_seq with warc_ts in ``stats_columns``
+    (per-file [min,max] recorded in the manifest), then read back with
+    ``scan_range('warc_ts', t1, t2)`` — the time-window serving query
+    ("what changed between t1 and t2") that file-skips on the recorded
+    bounds instead of scanning the table. Oracle = the changelog SQL +
+    the same window predicate. File skipping itself is plan-asserted in
+    tests/test_lake.py::test_scan_range_*."""
+    import datetime
+    import tempfile
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    live = _changelog_df(spark, sf_dir).where(F.col("op") != "revert").select(
+        F.format_string("e%012d", F.col("op_seq")).alias("event_key"),
+        "url",
+        "op",
+        "warc_ts",
+        "op_seq",
+        "value",
+    )
+    t = ParquetLakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="gnarly_window_scan_"),
+        key="event_key",
+        n_buckets=8,
+        stats_columns=("warc_ts",),
+    )
+    t.merge(live, batch_id=0)
+    return t.scan_range(
+        "warc_ts",
+        datetime.datetime(2024, 1, 10),
+        datetime.datetime(2024, 1, 20),
+    ).select(
+        "url",
+        "op",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+        "op_seq",
+        F.round("value", 4).alias("value"),
+    )
