@@ -1546,3 +1546,67 @@ def cdc_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op_seq",
         F.round("value", 4).alias("value"),
     )
+
+
+@register(
+    "cdc_zorder_scan",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT url, op, strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS event_ts,
+           op_seq, ROUND(value, 4) AS value
+    FROM changelog
+    WHERE op != 'revert'
+      AND warc_ts >= TIMESTAMP '2024-01-12 00:00:00'
+      AND warc_ts <= TIMESTAMP '2024-01-18 00:00:00'
+      AND value >= 10 AND value <= 50
+    """,
+)
+def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout end-to-end on driver data: the mutation history is
+    MERGEd into a ParquetLakeTable keyed by op_seq, then
+    ``cluster(by=['warc_ts', 'value'])`` rewrites it along the
+    interleaved-bit curve (Delta OPTIMIZE ZORDER BY analog — each file a
+    small (time, value) rectangle with bounds in the manifest), and the
+    2-D serving predicate ("events in window T with value in [lo, hi]")
+    reads via ``scan_range`` on the time column — file-skipped on the
+    clustered bounds — plus the value filter, itself file-prunable on the
+    same layout. Oracle = the changelog SQL with both predicates; the
+    file skipping itself is plan-asserted in
+    tests/test_lake.py::test_cluster_zorder_enables_multi_column_file_skipping."""
+    import datetime
+    import tempfile
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    live = _changelog_df(spark, sf_dir).where(F.col("op") != "revert").select(
+        F.format_string("e%012d", F.col("op_seq")).alias("event_key"),
+        "url",
+        "op",
+        "warc_ts",
+        "op_seq",
+        "value",
+    )
+    t = ParquetLakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="gnarly_zorder_scan_"),
+        key="event_key",
+        n_buckets=4,
+        files_per_bucket=4,
+    )
+    t.merge(live, batch_id=0)
+    t.cluster(by=["warc_ts", "value"])
+    return (
+        t.scan_range(
+            "warc_ts",
+            datetime.datetime(2024, 1, 12),
+            datetime.datetime(2024, 1, 18),
+        )
+        .where(F.col("value").between(10.0, 50.0))
+        .select(
+            "url",
+            "op",
+            F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("event_ts"),
+            "op_seq",
+            F.round("value", 4).alias("value"),
+        )
+    )

@@ -59,6 +59,39 @@ def bucket_of(key_col, n_buckets: int):
     return F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
 
 
+def _rank_code(col_name: str, boundaries_arr):
+    """Equi-depth rank code: #boundaries <= value, as one JVM-side fold
+    over the literal boundary array (NULL values fold to code 0). A
+    separate function so the column name binds by closure — pyspark's
+    higher-order-function wrapper dispatches on lambda ARITY, so a
+    `col=c` default parameter would silently turn the merge lambda into
+    a 3-arg variant."""
+    return F.aggregate(
+        boundaries_arr,
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(col_name) >= b, 1).otherwise(0),
+    )
+
+
+def _interleave_bits(codes, bits: int):
+    """Z-value: interleave the low ``bits`` bits of each rank code, first
+    column most significant within each bit level. Pure bigint arithmetic
+    (literal shifts — the Python shiftright wrapper requires them), plan
+    size O(bits · n_cols); bits<=16 and n_cols<=4 keeps z inside bigint."""
+    n = len(codes)
+    if n * bits > 62:
+        raise ValueError(f"{n} columns x {bits} bits exceeds bigint z-value")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, code in enumerate(codes):
+            weight = 1 << (b * n + (n - 1 - i))
+            z = z + (
+                F.shiftright(code.cast("int"), b).bitwiseAND(F.lit(1)).cast("bigint")
+                * F.lit(weight)
+            )
+    return z
+
+
 def _norm_stat(v):
     """Normalize a parquet footer min/max to a JSON-storable, ORDER-
     PRESERVING value: bytes -> utf-8 text, timestamps -> fixed-width
@@ -599,6 +632,7 @@ class ParquetLakeTable:
         version: int,
         n_write_buckets: int | None = None,
         range_split: bool = True,
+        order_col: str | None = None,
     ) -> dict[str, list[str]]:
         """Write df (carrying ``_bucket``) as one dir per bucket; returns
         bucket -> file list. Data files are immutable once written.
@@ -607,29 +641,37 @@ class ParquetLakeTable:
         range partitioning must scale to THAT, not the table's bucket
         count: a 1-bucket merge on a 16-bucket/fpb=4 table range-split 64
         ways would scatter one bucket's rows across ~64 tiny key ranges
-        (file-count explosion per commit). None means all buckets."""
+        (file-count explosion per commit). None means all buckets.
+
+        ``order_col``: alternate within-bucket file order (cluster() passes
+        the interleaved z-value). The column is a write-time helper — it is
+        dropped after the in-partition sort (a narrow projection, row order
+        preserved) and never lands in the data files. Default: the key."""
         out_dir = os.path.join(self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        order = order_col or self.key
         if self.files_per_bucket > 1 and range_split:
-            # range partition on (_bucket, key): each written bucket splits
-            # into ~files_per_bucket contiguous key ranges written by
-            # parallel tasks (one range-sampling job extra — worth it for
-            # big COW rewrites; MOR delta appends bypass this, see
-            # _merge_mor)
+            # range partition on (_bucket, order): each written bucket
+            # splits into ~files_per_bucket contiguous ranges of the order
+            # column written by parallel tasks (one range-sampling job
+            # extra — worth it for big COW rewrites; MOR delta appends
+            # bypass this, see _merge_mor)
             nb = self.n_buckets if n_write_buckets is None else max(1, n_write_buckets)
             df = df.repartitionByRange(
-                nb * self.files_per_bucket, "_bucket", self.key
+                nb * self.files_per_bucket, "_bucket", order
             )
         else:
             df = df.repartition(F.col("_bucket"))
+        # order-sorted within each bucket file: parquet records min/max
+        # per row group, so lookup()'s pushed key-equality skips every
+        # row group but the winner's — at 100 TB a point read touches
+        # 1/n_buckets of the files AND ~1 row group per file, instead
+        # of decoding whole buckets. Cost: an in-task sort of rows the
+        # write was already shuffling (no extra exchange).
+        w = df.sortWithinPartitions("_bucket", order)
+        if order_col is not None:
+            w = w.drop(order_col)
         (
-            # key-sorted within each bucket file: parquet records min/max
-            # per row group, so lookup()'s pushed key-equality skips every
-            # row group but the winner's — at 100 TB a point read touches
-            # 1/n_buckets of the files AND ~1 row group per file, instead
-            # of decoding whole buckets. Cost: an in-task sort of rows the
-            # write was already shuffling (no extra exchange).
-            df.sortWithinPartitions("_bucket", self.key)
-            .write.partitionBy("_bucket")
+            w.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -1098,6 +1140,104 @@ class ParquetLakeTable:
             "version": version,
             "n_buckets": n_buckets,
             "files": sum(len(fl) for fl in files.values()),
+        }
+
+    def cluster(self, by: list[str], bits: int = 8) -> dict:
+        """Z-order the table's base files on ``by`` (Delta's OPTIMIZE
+        ZORDER BY / Iceberg's sort-order rewrite, from scratch): resolve
+        the current state (folding MOR deltas), lay rows out along an
+        interleaved-bit space-filling curve over the ``by`` columns, and
+        commit one new snapshot. Each data file then covers a small
+        hyper-rectangle in ``by``-space instead of a key range, so the
+        per-file bounds the manifest already records (``stats_columns``)
+        let ``scan_range`` file-skip on ANY clustered column — the layout
+        that makes 2-D serving predicates ("domain X, changed in window T")
+        open a handful of files at 100 TB. ``by`` columns are auto-added to
+        ``stats_columns`` so the commit records their bounds.
+
+        Mechanics (all Spark-side except one bounded driver sample):
+        equi-depth rank codes per column from a ~20·2^bits row sample
+        (the RangePartitioner recipe — sample size is O(2^bits),
+        independent of table size, and works for any orderable type:
+        ints, floats, strings, timestamps), then the z-value interleaves
+        the code bits; the rewrite range-partitions on (_bucket, z) so
+        files split the curve, and the z column never lands on disk.
+
+        Trade-off (documented, inherent): clustered files are no longer
+        key-disjoint within a bucket, so lookup()'s file-level key zone
+        maps stop pruning (bucket routing and pushed row-group filters
+        still apply). Run cluster() when range scans dominate point reads;
+        a later compact()/rebucket() restores key order. Like compact,
+        cost is O(table being rewritten), CAS-retried vs concurrent
+        ingest; old snapshots still time-travel and batch_ids carry over
+        (refires stay no-ops across the layout change)."""
+        if not by:
+            raise ValueError("cluster() needs at least one column")
+        if len(set(by)) != len(by):
+            raise ValueError(f"duplicate columns in cluster(by={by!r})")
+        if not (1 <= bits <= 16):
+            raise ValueError(f"bits must be in [1, 16], got {bits}")
+        return self._retrying(lambda: self._cluster_once(list(by), bits))
+
+    def _cluster_once(self, by: list[str], bits: int) -> dict:
+        m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
+        if m["version"] < 0:
+            return {"version": -1, "files": 0, "clustered_by": by}
+        resolved = self._read_snapshot(m, None)
+        missing = [c for c in by if c not in resolved.columns]
+        if missing:
+            raise ValueError(f"cluster columns not in table schema: {missing}")
+        # record bounds for every clustering column from this commit on
+        self.stats_columns = tuple(
+            dict.fromkeys(list(self.stats_columns) + [c for c in by if c != self.key])
+        )
+        # one bounded sample job → equi-depth boundaries per column
+        # (driver holds O(2^bits · len(by)) scalars, never the table)
+        n_rows = resolved.count()
+        target = 20 * (1 << bits)
+        frac = min(1.0, target / max(n_rows, 1))
+        sample = resolved.select(*by).sample(fraction=frac, seed=42).collect()
+        codes = []
+        for c in by:
+            vals = sorted(r[c] for r in sample if r[c] is not None)
+            k = 1 << bits
+            bnds = list(
+                dict.fromkeys(
+                    vals[min(len(vals) - 1, int(len(vals) * j / k))]
+                    for j in range(1, k)
+                )
+            ) if vals else []
+            if not bnds:
+                codes.append(F.lit(0))
+                continue
+            dt = resolved.schema[c].dataType
+            arr = F.array(*[F.lit(b).cast(dt) for b in bnds])
+            # rank code = #boundaries <= value (NULLs code to 0); one fold
+            # over a 2^bits-1 literal array, fully JVM-side
+            codes.append(_rank_code(c, arr))
+        z = _interleave_bits(codes, bits)
+        version = m["version"] + 1
+        df = resolved.withColumn(
+            "_bucket", bucket_of(F.col(self.key), self.n_buckets)
+        ).withColumn("_zorder", z)
+        files = self._write_buckets(df, version, order_col="_zorder")
+        self._commit(
+            {
+                "version": version,
+                "buckets": files,
+                "deltas": {},
+                "batch_ids": m["batch_ids"],
+                "schema": m["schema"],
+                "parent": m["version"],
+                "mode": self.mode,
+                "clustered_by": by,
+            }
+        )
+        return {
+            "version": version,
+            "files": sum(len(fl) for fl in files.values()),
+            "clustered_by": by,
         }
 
     def lineage(self) -> list[dict]:

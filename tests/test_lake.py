@@ -797,3 +797,100 @@ def test_stats_columns_rejects_key_and_bools(spark, tmp_path):
     from gnarly_spark.sinks.lake import _norm_stat
     assert _norm_stat(True) is None  # bool bounds are noise, not pruned on
     assert _norm_stat(b"ab") == "ab" and _norm_stat(3.5) == 3.5
+
+
+def _xy_rows(spark, n=4096):
+    # x cycles with row order, y is decorrelated (multiplicative hash) —
+    # the key-sorted layout is bad for BOTH columns, so any post-cluster
+    # pruning is attributable to the z-order rewrite
+    return spark.range(n).select(
+        F.format_string("url%05d", F.col("id")).alias("url"),
+        (F.col("id") % 64).cast("int").alias("x"),
+        ((F.col("id") * 2654435761) % 64).cast("int").alias("y"),
+    )
+
+
+def test_cluster_zorder_enables_multi_column_file_skipping(spark, tmp_path):
+    """cluster(by=[x, y]) (OPTIMIZE ZORDER BY analog): after the rewrite
+    each file covers a small (x, y) rectangle, so scan_range on EITHER
+    column file-skips — where the key-sorted layout pruned nothing."""
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=1, files_per_bucket=16
+    )
+    t.merge(_xy_rows(spark), batch_id=0)
+    total = len(t.read().inputFiles())
+    assert total >= 12
+    # no stats_columns declared yet -> nothing prunable pre-cluster
+    assert len(t.scan_range("x", 0, 7).inputFiles()) == total
+
+    info = t.cluster(by=["x", "y"])
+    assert info["clustered_by"] == ["x", "y"]
+    m = t._manifest()
+    assert m["clustered_by"] == ["x", "y"]
+    # cluster auto-added the by-columns to the recorded stats columns
+    assert set(m["stats_columns"]) == {"x", "y"}
+
+    post_x = t.scan_range("x", 0, 7)
+    post_y = t.scan_range("y", 0, 7)
+    # an eighth-of-domain slice on either dimension opens well under half
+    # the files (ideal ~1/4 with 16 files in 2-D; margin for the range
+    # sampler's straddle files)
+    assert len(post_x.inputFiles()) <= total // 2
+    assert len(post_y.inputFiles()) <= total // 2
+    # and the pruned scans return exactly the filtered rows
+    assert sorted(r.url for r in post_x.collect()) == sorted(
+        f"url{i:05d}" for i in range(4096) if i % 64 <= 7
+    )
+    assert post_y.count() == sum(
+        1 for i in range(4096) if (i * 2654435761) % 64 <= 7
+    )
+
+
+def test_cluster_preserves_state_batch_ids_and_time_travel(spark, tmp_path):
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=2, files_per_bucket=4
+    )
+    rows = _xy_rows(spark, 512)
+    t.merge(rows, batch_id=0)
+    pre = {(r.url, r.x, r.y) for r in t.read().collect()}
+    v_pre = t.current_version()
+    t.cluster(by=["x", "y"], bits=4)
+    assert {(r.url, r.x, r.y) for r in t.read().collect()} == pre
+    # batch ids carried over -> a refired batch is still a no-op
+    assert t.merge(rows, batch_id=0) is False
+    # the pre-cluster snapshot still time-travels
+    assert t.read(version=v_pre).count() == 512
+    # lookup still routes and answers correctly on the clustered layout
+    assert t.lookup("url00042").count() == 1
+    # a later merge keeps working (new files are key-ordered again)
+    t.merge(
+        spark.createDataFrame([("zzz", 1, 2)], "url string, x int, y int"),
+        batch_id=1,
+    )
+    assert t.read().count() == 513
+
+
+def test_cluster_folds_mor_deltas_and_validates_args(spark, tmp_path):
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=2, mode="mor"
+    )
+    t.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+    t.merge(mk(spark, [("b", 20)]), batch_id=1)  # outstanding delta
+    t.cluster(by=["v"], bits=4)
+    m = t._manifest()
+    assert not any(fl for fl in m.get("deltas", {}).values())  # folded
+    assert {(r.url, r.v) for r in t.read().collect()} == {
+        ("a", 1), ("b", 20), ("c", 3)
+    }
+    # with deltas folded, the non-key range scan is file-prunable again
+    assert {(r.url, r.v) for r in t.scan_range("v", 0, 5).collect()} == {
+        ("a", 1), ("c", 3)
+    }
+    with pytest.raises(ValueError, match="at least one"):
+        t.cluster(by=[])
+    with pytest.raises(ValueError, match="duplicate"):
+        t.cluster(by=["v", "v"])
+    with pytest.raises(ValueError, match="bits"):
+        t.cluster(by=["v"], bits=40)
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.cluster(by=["nope"])
