@@ -1344,3 +1344,51 @@ def text_mixture_sample(spark, sf_dir):
             F.max("clamped").alias("clamped"),
         )
     )
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH toks AS (SELECT DISTINCT doc_id AS id,
+                         unnest(string_split({_NORM}, ' ')) AS token
+                  FROM documents)
+    SELECT token, COUNT(*) AS doc_freq,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
+             AS postings
+    FROM toks GROUP BY token HAVING COUNT(*) >= 2
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Full-text inverted index over the corpus (token → doc_freq +
+    sorted posting list), min_df=2 band — see functions/text.py
+    inverted_index for the max_df stopword guard that bounds the hot
+    token's posting row at web scale."""
+    from gnarly_spark.functions.text import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=2)
+
+
+@register(
+    "text_tfidf_search",
+    f"""
+    WITH toks AS (SELECT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS w
+                  FROM documents),
+    tw AS (SELECT id, w, COUNT(*) AS tf FROM toks
+           WHERE w IN ('batch', 'join', 'stream') GROUP BY id, w),
+    dfr AS (SELECT w, COUNT(*) AS df FROM tw GROUP BY w),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+    SELECT id AS doc_id,
+           ROUND(SUM(tf * ln(n / df)), 6) AS score,
+           COUNT(*) AS n_terms
+    FROM tw JOIN dfr USING (w), n GROUP BY id
+    """,
+)
+def text_tfidf_search(spark, sf_dir):
+    """TF-IDF ranked retrieval for a fixed 3-term query — every matching
+    doc with its score (no top-k cutoff: engine ULP near-ties can't flip
+    membership). The ranking consumer applies its own limit."""
+    from gnarly_spark.functions.text import tfidf_search
+
+    return tfidf_search(
+        _t(spark, sf_dir, "documents"), ["batch", "join", "stream"]
+    )

@@ -342,3 +342,90 @@ def pack_sequences(
             F.floor(start / budget).cast("string"),
         ).alias("pack_id"),
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-text inverted index: one row per distinct token with its
+    document frequency and sorted posting list (comma-joined doc ids —
+    a flat representation so the oracle hash is layout-independent).
+
+    Shape: explode → distinct (id, token) → ONE groupBy(token) — partial
+    aggregation collapses per-partition postings before the shuffle. The
+    per-token posting list is the scale hazard (a stopword's list is
+    O(corpus)); the band is the guard: ``max_df`` caps hot tokens out of
+    the index (they become query-time stopwords, the Lucene move) and
+    ``min_df`` drops hapax noise. sort_array makes the list deterministic
+    regardless of shuffle arrival order.
+    """
+    from gnarly_spark.operators.dedup import _spread
+
+    toks = (
+        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+        )
+        .distinct()
+    )
+    idx = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list(F.col("id").cast("string")))
+        ).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.where(F.col("doc_freq") >= min_df)
+    if max_df is not None:
+        idx = idx.where(F.col("doc_freq") <= max_df)
+    return idx
+
+
+def tfidf_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF retrieval: every document matching at least one query term,
+    scored sum_t tf(t,d) · ln(N / df(t)). Returns (doc_id, score,
+    n_terms) — no top-k cutoff here, so near-tie ULP noise between
+    engines can't flip which rows appear; callers add their own limit.
+
+    Shape: the exploded token relation is filtered to the |terms| tokens
+    BEFORE any shuffle (the isin predicate sits on the generate output),
+    so the aggregate carries O(matching tokens), never the corpus; df
+    and the corpus size N ride tiny broadcast relations. Score is
+    rounded to 6 decimals for engine-portable comparison (same recipe
+    as lm_quality).
+    """
+    from gnarly_spark.operators.dedup import _spread
+
+    toks = (
+        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id",
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        )
+        .where(F.col("w").isin(list(terms)))
+    )
+    tw = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        tw.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("n") / F.col("df"))), 6
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .select(F.col("id").alias(id_col), "score", "n_terms")
+    )

@@ -481,3 +481,46 @@ def test_mixture_sample_clamp_nested_keepsets_and_plan(spark):
     assert "BroadcastHashJoin" in plan
     # the corpus relation reaches the join without an exchange on its side
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_inverted_index_postings_and_bands(spark):
+    from gnarly_spark.functions.text import inverted_index
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the dog sat"),
+            (3, "the cat ran"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = {r.token: (r.doc_freq, r.postings) for r in inverted_index(d).collect()}
+    assert idx["the"] == (3, "1,2,3")
+    assert idx["cat"] == (2, "1,3")
+    assert idx["dog"] == (1, "2")
+    # min_df drops hapax, max_df caps the stopword out of the index
+    banded = {
+        r.token for r in inverted_index(d, min_df=2, max_df=2).collect()
+    }
+    assert banded == {"cat", "sat"}
+
+
+def test_tfidf_search_scores_and_membership(spark):
+    import math
+
+    from gnarly_spark.functions.text import tfidf_search
+
+    d = spark.createDataFrame(
+        [
+            (1, "spark spark spark flink"),
+            (2, "spark flink flink"),
+            (3, "duckdb only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.score, r.n_terms) for r in
+           tfidf_search(d, ["spark", "flink"]).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches no term
+    idf = math.log(3 / 2)  # both terms appear in 2 of 3 docs
+    assert got[1] == (round(3 * idf + 1 * idf, 6), 2)
+    assert got[2] == (round(1 * idf + 2 * idf, 6), 2)
