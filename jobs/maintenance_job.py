@@ -4,7 +4,8 @@ rewrite_data_files + expire_snapshots procedures).
 
     spark-submit --master <cluster> --py-files dist/gnarly_spark.zip \
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
-        [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K]
+        [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K] \
+        [--cluster col1,col2 [--cluster-bits B]]
 
 Run it between ingest runs — or concurrently: lake commits are
 version-CAS'd, so a maintenance commit racing an ingest merge makes the
@@ -13,8 +14,10 @@ _commit/_retrying). On a MOR table --compact folds outstanding deltas
 (bucket-granular); on COW it rewrites every bucket into one snapshot.
 --rebucket N re-hashes the table into N buckets (the sanctioned layout
 migration — the constructor arg is manifest-sticky and deliberately
-ignored on reopen). Snapshot expiry is control-plane-only. Prints one
-JSON line of what was done/reclaimed.
+ignored on reopen). --cluster col1,col2 z-orders the base files on those
+columns (OPTIMIZE ZORDER BY analog) so scan_range file-skips on any of
+them. Snapshot expiry is control-plane-only. Prints one JSON line of
+what was done/reclaimed.
 """
 
 from __future__ import annotations
@@ -31,6 +34,11 @@ def main(argv=None):
     ap.add_argument("--compact", action="store_true")
     ap.add_argument("--rebucket", type=int, default=None, metavar="N")
     ap.add_argument("--files-per-bucket", type=int, default=1, metavar="K")
+    ap.add_argument(
+        "--cluster", default=None, metavar="COLS",
+        help="comma-separated columns to z-order the base files on",
+    )
+    ap.add_argument("--cluster-bits", type=int, default=8, metavar="B")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -60,6 +68,11 @@ def main(argv=None):
             out["compact"] = tbl.rebucket(tbl.n_buckets)
     if args.rebucket is not None:
         out["rebucket"] = tbl.rebucket(args.rebucket)
+    if args.cluster:
+        out["cluster"] = tbl.cluster(
+            by=[c.strip() for c in args.cluster.split(",") if c.strip()],
+            bits=args.cluster_bits,
+        )
     out.update(tbl.expire_snapshots(keep_last=args.keep_last))
     out["version_after"] = tbl.current_version()
     print(json.dumps(out))

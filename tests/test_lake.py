@@ -894,3 +894,25 @@ def test_cluster_folds_mor_deltas_and_validates_args(spark, tmp_path):
         t.cluster(by=["v"], bits=40)
     with pytest.raises(ValueError, match="not in table schema"):
         t.cluster(by=["nope"])
+
+
+def test_maintenance_job_cluster_flag(spark, tmp_path):
+    """--cluster x,y drives the z-order rewrite from the maintenance CLI
+    and records the clustered columns' bounds for later scan_range use."""
+    from jobs.maintenance_job import main
+
+    p = str(tmp_path / "t")
+    t = ParquetLakeTable(spark, p, key="url", n_buckets=1, files_per_bucket=8)
+    t.merge(_xy_rows(spark, 1024), batch_id=0)
+    # files_per_bucket is a write knob, not a manifest fact — the job
+    # must be told how wide to write the clustered rewrite
+    main(["--table", p, "--cluster", "x,y", "--cluster-bits", "4",
+          "--files-per-bucket", "8", "--keep-last", "10"])
+    re = ParquetLakeTable(spark, p, key="url")
+    m = re._manifest()
+    assert m["clustered_by"] == ["x", "y"]
+    assert set(m["stats_columns"]) == {"x", "y"}
+    assert re.read().count() == 1024
+    assert len(re.scan_range("x", 0, 7).inputFiles()) < len(
+        re.read().inputFiles()
+    )
