@@ -1,0 +1,111 @@
+"""Z-order clustering benefit study → appended to BENCH.md.
+
+1M rows, 64 data files (4 buckets x 16 fpb), two independent uniform
+int columns. Measures, for an eighth-of-domain slice on each column:
+files opened and scan wall time, before vs after cluster(by=[x, y]),
+plus the one-time rewrite cost. Fresh plans per timed run (AQE caches
+materialized stages on reused DataFrame objects).
+
+Run: PYTHONPATH=/root/repo python tools/zorder_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from gnarly_spark.session import get_spark
+from gnarly_spark.sinks.lake import ParquetLakeTable
+
+N = 1_000_000
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def timed_count(mk_df, runs: int = 3) -> tuple[float, int]:
+    best = float("inf")
+    rows = 0
+    for _ in range(runs):
+        t0 = time.time()
+        rows = mk_df().count()
+        best = min(best, time.time() - t0)
+    return best, rows
+
+
+def main() -> None:
+    spark = get_spark(cpus=CPUS)
+    t = ParquetLakeTable(
+        spark,
+        tempfile.mkdtemp(prefix="zorder_bench_"),
+        key="url",
+        n_buckets=4,
+        files_per_bucket=16,
+    )
+    rows = spark.range(N).select(
+        F.format_string("url%09d", F.col("id")).alias("url"),
+        (F.col("id") % 1024).cast("int").alias("x"),
+        ((F.col("id") * 2654435761) % 1024).cast("int").alias("y"),
+        F.repeat(F.lit("p"), 200).alias("payload"),
+    )
+    t.merge(rows, batch_id=0)
+    total = len(t.read().inputFiles())
+
+    def slice_x():
+        return t.scan_range("x", 0, 127)
+
+    def slice_y():
+        return t.scan_range("y", 0, 127)
+
+    pre = {}
+    for name, fn in (("x", slice_x), ("y", slice_y)):
+        sec, nrows = timed_count(fn)
+        pre[name] = (len(fn().inputFiles()), sec, nrows)
+
+    t0 = time.time()
+    t.cluster(by=["x", "y"])
+    rewrite_s = time.time() - t0
+
+    post = {}
+    for name, fn in (("x", slice_x), ("y", slice_y)):
+        sec, nrows = timed_count(fn)
+        post[name] = (len(fn().inputFiles()), sec, nrows)
+        assert nrows == pre[name][2], "row drift after cluster"
+
+    lines = [
+        "",
+        "## Z-order clustering (cluster(by=[x, y]), 1M rows, 64 files)",
+        "",
+        f"Two independent uniform int columns in [0, 1024); eighth-of-domain",
+        f"slice per column; local[{CPUS}]; best-of-3 fresh plans. One-time",
+        f"rewrite (sample + z-interleave + 64-file write): {rewrite_s:.1f} s.",
+        "",
+        "| slice | files pre | files post | scan s pre | scan s post | rows |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in ("x", "y"):
+        f0, s0, r = pre[name]
+        f1, s1, _ = post[name]
+        lines.append(
+            f"| {name} in [0,128) | {f0}/{total} | {f1}/{total} "
+            f"| {s0:.2f} | {s1:.2f} | {r:,} |"
+        )
+    lines += [
+        "",
+        "Pre-cluster the key-sorted layout carries no usable (x, y) bounds —",
+        "every file is opened. Post-cluster each file is a small (x, y)",
+        "rectangle recorded in the manifest zone maps, so EITHER single-",
+        "column slice file-skips before Spark plans the scan; correctness",
+        "asserted (identical row counts) and oracle-checked by the",
+        "cdc_zorder_scan driver query.",
+        "",
+    ]
+    out = "\n".join(lines)
+    print(out)
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH.md"), "a") as f:
+        f.write(out)
+
+
+if __name__ == "__main__":
+    main()
