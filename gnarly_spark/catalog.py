@@ -1243,6 +1243,66 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pivot",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT url,
+           COUNT(*) FILTER (op = 'insert') AS n_insert,
+           COUNT(*) FILTER (op = 'update') AS n_update,
+           COUNT(*) FILTER (op = 'delete') AS n_delete
+    FROM changelog WHERE op != 'revert' GROUP BY url
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-url op-type counts as columns. The pivot VALUES are
+    declared explicitly, so the plan is a single partial-aggregated
+    groupBy with conditional counts — no extra distinct-values job and
+    no second shuffle (the dynamic-pivot trap at scale). Oracle =
+    conditional aggregation (the relational identity of a pivot)."""
+    ch = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
+    return (
+        ch.groupBy("url")
+        .pivot("op", ["insert", "update", "delete"])
+        .count()
+        .select(
+            "url",
+            F.coalesce("insert", F.lit(0)).alias("n_insert"),
+            F.coalesce("update", F.lit(0)).alias("n_update"),
+            F.coalesce("delete", F.lit(0)).alias("n_delete"),
+        )
+    )
+
+
+@register(
+    "q_window_funcs",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT url, op_seq, ROUND(value, 4) AS value,
+           ROUND(lag(value) OVER w, 4) AS prev_value,
+           ROUND(lead(value) OVER w, 4) AS next_value,
+           row_number() OVER w AS rn
+    FROM changelog WHERE op != 'revert'
+    WINDOW w AS (PARTITION BY url ORDER BY op_seq)
+    """,
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (lag/lead/row_number) over each url's
+    mutation history — ONE window spec shared by all three, so the plan
+    is a single hash-partition-by-url exchange + one in-partition sort
+    (op_seq is unique per url: a strict total order, no tie hazard)."""
+    w = Window.partitionBy("url").orderBy("op_seq")
+    ch = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
+    return ch.select(
+        "url",
+        "op_seq",
+        F.round("value", 4).alias("value"),
+        F.round(F.lag("value").over(w), 4).alias("prev_value"),
+        F.round(F.lead("value").over(w), 4).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
     "w_sessionize",
     """
     WITH l AS (SELECT user_id, ts, event_id,

@@ -260,6 +260,19 @@ class ParquetLakeTable:
             # The manifest is authoritative once the table exists.
             self.mode = cur.get("mode", "cow")
             self.n_buckets = int(cur.get("n_buckets", n_buckets))
+            # the merge KEY is the most layout-critical fact of all (it
+            # seeds the bucket hash): opening with a different key and
+            # running rebucket()/cluster()/merge() would re-route every
+            # row and silently break lookup()'s bucket routing. Refuse
+            # loudly instead of adopting — a wrong key is always caller
+            # error, never a migration.
+            recorded_key = cur.get("key")
+            if recorded_key is not None and recorded_key != key:
+                raise ValueError(
+                    f"table at {self.path} is keyed by {recorded_key!r}; "
+                    f"opened with key={key!r} (pass the recorded key — "
+                    "the bucket layout is derived from it)"
+                )
             if not self.stats_columns:
                 # adopt the table's recorded stats columns so a plain
                 # reopen keeps maintaining them; an explicit constructor
@@ -296,6 +309,7 @@ class ParquetLakeTable:
         # restores them (see __init__)
         manifest["mode"] = self.mode
         manifest["n_buckets"] = self.n_buckets
+        manifest["key"] = self.key
         self._attach_bounds(manifest)
         v = manifest["version"]
         mpath = os.path.join(self.path, "_manifests", f"v{v}.json")

@@ -916,3 +916,19 @@ def test_maintenance_job_cluster_flag(spark, tmp_path):
     assert len(re.scan_range("x", 0, 7).inputFiles()) < len(
         re.read().inputFiles()
     )
+
+
+def test_reopen_with_wrong_key_is_refused(spark, tmp_path):
+    """The merge key seeds the bucket hash — a reopen with a different key
+    (e.g. a maintenance job defaulting --key url on an event_key table)
+    must fail loudly, not silently re-route buckets on the next rewrite."""
+    p = str(tmp_path / "t")
+    t = ParquetLakeTable(spark, p, key="event_key", n_buckets=2)
+    t.merge(
+        spark.createDataFrame([("e1", "u", 1)], "event_key string, url string, v int"),
+        batch_id=0,
+    )
+    with pytest.raises(ValueError, match="keyed by 'event_key'"):
+        ParquetLakeTable(spark, p, key="url")
+    # the recorded key still opens fine
+    assert ParquetLakeTable(spark, p, key="event_key").read().count() == 1
