@@ -122,6 +122,65 @@ def cdc_replay_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_wap_publish",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, op_seq AS last_seq,
+           ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish end-to-end on driver data: the replay winners
+    are MERGEd as a STAGED snapshot (data files written, readers still see
+    the empty table), audited by the one-pass quality gate (key
+    uniqueness + fail-mode expectations), atomically published, and the
+    PUBLISHED table is read back — a driver-visible proof that the WAP
+    path commits exactly the audited state. Oracle = the one-pass replay
+    SQL (same result as cdc_replay_lww). Halt/park/abandon behavior is
+    covered in tests/test_quality.py and tests/test_lake.py."""
+    import tempfile
+
+    from gnarly_spark.operators.replay import last_writer_wins, live_events
+    from gnarly_spark.quality import Expectation, UniqueKey, gate_and_publish
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = _changelog_df(spark, sf_dir)
+    winners = (
+        last_writer_wins(live_events(log))
+        .where(F.col("op") != "delete")
+        .select("url", "warc_ts", "op_seq", "value")
+    )
+    t = ParquetLakeTable(
+        spark, tempfile.mkdtemp(prefix="gnarly_wap_"), key="url", n_buckets=4
+    )
+    token = t.merge_staged(winners, batch_id=0)
+    gate_and_publish(
+        t,
+        token,
+        [
+            UniqueKey("url_unique", "url"),
+            Expectation("url_not_null", "url IS NOT NULL"),
+            Expectation("seq_nonneg", "op_seq >= 0"),
+        ],
+    )
+    return t.read().select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("op_seq").alias("last_seq"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+@register(
     "cdc_scd2_history",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),
