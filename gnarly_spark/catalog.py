@@ -1252,6 +1252,61 @@ def t7_head_summary(spark, sf_dir):
 
 
 @register(
+    "cdc_streaming_window",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT strftime(date_trunc('hour', warc_ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           op, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM changelog WHERE op != 'revert' GROUP BY 1, 2
+    """,
+)
+def cdc_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCTURED STREAMING event-time windowing, driver-visible: the
+    changelog is written to a parquet dir, read back with ``readStream``,
+    aggregated per (hourly tumbling window, op) behind a 1-hour watermark,
+    and drained with availableNow into a complete-mode memory sink; the
+    returned table is the streaming state store's final answer. Oracle =
+    the same aggregation as batch SQL (every row is on time here, so the
+    streaming and batch answers must be identical — the late-row DROP
+    path is deterministic-tested in tests/test_windows.py)."""
+    import tempfile
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="gnarly_stream_window_")
+    src = f"{work}/src"
+    _changelog_df(spark, sf_dir).where(F.col("op") != "revert").coalesce(
+        1
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    # watermarks require TIMESTAMP (not NTZ); the session TZ is pinned
+    # UTC, so the cast is value-preserving and date_format is unchanged
+    stream = stream.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "op")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "op",
+            "n",
+            "total",
+        )
+    )
+    name = f"wstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "w_tumbling_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
