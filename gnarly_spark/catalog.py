@@ -1683,7 +1683,7 @@ def cdc_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutation history (audit shape — every non-revert event) is MERGEd into
     a ParquetLakeTable keyed by op_seq with warc_ts in ``stats_columns``
     (per-file [min,max] recorded in the manifest), then read back with
-    ``scan_range('warc_ts', t1, t2)`` — the time-window serving query
+    ``scan_range("warc_ts", t1, t2)`` — the time-window serving query
     ("what changed between t1 and t2") that file-skips on the recorded
     bounds instead of scanning the table. Oracle = the changelog SQL +
     the same window predicate. File skipping itself is plan-asserted in
@@ -1742,9 +1742,9 @@ def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleaved-bit curve (Delta OPTIMIZE ZORDER BY analog — each file a
     small (time, value) rectangle with bounds in the manifest), and the
     2-D serving predicate ("events in window T with value in [lo, hi]")
-    reads via ``scan_range`` on the time column — file-skipped on the
-    clustered bounds — plus the value filter, itself file-prunable on the
-    same layout. Oracle = the changelog SQL with both predicates; the
+    reads via ``scan_box`` — the per-column zone-map file sets are
+    intersected, so only files whose rectangle intersects the box are
+    opened. Oracle = the changelog SQL with both predicates; the
     file skipping itself is plan-asserted in
     tests/test_lake.py::test_cluster_zorder_enables_multi_column_file_skipping."""
     import datetime
@@ -1770,12 +1770,15 @@ def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge(live, batch_id=0)
     t.cluster(by=["warc_ts", "value"])
     return (
-        t.scan_range(
-            "warc_ts",
-            datetime.datetime(2024, 1, 12),
-            datetime.datetime(2024, 1, 18),
+        t.scan_box(
+            {
+                "warc_ts": (
+                    datetime.datetime(2024, 1, 12),
+                    datetime.datetime(2024, 1, 18),
+                ),
+                "value": (10.0, 50.0),
+            }
         )
-        .where(F.col("value").between(10.0, 50.0))
         .select(
             "url",
             "op",

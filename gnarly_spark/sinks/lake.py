@@ -592,37 +592,63 @@ class ParquetLakeTable:
         prunability). Timestamp bounds are normalized to the fixed-width
         format the manifest records, so lexicographic compare == time
         compare."""
+        return self.scan_box({col: (lo, hi)})
+
+    def scan_box(self, preds: dict[str, tuple]) -> DataFrame:
+        """Multi-column range read: rows satisfying EVERY ``col: (lo, hi)``
+        predicate (either bound may be None), opening only files whose
+        recorded bounds overlap ALL the ranges — the per-column zone-map
+        file sets are INTERSECTED, which is the serving read a z-order
+        layout exists for: each clustered file is a small hyper-rectangle,
+        so a 2-D box ("domain X, changed in window T") opens roughly the
+        files whose rectangle intersects the box, strictly fewer than
+        either 1-D slice alone. scan_range() is the single-column case.
+
+        Same soundness rules as scan_range: files without bounds for a
+        column are never pruned on that column; with outstanding MOR
+        deltas, any NON-key predicate forces the resolved-read fallback
+        (pruning a delta file on a non-key range could resurrect the
+        stale base row it supersedes)."""
+        if not preds:
+            raise ValueError("scan_box needs at least one column predicate")
         m = self._manifest()
         if m["version"] < 0 or m["schema"] is None:
             return self.spark.createDataFrame([], schema=f"{self.key} string")
 
         def _pred(df: DataFrame):
-            c = F.col(col)
-            dt = df.schema[col].dataType
             p = F.lit(True)
-            if lo is not None:
-                p = p & (c >= F.lit(lo).cast(dt))
-            if hi is not None:
-                p = p & (c <= F.lit(hi).cast(dt))
+            for col, (lo, hi) in preds.items():
+                c = F.col(col)
+                dt = df.schema[col].dataType
+                if lo is not None:
+                    p = p & (c >= F.lit(lo).cast(dt))
+                if hi is not None:
+                    p = p & (c <= F.lit(hi).cast(dt))
             return p
 
         has_deltas = any(fl for fl in m.get("deltas", {}).values())
-        if col != self.key and has_deltas:
+        if has_deltas and any(c != self.key for c in preds):
             r = self.read()
             return r.where(_pred(r))
 
-        fb = m["bounds"] if col == self.key else m.get("col_bounds", {}).get(col, {})
-        lo_n = _norm_stat(lo) if lo is not None else None
-        hi_n = _norm_stat(hi) if hi is not None else None
+        norm = {
+            c: (
+                _norm_stat(lo) if lo is not None else None,
+                _norm_stat(hi) if hi is not None else None,
+            )
+            for c, (lo, hi) in preds.items()
+        }
 
         def _keep(f: str) -> bool:
-            b = fb.get(f)
-            if b is None:
-                return True
-            if lo_n is not None and b[1] < lo_n:
-                return False
-            if hi_n is not None and b[0] > hi_n:
-                return False
+            for c, (lo_n, hi_n) in norm.items():
+                fb = m["bounds"] if c == self.key else m.get("col_bounds", {}).get(c, {})
+                b = fb.get(f)
+                if b is None:
+                    continue
+                if lo_n is not None and b[1] < lo_n:
+                    return False
+                if hi_n is not None and b[0] > hi_n:
+                    return False
             return True
 
         pruned = {

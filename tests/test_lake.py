@@ -932,3 +932,38 @@ def test_reopen_with_wrong_key_is_refused(spark, tmp_path):
         ParquetLakeTable(spark, p, key="url")
     # the recorded key still opens fine
     assert ParquetLakeTable(spark, p, key="event_key").read().count() == 1
+
+
+def test_scan_box_intersects_zone_maps_on_clustered_layout(spark, tmp_path):
+    """scan_box intersects per-column file sets: on a z-ordered table a
+    2-D box opens no more files than either 1-D slice, and returns
+    exactly the conjunctive filter's rows. On MOR with outstanding
+    deltas a non-key box falls back soundly to the resolved read."""
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=1, files_per_bucket=16
+    )
+    t.merge(_xy_rows(spark), batch_id=0)
+    t.cluster(by=["x", "y"])
+    fx = len(t.scan_range("x", 0, 7).inputFiles())
+    fy = len(t.scan_range("y", 0, 7).inputFiles())
+    box = t.scan_box({"x": (0, 7), "y": (0, 7)})
+    assert len(box.inputFiles()) <= min(fx, fy)
+    want = sorted(
+        f"url{i:05d}"
+        for i in range(4096)
+        if i % 64 <= 7 and (i * 2654435761) % 64 <= 7
+    )
+    assert sorted(r.url for r in box.collect()) == want
+    with pytest.raises(ValueError, match="at least one"):
+        t.scan_box({})
+
+
+def test_scan_box_nonkey_on_mor_falls_back_soundly(spark, tmp_path):
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "t"), key="url", n_buckets=1, mode="mor",
+        stats_columns=("v",),
+    )
+    t.merge(mk(spark, [("a", 10), ("b", 20)]), batch_id=0)
+    t.merge(mk(spark, [("a", 999)]), batch_id=1)  # delta moves 'a' out
+    got = {(r.url, r.v) for r in t.scan_box({"v": (0, 100)}).collect()}
+    assert got == {("b", 20)}
