@@ -120,6 +120,14 @@ def test_lake_modes_match_dict_model_property(spark, tmp_path_factory, data):
             model[k] = (v, lang if wide else None)
         if data.draw(st.booleans(), label="compact"):
             mor.compact()
+        # a z-order rewrite is content-invariant: any table may be
+        # clustered at any point without changing the final state
+        if has_schema:
+            which = data.draw(
+                st.sampled_from(["none", "cow", "mor"]), label="cluster"
+            )
+            if which != "none":
+                (cow if which == "cow" else mor).cluster(by=["v"], bits=4)
     for t in (cow, mor):
         got = {
             r.url: (r.v, getattr(r, "lang", None)) for r in t.read().collect()
