@@ -47,6 +47,7 @@ import fcntl
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -310,6 +311,11 @@ class ParquetLakeTable:
         manifest["mode"] = self.mode
         manifest["n_buckets"] = self.n_buckets
         manifest["key"] = self.key
+        # wall-clock commit stamp: AS OF timestamp time travel + the
+        # snapshots() metadata table. Commits are serialized by the
+        # version CAS, so per-table stamps are monotone up to clock skew
+        # between writers (same caveat as Iceberg's snapshot timestamps).
+        manifest["committed_at"] = time.time()
         self._attach_bounds(manifest)
         v = manifest["version"]
         mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
@@ -461,11 +467,17 @@ class ParquetLakeTable:
         return set(self._manifest(self._latest_committed())["batch_ids"])
 
     # ---- data plane ---------------------------------------------------
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (time travel when ``version`` given). On a MOR
-        table with outstanding deltas this resolves base ∪ deltas per key
-        (one shuffle); after ``compact()`` — or always on a COW table —
-        it is a plain pruned parquet scan."""
+    def read(self, version: int | None = None, as_of=None) -> DataFrame:
+        """Snapshot read (time travel when ``version`` or ``as_of`` given;
+        ``as_of`` is a datetime or epoch-seconds float resolved to the
+        last snapshot committed at or before it — Iceberg/Delta's
+        TIMESTAMP AS OF). On a MOR table with outstanding deltas this
+        resolves base ∪ deltas per key (one shuffle); after ``compact()``
+        — or always on a COW table — it is a plain pruned parquet scan."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self._version_as_of(as_of)
         m = self._manifest(version)
         df = self._read_snapshot(m, None)
         if df is None:
@@ -1279,6 +1291,94 @@ class ParquetLakeTable:
             "files": sum(len(fl) for fl in files.values()),
             "clustered_by": by,
         }
+
+    def _retained_versions(self) -> list[int]:
+        """Versions with a retained manifest file, ascending."""
+        mdir = os.path.join(self.path, "_manifests")
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    out.append(int(f[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _version_as_of(self, ts) -> int:
+        import datetime as _dt
+
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        best = -1
+        for v in self._retained_versions():
+            try:
+                ca = self._manifest(v).get("committed_at")
+            except FileNotFoundError:  # expired mid-listing
+                continue
+            if ca is not None and ca <= ts:
+                best = max(best, v)
+        if best < 0:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                "(older ones may have been expired, or the timestamp "
+                "predates the table)"
+            )
+        return best
+
+    def snapshots(self) -> DataFrame:
+        """Metadata table (Iceberg's ``table.snapshots`` analog): one row
+        per retained snapshot — version, parent, commit timestamp, file
+        and delta-file counts, applied-batch count, layout facts. Control
+        plane only (manifest JSON), no data I/O."""
+        rows = []
+        for v in self._retained_versions():
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                continue
+            rows.append(
+                (
+                    v,
+                    m.get("parent", -1),
+                    float(m["committed_at"]) if m.get("committed_at") else None,
+                    sum(len(fl) for fl in m.get("buckets", {}).values()),
+                    sum(len(fl) for fl in m.get("deltas", {}).values()),
+                    len(m.get("batch_ids", [])),
+                    m.get("mode", self.mode),
+                    int(m.get("n_buckets", self.n_buckets)),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            schema="version int, parent int, committed_at double, "
+            "n_files int, n_delta_files int, n_batches int, "
+            "mode string, n_buckets int",
+        )
+
+    def data_files(self, version: int | None = None) -> DataFrame:
+        """Metadata table (Iceberg's ``table.files`` analog): one row per
+        live data file of a snapshot — bucket, base/delta kind, on-disk
+        bytes, and the recorded key bounds the zone-map pruning uses.
+        Control plane only; the files themselves are never opened."""
+        m = self._manifest(version)
+        bounds = m.get("bounds", {})
+        rows = []
+        for kind, fmap in (("base", m.get("buckets", {})), ("delta", m.get("deltas", {}))):
+            for bk, fl in fmap.items():
+                for f in fl:
+                    b = bounds.get(f)
+                    try:
+                        size = os.path.getsize(f)
+                    except OSError:
+                        size = None
+                    rows.append(
+                        (f, int(bk), kind, size, b[0] if b else None, b[1] if b else None)
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            schema="file string, bucket int, kind string, bytes bigint, "
+            "key_min string, key_max string",
+        )
 
     def lineage(self) -> list[dict]:
         """Per-partition (bucket) commit lineage across retained snapshots:

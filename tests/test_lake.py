@@ -967,3 +967,35 @@ def test_scan_box_nonkey_on_mor_falls_back_soundly(spark, tmp_path):
     t.merge(mk(spark, [("a", 999)]), batch_id=1)  # delta moves 'a' out
     got = {(r.url, r.v) for r in t.scan_box({"v": (0, 100)}).collect()}
     assert got == {("b", 20)}
+
+
+def test_as_of_timestamp_and_metadata_tables(spark, tmp_path):
+    """read(as_of=ts) resolves to the last snapshot committed at or before
+    ts; snapshots()/data_files() expose the control plane as DataFrames."""
+    import time as _time
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1)]), batch_id=0)
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.merge(mk(spark, [("a", 2), ("b", 1)]), batch_id=1)
+
+    assert _pdf(t.read(as_of=mid)).v.tolist() == [1]  # v0 content
+    assert _pdf(t.read(as_of=_time.time())).v.tolist() == [2, 1]
+    with pytest.raises(ValueError, match="predates"):
+        t.read(as_of=mid - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, as_of=mid)
+
+    snaps = {r.version: r for r in t.snapshots().collect()}
+    assert set(snaps) == {0, 1}
+    assert snaps[1].parent == 0 and snaps[1].n_batches == 2
+    assert snaps[0].committed_at <= mid <= snaps[1].committed_at
+
+    m = t._manifest()
+    live = sum(len(fl) for fl in m["buckets"].values())
+    files = t.data_files().collect()
+    assert len(files) == live
+    assert all(r.kind == "base" and r.bytes > 0 for r in files)
+    # key bounds recorded for every file (zone maps)
+    assert all(r.key_min is not None and r.key_min <= r.key_max for r in files)
