@@ -45,6 +45,10 @@ HEADLINE = [
     "w_sessionize",
     "dedup_simhash_pairs",
     "mm_media_features",
+    "text_tfidf_search",
+    # cdc_zorder_scan is deliberately NOT here: it is a maintenance
+    # rewrite (build + cluster a lake table per run), not a query —
+    # its cost/benefit study lives in BENCH.md "Z-order clustering"
 ]
 
 
