@@ -217,6 +217,7 @@ class ParquetLakeTable:
         mode: str = "cow",
         files_per_bucket: int = 1,
         stats_columns: tuple[str, ...] = (),
+        key_bloom_ndv: int | None = None,
     ):
         self.spark = spark
         # realpath: manifests record absolute data-file paths, and
@@ -245,6 +246,16 @@ class ParquetLakeTable:
         # "pages changed in [t1, t2)" on warc_ts). Adding a column later is
         # safe: old files lack bounds and are simply never pruned.
         self.stats_columns = tuple(stats_columns)
+        # opt-in NATIVE parquet bloom filters on the key (write-side knob,
+        # like files_per_bucket): every data file carries a per-row-group
+        # key bloom sized for ~this many distinct keys, and Spark's parquet
+        # reader consults it for pushed key equalities automatically. The
+        # case that needs it: a z-ordered table (cluster()) — files are no
+        # longer key-sorted, so min/max row-group stats stop pruning point
+        # lookups; the bloom restores row-group skipping at ~1 byte/key.
+        # Off by default (blooms cost file bytes; key-sorted layouts don't
+        # need them).
+        self.key_bloom_ndv = key_bloom_ndv
         if key in self.stats_columns:
             raise ValueError(
                 f"stats_columns must not include the key ({key!r}); key "
@@ -722,11 +733,15 @@ class ParquetLakeTable:
         w = df.sortWithinPartitions("_bucket", order)
         if order_col is not None:
             w = w.drop(order_col)
-        (
-            w.write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        writer = w.write.partitionBy("_bucket").mode("overwrite")
+        if self.key_bloom_ndv:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{self.key}", "true"
+            ).option(
+                f"parquet.bloom.filter.expected.ndv#{self.key}",
+                str(int(self.key_bloom_ndv)),
+            )
+        writer.parquet(out_dir)
         result: dict[str, list[str]] = {}
         for entry in os.listdir(out_dir):
             if entry.startswith("_bucket="):

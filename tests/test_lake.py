@@ -999,3 +999,27 @@ def test_as_of_timestamp_and_metadata_tables(spark, tmp_path):
     assert all(r.kind == "base" and r.bytes > 0 for r in files)
     # key bounds recorded for every file (zone maps)
     assert all(r.key_min is not None and r.key_min <= r.key_max for r in files)
+
+
+def test_key_bloom_filters_written_and_lookup_correct(spark, tmp_path):
+    """key_bloom_ndv writes native parquet key blooms into every data
+    file (observable as file-byte overhead vs the identical write without
+    them) — the row-group point-lookup guard for z-ordered layouts whose
+    files are no longer key-sorted. Lookup semantics unchanged."""
+    import os as _os
+
+    rows = _xy_rows(spark, 2048)
+    plain = ParquetLakeTable(spark, str(tmp_path / "p"), key="url", n_buckets=1)
+    bloom = ParquetLakeTable(
+        spark, str(tmp_path / "b"), key="url", n_buckets=1, key_bloom_ndv=2048
+    )
+    plain.merge(rows, batch_id=0)
+    bloom.merge(rows, batch_id=0)
+    size = lambda t: sum(
+        _os.path.getsize(f.replace("file:", "")) for f in t.read().inputFiles()
+    )
+    assert size(bloom) > size(plain) + 1000  # blooms occupy real bytes
+    # clustered layout: key-sort gone, bloom still routes the point read
+    bloom.cluster(by=["x", "y"], bits=4)
+    assert {r.url for r in bloom.lookup("url00042").collect()} == {"url00042"}
+    assert bloom.lookup("absent").count() == 0
