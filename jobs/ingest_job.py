@@ -6,7 +6,8 @@
         --changelog /data/changelog --work /lake/pages_pipeline \
         [--available-now | --processing-time "5 seconds"] \
         [--max-files-per-trigger 64] [--retention-blocks 100] \
-        [--salt-partitions 32] [--no-retain-log] [--no-spread-batch]
+        [--salt-partitions 32] [--no-retain-log] [--no-spread-batch] \
+        [--files-per-bucket 8] [--compact-every 50] [--dedup-flags]
 
 The SparkSession comes from spark-submit (master/executors configured
 there); this script only sets SQL-level knobs. Prints one JSON line of
@@ -37,6 +38,13 @@ def main(argv=None):
     # batches already arrive well-partitioned (many files per trigger):
     # skip the entry repartition+cache
     ap.add_argument("--no-spread-batch", action="store_true")
+    # parallel per-bucket COW rewrites (lake.py _write_buckets range split)
+    ap.add_argument("--files-per-bucket", type=int, default=1, metavar="K")
+    # MOR housekeeping cadence: fold outstanding deltas every N batches
+    ap.add_argument("--compact-every", type=int, default=None, metavar="N")
+    # in-pipeline near-dup flagging vs the persisted signature table
+    # (defaults: k=8, bands=4, min_est_jaccard=0.5)
+    ap.add_argument("--dedup-flags", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -64,6 +72,9 @@ def main(argv=None):
         with_text=not args.no_text,
         retain_log=not args.no_retain_log,
         spread_batch=not args.no_spread_batch,
+        files_per_bucket=args.files_per_bucket,
+        compact_every=args.compact_every,
+        dedup_minhash={} if args.dedup_flags else None,
     )
     q = p.start(
         args.changelog,
