@@ -414,7 +414,13 @@ def tfidf_search(
         )
         .where(F.col("w").isin(list(terms)))
     )
-    tw = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tw is tiny after the isin filter but its SUBTREE is the full corpus
+    # scan + regex + explode; it feeds both join branches (scores and df)
+    # and Spark has no cross-branch subtree CSE — checkpoint it so the
+    # corpus is scanned once, not twice (same move as lm_quality). N is a
+    # separate zero-column count scan (footer-cheap), unavoidable: docs
+    # matching no term must still count toward it.
+    tw = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     dfreq = tw.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (

@@ -285,11 +285,16 @@ class ParquetLakeTable:
                     f"opened with key={key!r} (pass the recorded key — "
                     "the bucket layout is derived from it)"
                 )
-            if not self.stats_columns:
-                # adopt the table's recorded stats columns so a plain
-                # reopen keeps maintaining them; an explicit constructor
-                # list wins (that's how a column is added or dropped)
-                self.stats_columns = tuple(cur.get("stats_columns", ()))
+            # union the table's recorded stats columns in so a plain
+            # reopen keeps maintaining them; a constructor list ADDS
+            # columns (writers also re-union at every commit via
+            # _adopt_layout, so no handle can silently drop a column
+            # another handle declared — see the stale-handle note there)
+            self.stats_columns = tuple(
+                dict.fromkeys(
+                    list(self.stats_columns) + list(cur.get("stats_columns", ()))
+                )
+            )
 
     # ---- snapshot control plane -------------------------------------
     @property
@@ -455,19 +460,26 @@ class ParquetLakeTable:
         if m["version"] >= 0:
             self.mode = m.get("mode", self.mode)
             self.n_buckets = int(m.get("n_buckets", self.n_buckets))
+            # UNION the recorded stats columns in, never replace: a stale
+            # handle (e.g. a streaming ingest opened before a concurrent
+            # `maintenance_job --cluster x,y` committed) would otherwise
+            # stamp its shorter list over the manifest and silently drop
+            # the zone-map bounds the cluster rewrite just paid for.
+            # Constructor lists therefore ADD columns; recorded ones are
+            # kept for the table's lifetime (a drop would have to rewrite
+            # this union, deliberately).
+            self.stats_columns = tuple(
+                dict.fromkeys(
+                    list(self.stats_columns) + list(m.get("stats_columns", ()))
+                )
+            )
 
     def _latest_committed(self) -> int:
         """Highest durably-committed version — what a WRITER must build on.
         Readers use _CURRENT (a consistent published snapshot); a writer
         using _CURRENT could race the window between a competitor's version
         CAS and its pointer swap, then spin losing the same version."""
-        mdir = os.path.join(self.path, "_manifests")
-        vs = [
-            int(f[1:-5])
-            for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(vs, default=-1)
+        return max(self._retained_versions(), default=-1)
 
     def applied_batch_ids(self) -> set[int]:
         """Batch ids that are DURABLY applied — read from the latest
@@ -1244,6 +1256,13 @@ class ParquetLakeTable:
             raise ValueError(f"duplicate columns in cluster(by={by!r})")
         if not (1 <= bits <= 16):
             raise ValueError(f"bits must be in [1, 16], got {bits}")
+        if len(by) * bits > 62:
+            # pure arithmetic — fail here, before _cluster_once pays the
+            # count + sample jobs over the whole table
+            raise ValueError(
+                f"{len(by)} columns x {bits} bits exceeds bigint z-value; "
+                "lower bits or cluster on fewer columns"
+            )
         return self._retrying(lambda: self._cluster_once(list(by), bits))
 
     def _cluster_once(self, by: list[str], bits: int) -> dict:
@@ -1323,6 +1342,11 @@ class ParquetLakeTable:
         import datetime as _dt
 
         if isinstance(ts, _dt.datetime):
+            # naive datetimes are UTC, matching everything else in the
+            # system (session TZ pinned UTC, NTZ table timestamps) —
+            # .timestamp() alone would interpret them in the OS-local zone
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=_dt.timezone.utc)
             ts = ts.timestamp()
         best = -1
         for v in self._retained_versions():
@@ -1386,8 +1410,18 @@ class ParquetLakeTable:
                         size = os.path.getsize(f)
                     except OSError:
                         size = None
+                    # bounds are rendered as strings: a numeric key's
+                    # recorded min/max are ints in the manifest, and the
+                    # metadata table's schema must hold either kind
                     rows.append(
-                        (f, int(bk), kind, size, b[0] if b else None, b[1] if b else None)
+                        (
+                            f,
+                            int(bk),
+                            kind,
+                            size,
+                            str(b[0]) if b else None,
+                            str(b[1]) if b else None,
+                        )
                     )
         return self.spark.createDataFrame(
             rows,

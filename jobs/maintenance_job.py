@@ -5,7 +5,7 @@ rewrite_data_files + expire_snapshots procedures).
     spark-submit --master <cluster> --py-files dist/gnarly_spark.zip \
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
         [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K] \
-        [--cluster col1,col2 [--cluster-bits B]]
+        [--cluster col1,col2 [--cluster-bits B]] [--key-bloom-ndv NDV]
 
 Run it between ingest runs — or concurrently: lake commits are
 version-CAS'd, so a maintenance commit racing an ingest merge makes the
@@ -39,6 +39,12 @@ def main(argv=None):
         help="comma-separated columns to z-order the base files on",
     )
     ap.add_argument("--cluster-bits", type=int, default=8, metavar="B")
+    # key blooms are a WRITE knob (like files_per_bucket, not persisted in
+    # the manifest): a table written with them must pass the same value
+    # here or maintenance rewrites (--compact/--rebucket/--cluster) drop
+    # them — on a clustered layout that silently loses the only remaining
+    # row-group point-lookup guard
+    ap.add_argument("--key-bloom-ndv", type=int, default=None, metavar="NDV")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -52,7 +58,11 @@ def main(argv=None):
     from gnarly_spark.sinks.lake import ParquetLakeTable
 
     tbl = ParquetLakeTable(
-        spark, args.table, key=args.key, files_per_bucket=args.files_per_bucket
+        spark,
+        args.table,
+        key=args.key,
+        files_per_bucket=args.files_per_bucket,
+        key_bloom_ndv=args.key_bloom_ndv,
     )
     out = {"table": args.table, "version_before": tbl.current_version()}
     if args.compact and tbl.current_version() >= 0:

@@ -1023,3 +1023,34 @@ def test_key_bloom_filters_written_and_lookup_correct(spark, tmp_path):
     bloom.cluster(by=["x", "y"], bits=4)
     assert {r.url for r in bloom.lookup("url00042").collect()} == {"url00042"}
     assert bloom.lookup("absent").count() == 0
+
+
+def test_stale_handle_commit_preserves_stats_columns(spark, tmp_path):
+    """A writer handle opened BEFORE a concurrent cluster() must not stamp
+    its stale (shorter) stats_columns over the manifest on its next merge
+    — the zone-map bounds the cluster rewrite recorded stay maintained."""
+    p = str(tmp_path / "t")
+    ingest = ParquetLakeTable(spark, p, key="url", n_buckets=1)  # no stats
+    ingest.merge(_xy_rows(spark, 256), batch_id=0)
+    maint = ParquetLakeTable(spark, p, key="url")
+    maint.cluster(by=["x", "y"], bits=4)  # records x/y stats columns
+    # the STALE handle commits next
+    ingest.merge(
+        spark.createDataFrame([("zzz", 1, 2)], "url string, x int, y int"),
+        batch_id=1,
+    )
+    m = ingest._manifest()
+    assert set(m["stats_columns"]) == {"x", "y"}
+    # the new commit's files carry x/y bounds too
+    new_files = [f for fl in m["buckets"].values() for f in fl]
+    assert all(f in m["col_bounds"]["x"] for f in new_files)
+
+
+def test_data_files_with_numeric_key(spark, tmp_path):
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="id", n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"),
+        batch_id=0,
+    )
+    rows = t.data_files().collect()
+    assert rows and all(r.key_min is not None for r in rows)
