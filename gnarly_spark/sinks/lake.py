@@ -1441,11 +1441,7 @@ class ParquetLakeTable:
         overwrite/compaction commits without one).
         """
         out = []
-        mdir = os.path.join(self.path, "_manifests")
-        versions = sorted(
-            int(f[1:-5]) for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        versions = self._retained_versions()
         prev_buckets: dict = {}
         prev_deltas: dict = {}
         prev_ids: list = []
@@ -1586,11 +1582,7 @@ class ParquetLakeTable:
         cur = self.current_version()
         if cur < 0:
             return {"kept": [], "dropped_manifests": 0, "deleted_files": 0}
-        mdir = os.path.join(self.path, "_manifests")
-        versions = sorted(
-            int(f[1:-5]) for f in os.listdir(mdir)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        versions = self._retained_versions()
         keep = [v for v in versions if v > cur - keep_last]
         live: set[str] = set()
         for v in keep:
@@ -1633,6 +1625,7 @@ class ParquetLakeTable:
             if not any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
                 shutil.rmtree(full, ignore_errors=True)
         dropped = 0
+        mdir = os.path.join(self.path, "_manifests")
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(mdir, f"v{v}.json"))
