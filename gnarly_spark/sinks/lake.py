@@ -1724,6 +1724,14 @@ class IcebergLakeTable:
 
         spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.12:<v> \
             --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog ...
+
+    ParquetLakeTable maintenance maps onto Iceberg's own procedures on
+    this path — no custom code needed: cluster() ≈ CALL rewrite_data_files
+    (strategy => 'sort', sort_order => 'zorder(c1, c2)'); read(as_of=...)
+    ≈ SELECT ... FOR SYSTEM_TIME AS OF; snapshots()/data_files() ≈ the
+    <table>.snapshots / <table>.files metadata tables; expire_snapshots()
+    ≈ CALL expire_snapshots; key blooms ≈ write.parquet.bloom-filter-
+    enabled.column.<key> table property.
     """
 
     def __init__(self, spark: SparkSession, table: str, key: str = "url"):
