@@ -254,7 +254,11 @@ class ParquetLakeTable:
         # longer key-sorted, so min/max row-group stats stop pruning point
         # lookups; the bloom restores row-group skipping at ~1 byte/key.
         # Off by default (blooms cost file bytes; key-sorted layouts don't
-        # need them).
+        # need them). SIZING: parquet allocates each ROW-GROUP's bloom for
+        # this declared NDV, so set it to ~rows per data file (table rows /
+        # (n_buckets * files_per_bucket)), NOT the table-wide distinct
+        # count — the table-wide value pays ~20x the bytes for zero extra
+        # lookup benefit (measured in BENCH.md "key-bloom sizing").
         self.key_bloom_ndv = key_bloom_ndv
         if key in self.stats_columns:
             raise ValueError(

@@ -43,7 +43,9 @@ def main(argv=None):
     # the manifest): a table written with them must pass the same value
     # here or maintenance rewrites (--compact/--rebucket/--cluster) drop
     # them — on a clustered layout that silently loses the only remaining
-    # row-group point-lookup guard
+    # row-group point-lookup guard. Size NDV to ~rows per data file, never
+    # the table-wide distinct count (BENCH.md "key-bloom sizing": 20x bytes
+    # for zero benefit).
     ap.add_argument("--key-bloom-ndv", type=int, default=None, metavar="NDV")
     args = ap.parse_args(argv)
 
