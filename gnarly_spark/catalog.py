@@ -583,6 +583,84 @@ def _two_commit_pages(
 
 
 @register(
+    "cdc_lake_feed",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    src AS (SELECT * FROM changelog WHERE op != 'revert'),
+    bounds AS (SELECT MIN(op_seq) AS lo, MAX(op_seq) AS hi FROM src),
+    phased AS (SELECT s.*, (s.op_seq - b.lo) * 3 // (b.hi - b.lo + 1) AS phase
+               FROM src s, bounds b),
+    ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY phase, url ORDER BY op_seq DESC) AS rn
+               FROM phased)
+    SELECT url,
+           CASE WHEN op = 'delete' THEN 'delete' ELSE 'upsert' END AS _op,
+           CAST(phase AS BIGINT) AS _delta_seq,
+           CASE WHEN op != 'delete' THEN op_seq END AS last_seq,
+           CASE WHEN op != 'delete' THEN ROUND(value, 4) END AS value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_lake_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-as-streaming-source path end-to-end (sources/lakefeed.py,
+    Python Data Source API): three MOR merges (each phase's per-url LWW —
+    upserts plus delete tombstones) land in a fresh table, then a real
+    ``readStream.format("lakefeed")`` drains the commits with availableNow
+    into a parquet sink. The feed must reproduce EXACTLY the rows each
+    commit appended — (url, _op, commit seq, payload) — which the oracle
+    restates in pure SQL as the per-(phase, url) winners. Downstream-tailing
+    counterpart of cdc_change_feed's batch diff (Iceberg incremental read /
+    Delta CDF-stream analog; replaces the reference's poll-the-store
+    subscription, Blockstream.ts:24-112)."""
+    import os
+    import tempfile
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.lakefeed import LakeFeedDataSource
+
+    src = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
+    lo, hi = src.agg(F.min("op_seq"), F.max("op_seq")).collect()[0]  # scalars
+    span = int(hi) - int(lo) + 1
+    winners = (
+        src.withColumn("_phase", F.expr(f"((op_seq - {int(lo)}) * 3) div {span}"))
+        .groupBy("_phase", "url")
+        .agg(F.max_by(F.struct("op", "op_seq", "value"), "op_seq").alias("w"))
+        .select("_phase", "url", "w.op", "w.op_seq", "w.value")
+        .localCheckpoint()  # 3 merges x 2 branches each read this slice
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_lake_feed_")
+    t = ParquetLakeTable(
+        spark, os.path.join(work, "pages"), key="url", n_buckets=4, mode="mor"
+    )
+    for k in range(3):
+        ph = winners.where(F.col("_phase") == k)
+        ups = ph.where(F.col("op") != "delete").select(
+            "url", F.col("op_seq").alias("last_seq"), "value"
+        )
+        dels = ph.where(F.col("op") == "delete").select("url")
+        t.merge(ups, delete_keys=dels, batch_id=k)
+        if t.current_version() != k:  # oracle keys _delta_seq to the phase
+            raise RuntimeError(f"phase {k} committed as v{t.current_version()}")
+    spark.dataSource.register(LakeFeedDataSource)
+    out_dir = os.path.join(work, "feed_out")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "feed_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "url", "_op", "_delta_seq", "last_seq", F.round("value", 4).alias("value")
+    )
+
+
+@register(
     "cdc_incremental_mv",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),

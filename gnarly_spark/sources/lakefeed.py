@@ -1,0 +1,248 @@
+"""Lake change feed as a Structured Streaming SOURCE (Python Data Source
+API, Spark 4) — downstream pipelines tail a MOR ``ParquetLakeTable``'s
+commits incrementally:
+
+    spark.dataSource.register(LakeFeedDataSource)
+    feed = (spark.readStream.format("lakefeed")
+            .option("path", table_dir)
+            .option("startingVersion", 0)   # omit -> tail from now
+            .load())
+
+Feed schema = the table's data columns + ``_op`` ('upsert' | 'delete')
++ ``_delta_seq`` (the commit sequence the writer stamped) — the same
+markers MOR delta files already carry, so the feed is a zero-transform
+scan of exactly the bytes each commit appended. This is the Iceberg
+incremental-read / Delta CDF-stream analog of ``diff()``/``changelog()``
+(sinks/lake.py), replacing the reference's poll-the-store tailing
+(packages/gnarly-core/src/Blockstream.ts:24-112) with checkpointed
+offsets: resume re-reads nothing, refires re-emit identical rows
+(manifests and data files are immutable).
+
+Scale shape:
+- offsets are manifest versions: ``{"version": N}`` — one tiny JSON read
+  per trigger on the driver, no file listing.
+- ``partitions(start, end)`` emits ONE InputPartition per NEW delta file
+  in ``(start, end]`` (manifest-diff against each commit's parent) —
+  executors read files in parallel with pyarrow and return Arrow
+  RecordBatches (no per-row Python).
+- maintenance commits (compact / rebucket / cluster) add no delta files
+  and are emitted as nothing — they rewrite, they don't change state.
+- ``restore()`` commits DO change state but not as deltas: the feed
+  fails loudly on them (Iceberg's incremental read has the same
+  non-append restriction); opt into skipping with
+  ``skipRestoreCommits=true``.
+- backpressure: ``maxVersionsPerTrigger`` caps how many commits one
+  micro-batch drains (the feed-side twin of the ingest pipeline's
+  ``maxFilesPerTrigger``).
+
+Boundaries, stated honestly: COW tables are rejected (every commit
+rewrites whole buckets — tail those with batch ``diff()`` calls); the
+stream's schema is fixed at start, so a mid-stream type widening makes
+the checked Arrow cast fail loudly — restart the stream to adopt the
+widened schema; ``expire_snapshots`` retention must exceed consumer lag
+or ``partitions()`` raises on the expired manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+
+def _published_version(table_path: str) -> int:
+    """The _CURRENT pointer — readers consume published snapshots only
+    (same rule as ParquetLakeTable.read; a commit that won its version
+    CAS but hasn't swapped the pointer yet is not yet visible)."""
+    try:
+        with open(os.path.join(table_path, "_CURRENT")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return -1
+
+
+def _manifest(table_path: str, version: int) -> dict:
+    if version < 0:
+        return {"version": -1, "deltas": {}, "buckets": {}}
+    p = os.path.join(table_path, "_manifests", f"v{version}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"lakefeed: manifest v{version} is gone (expired by "
+            "expire_snapshots?) — the table's retention window must "
+            "exceed this consumer's lag; restart from a retained version"
+        ) from None
+
+
+def _new_delta_files(man: dict, parent: dict) -> list[str]:
+    """Delta files this commit ADDED vs its parent (delta lists are
+    cumulative per bucket until compact() empties them)."""
+    seen = {f for fl in parent.get("deltas", {}).values() for f in fl}
+    return sorted(
+        f for fl in man.get("deltas", {}).values() for f in fl if f not in seen
+    )
+
+
+def _pa_type(ddl: str):
+    """Spark simpleString DDL -> pyarrow type, for the file->feed-schema
+    alignment cast. Covers the lake's column universe; unknown types
+    raise (better than mis-typed bytes reaching the JVM)."""
+    import pyarrow as pa
+
+    t = ddl.strip().lower()
+    flat = {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        # the lake writes TIMESTAMP_MICROS parquet (session.py); _NTZ is
+        # the driver-table flavor, plain timestamp maps tz-aware UTC
+        "timestamp_ntz": pa.timestamp("us"),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+    if t in flat:
+        return flat[t]
+    if t.startswith("decimal(") and t.endswith(")"):
+        p, s = t[len("decimal(") : -1].split(",")
+        return pa.decimal128(int(p), int(s))
+    if t.startswith("array<") and t.endswith(">"):
+        return pa.list_(_pa_type(t[len("array<") : -1]))
+    raise ValueError(f"lakefeed: unsupported column type {ddl!r}")
+
+
+class _FeedPartition(InputPartition):
+    def __init__(self, file: str, fields: list[tuple[str, str]]):
+        self.file = file
+        self.fields = fields  # [(name, simpleString ddl)] — the STREAM schema
+
+
+class LakeFeedStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, fields: list[tuple[str, str]]):
+        self.path = os.path.realpath(options["path"])
+        self.fields = fields
+        self.skip_restore = (
+            str(options.get("skipRestoreCommits", "false")).lower() == "true"
+        )
+        mv = options.get("maxVersionsPerTrigger")
+        self.max_versions = int(mv) if mv is not None else None
+        sv = options.get("startingVersion")
+        # offset = last version already consumed; startingVersion=V means
+        # "emit V and everything after"; omitted -> tail (changes from now)
+        self.start = int(sv) - 1 if sv is not None else _published_version(self.path)
+
+    # last offset KNOWN consumed. None until Spark tells us (initialOffset
+    # on a fresh stream; partitions()/commit() after a checkpoint resume,
+    # where initialOffset is bypassed) — the maxVersionsPerTrigger cap is
+    # suspended while None: capping relative to the stream's ORIGINAL
+    # start could hold latestOffset below a resumed checkpoint's offset
+    # forever (no batch -> no partitions() call -> never learn -> wedged).
+    # Cost of the suspension: the first micro-batch after a restart is
+    # uncapped; every later one honors the cap.
+    _consumed: int | None = None
+
+    def initialOffset(self) -> dict:
+        self._consumed = self.start
+        return {"version": self.start}
+
+    def latestOffset(self) -> dict:
+        cur = max(_published_version(self.path), self.start)
+        if self.max_versions is not None and self._consumed is not None:
+            cur = max(min(cur, self._consumed + self.max_versions), self._consumed)
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:
+        self._consumed = max(self._consumed or end["version"], end["version"])
+
+    def partitions(self, start: dict, end: dict) -> list[_FeedPartition]:
+        # start is consumed by definition (this batch covers (start, end])
+        self._consumed = max(self._consumed or start["version"], start["version"])
+        parts: list[_FeedPartition] = []
+        for v in range(start["version"] + 1, end["version"] + 1):
+            man = _manifest(self.path, v)
+            if man.get("restored_from") is not None and not self.skip_restore:
+                raise RuntimeError(
+                    f"lakefeed: commit v{v} is a restore (rolled back to "
+                    f"v{man['restored_from']}) — state changed without delta "
+                    "files, so an incremental feed cannot represent it. "
+                    "Reprocess from the restored snapshot, or pass "
+                    "skipRestoreCommits=true to ignore restore commits."
+                )
+            parent = _manifest(self.path, man.get("parent", v - 1))
+            parts.extend(
+                _FeedPartition(f, self.fields) for f in _new_delta_files(man, parent)
+            )
+        return parts
+
+    def read(self, partition: _FeedPartition) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(partition.file)
+        n = tbl.num_rows
+        cols, names = [], []
+        for name, ddl in partition.fields:
+            pa_t = _pa_type(ddl)
+            if name in tbl.column_names:
+                # checked cast (pyarrow default): a mid-stream widening
+                # that would truncate fails loudly instead of corrupting
+                cols.append(tbl[name].cast(pa_t))
+            else:
+                # pre-evolution delta file: the added column reads as null
+                cols.append(pa.nulls(n, pa_t))
+            names.append(name)
+        yield from pa.table(dict(zip(names, cols))).to_batches()
+
+
+class LakeFeedDataSource(DataSource):
+    """format("lakefeed") — see module docstring. Options: path
+    (required), startingVersion, skipRestoreCommits, maxVersionsPerTrigger."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lakefeed"
+
+    def _fields(self) -> list[tuple[str, str]]:
+        path = os.path.realpath(self.options["path"])
+        v = _published_version(path)
+        if v < 0:
+            raise RuntimeError(f"lakefeed: no committed snapshot at {path}")
+        man = _manifest(path, v)
+        if man.get("mode", "cow") != "mor":
+            raise RuntimeError(
+                "lakefeed: table is copy-on-write — commits rewrite whole "
+                "buckets, there is no per-commit delta to tail. Use "
+                "ParquetLakeTable.diff(v1, v2) batch reads, or write the "
+                "table with mode='mor'."
+            )
+        # paren-aware DDL split (decimal(38,0) carries a comma)
+        fields: list[tuple[str, str]] = []
+        depth, tok = 0, ""
+        for ch in man["schema"] + ",":
+            if ch == "," and depth == 0:
+                name, t = tok.strip().split(" ", 1)
+                fields.append((name, t.strip()))
+                tok = ""
+                continue
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            tok += ch
+        return fields + [("_op", "string"), ("_delta_seq", "bigint")]
+
+    def schema(self) -> str:
+        return ", ".join(f"{n} {t}" for n, t in self._fields())
+
+    def streamReader(self, schema) -> LakeFeedStreamReader:
+        # align to the RESOLVED stream schema (fixed at start — also what
+        # executors must emit), not whatever the latest manifest says now
+        fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        return LakeFeedStreamReader(self.options, fields)
