@@ -68,3 +68,49 @@ def test_spark_submit_ingest_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_like=True
     )
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_spark_submit_replicate_feed_from_zip(spark, tmp_path):
+    """The Python Data Source must work when the library arrives via
+    --py-files: executor python workers unpickle the reader class by
+    reference and import gnarly_spark from the shipped zip."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    subprocess.run(["sh", os.path.join(REPO, "tools", "make_dist.sh")], check=True)
+    zip_path = os.path.join(REPO, "dist", "gnarly_spark.zip")
+
+    src = ParquetLakeTable(
+        spark, str(tmp_path / "src"), key="url", n_buckets=2, mode="mor"
+    )
+    src.merge(
+        spark.createDataFrame(
+            [("a", 1.0), ("b", 2.0)], schema="url string, value double"
+        ),
+        batch_id=0,
+    )
+    src.merge(
+        spark.createDataFrame([("a", 3.0)], schema="url string, value double"),
+        spark.createDataFrame([("b",)], schema="url string"),
+        batch_id=1,
+    )
+
+    cmd = [
+        "spark-submit", "--master", "local[4]",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "replicate_job.py"),
+        "--source", str(tmp_path / "src"),
+        "--mirror", str(tmp_path / "dst"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--n-buckets", "2",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["mirror_rows"] == 1
+
+    mirror = ParquetLakeTable(spark, str(tmp_path / "dst"), key="url", n_buckets=2)
+    got = {(r.url, r.value) for r in mirror.read().select("url", "value").collect()}
+    assert got == {("a", 3.0)}
