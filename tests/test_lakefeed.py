@@ -189,6 +189,33 @@ def test_feed_null_fills_pre_evolution_delta_files(registered, tmp_path):
     assert rows == {("a", 1.0, None), ("b", 2.0, "x")}
 
 
+def test_feed_roundtrips_webpage_shape_binary_and_timestamp(registered, tmp_path):
+    """The north-rule table shape (url, warc_ts timestamp_ntz, html binary,
+    text, lang) through the pyarrow read path: bytes and timestamps must
+    round-trip exactly."""
+    import datetime
+
+    spark, tmp = registered, str(tmp_path)
+    t = ParquetLakeTable(
+        spark, os.path.join(tmp, "t"), key="url", n_buckets=2, mode="mor"
+    )
+    ts = datetime.datetime(2026, 3, 1, 12, 30, 45, 123456)
+    page = spark.createDataFrame(
+        [("https://a", ts, b"<html>\x00\xffbytes</html>", "body text", "en")],
+        schema="url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    t.merge(page, batch_id=0)
+    got = _drain(
+        spark, t.path, os.path.join(tmp, "ck"), os.path.join(tmp, "out"),
+        startingVersion=0,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.url, r.warc_ts, bytes(r.html), r.text, r.lang, r._op) == (
+        "https://a", ts, b"<html>\x00\xffbytes</html>", "body text", "en", "upsert"
+    )
+
+
 def test_feed_max_versions_per_trigger_paces_offsets(registered, tmp_path):
     from gnarly_spark.sources.lakefeed import LakeFeedStreamReader
 
