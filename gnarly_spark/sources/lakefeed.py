@@ -187,20 +187,27 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(partition.file)
-        n = tbl.num_rows
-        cols, names = [], []
-        for name, ddl in partition.fields:
-            pa_t = _pa_type(ddl)
-            if name in tbl.column_names:
-                # checked cast (pyarrow default): a mid-stream widening
-                # that would truncate fails loudly instead of corrupting
-                cols.append(tbl[name].cast(pa_t))
-            else:
-                # pre-evolution delta file: the added column reads as null
-                cols.append(pa.nulls(n, pa_t))
-            names.append(name)
-        yield from pa.table(dict(zip(names, cols))).to_batches()
+        pf = pq.ParquetFile(partition.file)
+        have = set(pf.schema_arrow.names)
+        wanted = [n for n, _ in partition.fields if n in have]
+        # bounded memory: stream the file in row-group-sized Arrow batches
+        # (never the whole file at once) and prune to the feed's columns
+        # at the decoder — a delta file is O(batch/bucket) today, but the
+        # reader shouldn't assume that
+        for rb in pf.iter_batches(batch_size=1 << 16, columns=wanted):
+            n = rb.num_rows
+            cols, names = [], []
+            for name, ddl in partition.fields:
+                pa_t = _pa_type(ddl)
+                if name in have:
+                    # checked cast (pyarrow default): a mid-stream widening
+                    # that would truncate fails loudly, never corrupts
+                    cols.append(rb.column(wanted.index(name)).cast(pa_t))
+                else:
+                    # pre-evolution delta file: added column reads as null
+                    cols.append(pa.nulls(n, pa_t))
+                names.append(name)
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 class LakeFeedDataSource(DataSource):
