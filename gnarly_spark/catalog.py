@@ -613,10 +613,38 @@ def cdc_lake_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta CDF-stream analog; replaces the reference's poll-the-store
     subscription, Blockstream.ts:24-112)."""
     import os
+
+    from gnarly_spark.sources.lakefeed import LakeFeedDataSource
+
+    t, work = _phase_merged_mor(spark, sf_dir)
+    spark.dataSource.register(LakeFeedDataSource)
+    out_dir = os.path.join(work, "feed_out")
+    q = (
+        spark.readStream.format("lakefeed")
+        .option("path", t.path)
+        .option("startingVersion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(work, "feed_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir).select(
+        "url", "_op", "_delta_seq", "last_seq", F.round("value", 4).alias("value")
+    )
+
+
+def _phase_merged_mor(spark: SparkSession, sf_dir: str):
+    """Shared scaffold for the feed queries: the changelog's non-revert
+    rows split into 3 op_seq-range phases; each phase's per-url LWW
+    winners (upserts + delete tombstones) committed to a fresh MOR table
+    as one merge per phase (versions 0, 1, 2). Returns (table, work_dir)."""
+    import os
     import tempfile
 
     from gnarly_spark.sinks.lake import ParquetLakeTable
-    from gnarly_spark.sources.lakefeed import LakeFeedDataSource
 
     src = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
     lo, hi = src.agg(F.min("op_seq"), F.max("op_seq")).collect()[0]  # scalars
@@ -639,24 +667,46 @@ def cdc_lake_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         dels = ph.where(F.col("op") == "delete").select("url")
         t.merge(ups, delete_keys=dels, batch_id=k)
-        if t.current_version() != k:  # oracle keys _delta_seq to the phase
+        if t.current_version() != k:  # oracles key _delta_seq to the phase
             raise RuntimeError(f"phase {k} committed as v{t.current_version()}")
-    spark.dataSource.register(LakeFeedDataSource)
-    out_dir = os.path.join(work, "feed_out")
-    q = (
-        spark.readStream.format("lakefeed")
-        .option("path", t.path)
-        .option("startingVersion", 0)
-        .load()
-        .writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", os.path.join(work, "feed_ck"))
-        .trigger(availableNow=True)
-        .start()
+    return t, work
+
+
+@register(
+    "cdc_lake_mirror",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    src AS (SELECT * FROM changelog WHERE op != 'revert'),
+    ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY url ORDER BY op_seq DESC) AS rn
+               FROM src)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_lake_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake->lake replication end-to-end (streaming/replicate.py): the
+    3-phase MOR source is mirrored through a real lakefeed stream +
+    foreachBatch exactly-once MERGE, and the MIRROR's final state is
+    compared to pure SQL. Phase ranges align with op_seq order and each
+    phase commits its per-url LWW, so the mirror must equal the GLOBAL
+    per-url last-writer state (delete winners absent) — one SQL
+    statement, no phase arithmetic. Proves the feed carries enough to
+    reconstruct state and that the mirror's batch-collapse (per-key
+    max_by(_delta_seq)) is order-correct."""
+    import os as _os
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.streaming.replicate import replicate_feed
+
+    t, work = _phase_merged_mor(spark, sf_dir)
+    mirror = ParquetLakeTable(
+        spark, _os.path.join(work, "mirror"), key="url", n_buckets=4
     )
+    q = replicate_feed(spark, t.path, mirror, _os.path.join(work, "mirror_ck"))
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir).select(
-        "url", "_op", "_delta_seq", "last_seq", F.round("value", 4).alias("value")
+    return mirror.read().select(
+        "url", "last_seq", F.round("value", 4).alias("value")
     )
 
 
