@@ -1392,3 +1392,130 @@ def text_tfidf_search(spark, sf_dir):
     return tfidf_search(
         _t(spark, sf_dir, "documents"), ["batch", "join", "stream"]
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable cardinality sketches (HyperLogLog) — corpus census at crawl scale
+# ---------------------------------------------------------------------------
+
+def _hll_events_src_sql() -> str:
+    return (
+        "SELECT event_type, 'https://u/' || CAST(user_id AS VARCHAR) AS url "
+        "FROM events"
+    )
+
+
+def _register_hll_queries() -> None:
+    from gnarly_spark.functions.sketches import hll_oracle_sql
+
+    hll_sql = hll_oracle_sql(
+        _hll_events_src_sql(), "url", ("event_type",), p=9
+    )
+
+    @register(
+        "sketch_hll_distinct",
+        f"""
+        WITH hll AS ({hll_sql}),
+        ex AS (SELECT event_type, COUNT(DISTINCT url) AS exact_distinct
+               FROM ({_hll_events_src_sql()}) GROUP BY event_type)
+        SELECT ex.event_type, exact_distinct, hll_distinct,
+               ROUND(abs(hll_distinct - CAST(exact_distinct AS DOUBLE))
+                     / CAST(exact_distinct AS DOUBLE) * 100.0, 2) AS err_pct
+        FROM ex JOIN hll ON ex.event_type = hll.event_type
+        """,
+    )
+    def sketch_hll_distinct(spark, sf_dir):
+        """Distinct urls per event_type via an engine-portable HyperLogLog
+        (p=9, m=512) next to the exact count — the oracle re-derives the
+        md5 registers AND the estimator, so the approximate value itself is
+        hash-checked exactly. At 100 TB the sketch replaces the full
+        distinct-key shuffle with <= 512 register rows per group per map
+        partition (see functions/sketches.py)."""
+        from gnarly_spark.functions.sketches import hll_distinct
+
+        e = _t(spark, sf_dir, "events").select(
+            "event_type",
+            F.concat(F.lit("https://u/"), F.col("user_id").cast("string")).alias("url"),
+        )
+        est = hll_distinct(e, "url", ("event_type",), p=9)
+        exact = e.groupBy("event_type").agg(
+            F.countDistinct("url").alias("exact_distinct")
+        )
+        err = F.round(
+            F.abs(F.col("hll_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+            * F.lit(100.0),
+            2,
+        )
+        return exact.join(est, "event_type").select(
+            "event_type", "exact_distinct", "hll_distinct", err.alias("err_pct")
+        )
+
+    # p=9 constants inlined below: width = 23, 2^23 = 8388608, w=0 -> rho 24
+    _REGS_P9 = """
+    h AS (SELECT source,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) AS h32
+          FROM documents WHERE doc_id IS NOT NULL),
+    rr AS (SELECT source, h32 // 8388608 AS register, h32 % 8388608 AS w
+           FROM h),
+    per_src AS (SELECT source, register,
+                       MAX(CASE WHEN w = 0 THEN 24
+                                ELSE 23 - length(bin(w)) + 1 END) AS max_rho
+                FROM rr GROUP BY source, register),
+    merged AS (SELECT register, MAX(max_rho) AS max_rho
+               FROM per_src GROUP BY register),
+    direct AS (SELECT register,
+                      MAX(CASE WHEN w = 0 THEN 24
+                               ELSE 23 - length(bin(w)) + 1 END) AS max_rho
+               FROM rr GROUP BY register)
+    """
+
+    def _est_p9(rel: str) -> str:
+        from gnarly_spark.functions.sketches import _K, _alpha_mm_2k
+
+        amm = repr(_alpha_mm_2k(9))
+        return f"""
+        (SELECT ROUND(CASE WHEN e_raw <= 1280.0 AND v > 0
+                           THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+                           ELSE e_raw END, 2)
+         FROM (SELECT (512 - COUNT(*)) AS v,
+                      {amm} / CAST(
+                        CAST(SUM(CAST(2 AS BIGINT) ** ({_K} - max_rho)) AS BIGINT)
+                        + (512 - COUNT(*)) * {1 << _K} AS DOUBLE) AS e_raw
+               FROM {rel}))
+        """
+
+    @register(
+        "sketch_hll_merge",
+        f"""
+        WITH {_REGS_P9}
+        SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS exact_distinct,
+               {_est_p9("merged")} AS merged_distinct,
+               {_est_p9("direct")} AS direct_distinct
+        """,
+    )
+    def sketch_hll_merge(spark, sf_dir):
+        """Sketch MERGEABILITY, the property that makes HLL the 100 TB
+        distinct-count: per-source register tables (the shape you'd persist
+        per crawl segment / per day) roll up with a plain max-per-register
+        into the sketch of the union — merged estimate == the
+        direct-over-everything estimate, without rereading raw data. One
+        row: (exact_distinct, merged_distinct, direct_distinct)."""
+        from gnarly_spark.functions.sketches import hll_add, hll_estimate, hll_merge
+
+        d = _t(spark, sf_dir, "documents").select(
+            "source", F.col("doc_id").cast("string").alias("k")
+        )
+        per_src = hll_add(d, "k", ("source",), p=9)
+        merged = hll_estimate(hll_merge(per_src), (), p=9).select(
+            F.col("hll_distinct").alias("merged_distinct")
+        )
+        direct = hll_estimate(hll_add(d, "k", (), p=9), (), p=9).select(
+            F.col("hll_distinct").alias("direct_distinct")
+        )
+        exact = d.agg(F.countDistinct("k").alias("exact_distinct"))
+        return exact.crossJoin(merged).crossJoin(direct)
+
+
+_register_hll_queries()

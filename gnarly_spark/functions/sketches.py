@@ -1,0 +1,181 @@
+"""Mergeable cardinality sketches (HyperLogLog) as pure DataFrame programs.
+
+The 100 TB problem: COUNT(DISTINCT key) forces a full shuffle of every
+distinct key. An HLL sketch replaces it with a bounded-size register table
+(m = 2^p rows per group) that partial-aggregates map-side — the shuffle
+carries at most m rows per (partition, group) no matter how many keys flow
+through — and registers MERGE with a plain max, so per-partition /
+per-source / per-day sketches roll up without touching raw data again
+(the property Spark's own approx_count_distinct uses internally).
+
+Why not approx_count_distinct: its HLL++ registers are engine-internal, so
+nothing outside Spark can verify it. These registers are md5-derived
+(Flajolet et al. 2007, public algorithm):
+
+    h32      = first 8 hex chars of md5(key) as a 32-bit unsigned int
+    register = top p bits of h32
+    rho      = 1 + leading zeros of the remaining (32-p)-bit word
+             = width - floor(log2 w)  computed as width - length(bin(w)) + 1
+               (w = 0 -> width + 1)
+
+which any engine reproduces bit-for-bit — the DuckDB oracles re-derive the
+registers AND the estimate and match exactly. The estimator's harmonic sum
+uses exact integers (sum of 2^(K - rho) at K=40, < 2^48 for p <= 12), so
+no float-accumulation-order nondeterminism exists anywhere: the only float
+ops are one division (raw estimate) and one ln (linear-counting small-range
+correction), identical expressions on both sides.
+
+Reference parity note: the reference engine has no sketches (its keys are
+unique by construction); this is net-new training-data-pipeline capability
+(corpus census: distinct urls/domains/tokens at crawl scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# exact-integer scale for the harmonic sum: 2^(K - rho) with rho <= 33
+_K = 40
+
+
+def _alpha_mm_2k(p: int) -> float:
+    """alpha_m * m^2 * 2^K as one Python double, embedded as a literal in
+    BOTH the Spark plan and the SQL oracle so the raw estimate is a single
+    identical division on each side."""
+    m = 1 << p
+    if p < 7:
+        raise ValueError("p < 7 not supported (alpha constants differ)")
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2**_K)
+
+
+def hll_add(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """One pass over the data -> HLL register table:
+    (group_cols..., register int, max_rho int), <= 2^p rows per group.
+
+    groupBy partial-aggregates the max map-side, so the shuffle after the
+    scan is bounded by m rows per input partition per group — the sketch
+    property that makes distinct-counting flat at corpus scale.
+    """
+    width = 32 - p
+    h32 = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    # NULL keys carry no cardinality (COUNT DISTINCT ignores them) — drop
+    # them before hashing or they'd mint a NULL register row
+    df = df.where(F.col(key_col).isNotNull())
+    staged = df.select(
+        *group_cols,
+        F.shiftright(h32, width).cast("int").alias("register"),
+        h32.bitwiseAND(F.lit((1 << width) - 1)).alias("_w"),
+    )
+    # length(bin(w)) = floor(log2 w) + 1 for w > 0; bin(0) = '0' (length 1,
+    # NOT zero) so the w = 0 case is explicit: all width bits zero -> width+1
+    rho = F.when(F.col("_w") == 0, F.lit(width + 1)).otherwise(
+        F.lit(width) - F.length(F.bin(F.col("_w"))) + 1
+    )
+    return (
+        staged.withColumn("_rho", rho.cast("int"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("_rho").alias("max_rho"))
+    )
+
+
+def hll_merge(registers: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables (e.g. per-source or per-day sketches) into the
+    sketch of the UNION of their inputs: plain max per register — the
+    rollup never rereads raw data."""
+    return registers.groupBy(*group_cols, "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Registers -> (group_cols..., hll_distinct double rounded 2dp).
+
+    Standard HLL estimator with the linear-counting small-range correction:
+      S       = sum over ALL m registers of 2^(K - rho)   (empty rho = 0)
+      E_raw   = alpha_m * m^2 * 2^K / S
+      E       = m * ln(m / V)  when E_raw <= 2.5 m and V (empty count) > 0
+    S is an exact BIGINT (the 2^(K-rho) terms are integers, commutative),
+    so the estimate is deterministic under any aggregation order.
+    """
+    m = 1 << p
+    lit_amm = F.lit(_alpha_mm_2k(p))
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_K} - max_rho)")).alias("_s_present"),
+        F.count("*").alias("_n_present"),
+    )
+    v = F.lit(m) - F.col("_n_present")
+    s = F.col("_s_present") + v * F.lit(1 << _K).cast("long")
+    e_raw = lit_amm / s.cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 2).alias("hll_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> DataFrame:
+    """Convenience: add + estimate in one call."""
+    return hll_estimate(hll_add(df, key_col, group_cols, p), group_cols, p)
+
+
+def hll_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_cols: tuple[str, ...] = (),
+    p: int = 9,
+) -> str:
+    """The DuckDB re-statement of hll_distinct over ``source_sql`` (a
+    relation exposing ``key_expr`` and the group columns) — byte-identical
+    register derivation and the same literal estimator constants, so the
+    oracle matches the Spark value exactly, not approximately."""
+    m = 1 << p
+    width = 32 - p
+    amm = repr(_alpha_mm_2k(p))
+    gsel = ", ".join(group_cols)
+    gpre = f"{gsel}, " if group_cols else ""
+    gby = f"GROUP BY {gsel}" if group_cols else ""
+    return f"""
+    WITH src AS ({source_sql}),
+    h AS (SELECT {gpre}
+                 CAST(('0x' || substring(md5(CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) AS h32
+          FROM src WHERE {key_expr} IS NOT NULL),
+    rr AS (SELECT {gpre} h32 // {1 << width} AS register,
+                  h32 % {1 << width} AS w
+           FROM h),
+    regs AS (SELECT {gpre} register,
+                    MAX(CASE WHEN w = 0 THEN {width + 1}
+                             ELSE {width} - length(bin(w)) + 1 END) AS max_rho
+             FROM rr GROUP BY {gpre} register),
+    agg AS (SELECT {gpre}
+                   CAST(SUM(CAST(2 AS BIGINT) ** ({_K} - max_rho)) AS BIGINT) AS s_present,
+                   COUNT(*) AS n_present
+            FROM regs {gby}),
+    est AS (SELECT {gpre}
+                   ({m} - n_present) AS v,
+                   {amm} / CAST(s_present + ({m} - n_present) * {1 << _K} AS DOUBLE)
+                     AS e_raw
+            FROM agg)
+    SELECT {gpre}
+           ROUND(CASE WHEN e_raw <= {2.5 * m} AND v > 0
+                      THEN {float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE))
+                      ELSE e_raw END, 2) AS hll_distinct
+    FROM est
+    """

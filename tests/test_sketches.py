@@ -1,0 +1,71 @@
+"""HyperLogLog sketch: accuracy, mergeability, DuckDB portability, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gnarly_spark.functions.sketches import (
+    hll_add,
+    hll_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_oracle_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def keys_50k(spark):
+    # 60k rows over 50k distinct keys (10k keys appear twice) — large enough
+    # to leave the linear-counting regime at p=9 (2.5 * 512 = 1280)
+    return spark.range(60000).select(
+        (F.col("id") % 50000).alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+    )
+
+
+def test_hll_estimator_branch_accuracy(spark, keys_50k):
+    est = hll_distinct(keys_50k, "k", (), p=9).collect()[0]["hll_distinct"]
+    # p=9 standard error = 1.04/sqrt(512) ~ 4.6%; 3 sigma ~ 14%
+    assert abs(est - 50000) / 50000 < 0.14, est
+
+
+def test_hll_merge_equals_direct_exactly(spark, keys_50k):
+    per_grp = hll_add(keys_50k, "k", ("grp",), p=9)
+    merged = hll_estimate(hll_merge(per_grp), (), p=9).collect()[0]["hll_distinct"]
+    direct = hll_distinct(keys_50k, "k", (), p=9).collect()[0]["hll_distinct"]
+    assert merged == direct  # register max is lossless, not approximately equal
+
+
+def test_hll_matches_duckdb_oracle_bit_for_bit(spark, keys_50k):
+    spark_rows = {
+        r["grp"]: r["hll_distinct"]
+        for r in hll_distinct(keys_50k, "k", ("grp",), p=9).collect()
+    }
+    sql = hll_oracle_sql(
+        "SELECT CAST(range % 50000 AS BIGINT) AS k, "
+        "CAST(range % 4 AS VARCHAR) AS grp FROM range(60000)",
+        "k",
+        ("grp",),
+        p=9,
+    )
+    duck_rows = {g: v for g, v in duckdb.sql(sql).fetchall()}
+    assert spark_rows == duck_rows
+
+
+def test_hll_null_keys_ignored(spark):
+    df = spark.range(100).select(
+        F.when(F.col("id") < 50, F.col("id")).alias("k")
+    )
+    est = hll_distinct(df, "k", (), p=9).collect()[0]["hll_distinct"]
+    # 50 non-null distinct keys, linear-counting regime: close to exact
+    assert abs(est - 50) < 5, est
+
+
+def test_hll_add_is_partial_aggregation_no_explode(spark, keys_50k):
+    plan = hll_add(keys_50k, "k", ("grp",), p=9)._jdf.queryExecution().executedPlan().toString()
+    # the register table partial-aggregates map-side: the shuffle carries at
+    # most m register rows per (input partition, group), never raw keys
+    assert "partial_max" in plan
+    assert "Generate" not in plan  # no explode anywhere in the sketch path
