@@ -870,6 +870,53 @@ def src_jsonl_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.crossJoin(dead)
 
 
+@register(
+    "src_warc_roundtrip",
+    """
+    SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM documents
+    """,
+)
+def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC boundary end-to-end on driver data: documents are rendered
+    as gzipped WARC segment files (the Common-Crawl layout — one segment
+    per partition, ISO 28500 framing) by the distributed writer, read back
+    by the binaryFile+mapInPandas reader, and every row must survive the
+    hop byte-identically: url, payload byte count, payload md5, and the
+    microsecond WARC-Date timestamp. Oracle = the same projection straight
+    off the documents table (the WARC hop must be invisible). Covers
+    sources/warc.py — the crawl-native ingest boundary the north rule's
+    web-page payload actually arrives through."""
+    import tempfile
+
+    from gnarly_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_add(
+            "SECOND",
+            F.col("doc_id"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_warc_")
+    write_warc(docs.repartition(4), work, compress=True)
+    back = read_warc(spark, f"{work}/*.warc.gz")
+    return back.select(
+        "url",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # sources / scans (S1-S4)
 # ---------------------------------------------------------------------------

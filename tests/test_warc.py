@@ -1,0 +1,109 @@
+"""WARC source: framing round-trip, gzip, tolerance, truncation, streaming."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from gnarly_spark.sources.warc import (
+    _parse_warc_bytes,
+    read_warc,
+    read_warc_stream,
+    warc_record_bytes,
+    write_warc,
+)
+
+
+def _docs(spark, n=40):
+    return spark.range(n).select(
+        F.concat(F.lit("https://ex.com/p/"), F.col("id").cast("string")).alias("url"),
+        F.timestamp_add(
+            "SECOND", F.col("id"), F.lit("2026-03-01 12:00:00.5").cast("timestamp_ntz")
+        ).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>page "), F.col("id").cast("string")), "utf-8").alias(
+            "payload"
+        ),
+    )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_warc_roundtrip_byte_identical(spark, compress, tmp_path):
+    docs = _docs(spark)
+    manifest = write_warc(docs.repartition(3), str(tmp_path), compress=compress)
+    assert sum(n for _, n in manifest) == 40
+    assert len(manifest) <= 3 and all(os.path.exists(f) for f, _ in manifest)
+    glob = f"{tmp_path}/*.warc.gz" if compress else f"{tmp_path}/*.warc"
+    back = read_warc(spark, glob)
+    orig = {(r["url"], r["warc_ts"], bytes(r["payload"])) for r in docs.collect()}
+    got = {(r["url"], r["warc_ts"], bytes(r["payload"])) for r in back.collect()}
+    assert got == orig  # urls, microsecond timestamps, exact payload bytes
+
+
+def test_warc_parser_tolerates_lf_only_and_skips_non_response():
+    rec = warc_record_bytes(
+        "https://a/1", datetime(2026, 3, 1, 0, 0, 0, 123456), b"BODY"
+    )
+    lf_only = rec.replace(b"\r\n", b"\n")
+    meta = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 3\r\n\r\nxyz\r\n\r\n"
+    )
+    out = list(_parse_warc_bytes("f.warc", meta + lf_only))
+    assert out == [
+        ("https://a/1", datetime(2026, 3, 1, 0, 0, 0, 123456), b"BODY", "f.warc")
+    ]
+
+
+def test_warc_parser_raises_on_truncation():
+    rec = warc_record_bytes("https://a/1", datetime(2026, 1, 1), b"0123456789")
+    with pytest.raises(ValueError, match="truncated payload"):
+        list(_parse_warc_bytes("f.warc", rec[:-8]))  # payload cut short
+    with pytest.raises(ValueError, match="truncated WARC header"):
+        list(_parse_warc_bytes("f.warc", rec[:20]))  # header block cut short
+
+
+def test_warc_multi_member_gzip(tmp_path):
+    # Common Crawl gzips each record as its own member; the reader must
+    # decompress the whole member chain, not just the first
+    r1 = warc_record_bytes("https://a/1", datetime(2026, 1, 1), b"one")
+    r2 = warc_record_bytes("https://a/2", datetime(2026, 1, 2), b"two")
+    blob = gzip.compress(r1) + gzip.compress(r2)
+    urls = [u for u, _, _, _ in _parse_warc_bytes("f.warc.gz", blob)]
+    assert urls == ["https://a/1", "https://a/2"]
+
+
+def test_warc_streaming_tail(spark, tmp_path):
+    land = str(tmp_path / "landing")
+    docs = _docs(spark, 12)
+    write_warc(docs.repartition(2), land, compress=True)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        read_warc_stream(spark, land)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 12
+    # second drain with a NEW segment file only picks up the new file
+    write_warc(_docs(spark, 5).repartition(1), land + "/late", compress=True)
+    os.rename(
+        land + "/late/part-00000.warc.gz", land + "/part-late.warc.gz"
+    )
+    q = (
+        read_warc_stream(spark, land)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 17
