@@ -1519,3 +1519,64 @@ def _register_hll_queries() -> None:
 
 
 _register_hll_queries()
+
+
+def _register_cms_query() -> None:
+    _CMS_D, _CMS_W = 4, 64  # w < distinct keys at sf0.01 so collisions are real
+
+    @register(
+        "sketch_cms_topk",
+        f"""
+        WITH src AS (SELECT 'https://u/' || CAST(user_id AS VARCHAR) AS url
+                     FROM events),
+        hashes AS (SELECT url, i,
+                          CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || url), 1, 8))
+                               AS BIGINT) % {_CMS_W} AS col
+                   FROM src, range({_CMS_D}) t(i)),
+        counters AS (SELECT i AS row, col, COUNT(*) AS cnt
+                     FROM hashes GROUP BY i, col),
+        exact AS (SELECT url, COUNT(*) AS exact_count FROM src GROUP BY url
+                  ORDER BY exact_count DESC, url LIMIT 10),
+        probe AS (SELECT url, i,
+                         CAST(('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || url), 1, 8))
+                              AS BIGINT) % {_CMS_W} AS col
+                  FROM exact, range({_CMS_D}) t(i)),
+        est AS (SELECT p.url, MIN(c.cnt) AS cms_count
+                FROM probe p JOIN counters c ON c.row = p.i AND c.col = p.col
+                GROUP BY p.url)
+        SELECT e.url, e.exact_count, est.cms_count,
+               est.cms_count - e.exact_count AS overcount
+        FROM exact e JOIN est ON e.url = est.url
+        """,
+    )
+    def sketch_cms_topk(spark, sf_dir):
+        """Count-min heavy hitters: frequency estimates for the exact top-10
+        urls from a d=4 x w=64 counter sketch (deliberately narrower than
+        the key universe so collisions — and the one-sided overcount — are
+        visible in the driver row values). All-integer math: the oracle
+        matches exactly, not approximately. At 100 TB the sketch's shuffle
+        is bounded at d*w counter rows per map partition however many
+        events stream through (functions/sketches.py cms_build)."""
+        from gnarly_spark.functions.sketches import cms_build, cms_estimate
+
+        d, w = _CMS_D, _CMS_W
+        e = _t(spark, sf_dir, "events").select(
+            F.concat(F.lit("https://u/"), F.col("user_id").cast("string")).alias("url")
+        )
+        cms = cms_build(e, "url", d=d, w=w)
+        exact = (
+            e.groupBy("url")
+            .agg(F.count("*").alias("exact_count"))
+            .orderBy(F.desc("exact_count"), "url")
+            .limit(10)
+        )
+        est = cms_estimate(cms, exact.select("url"), "url", d=d, w=w)
+        return exact.join(est, "url").select(
+            "url",
+            "exact_count",
+            "cms_count",
+            (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+        )
+
+
+_register_cms_query()

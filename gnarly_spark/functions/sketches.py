@@ -136,6 +136,75 @@ def hll_distinct(
     return hll_estimate(hll_add(df, key_col, group_cols, p), group_cols, p)
 
 
+def cms_hash(key_col: str, i: int, w: int):
+    """Row-i count-min hash of a key: md5-derived 32-bit word mod width —
+    engine-portable (the oracle re-derives it) and pairwise-independent
+    enough in practice (distinct salted md5 per row)."""
+    h32 = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return (h32 % w).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of key frequencies:
+    (group_cols..., row, col, cnt) with d*w counters per group.
+
+    The 100 TB shape: the posexplode multiplies rows d-fold MAP-SIDE only —
+    the groupBy partial-aggregates, so the shuffle carries at most d*w
+    counter rows per (input partition, group) regardless of key volume,
+    and sketches for different days/sources MERGE by summing counters
+    (cms_merge). Estimates only ever over-count (collisions add), never
+    under — min over the d rows bounds the error at ~2N/w with prob 1-2^-d.
+    """
+    staged = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols,
+        F.posexplode(F.array(*[cms_hash(key_col, i, w) for i in range(d)])).alias(
+            "row", "col"
+        ),
+    )
+    return staged.groupBy(*group_cols, "row", "col").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def cms_merge(sketch: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge count-min sketches (same d, w): counters add."""
+    return sketch.groupBy(*group_cols, "row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Estimate the frequency of each key in ``keys``: min over the d rows
+    of its counter cells. The probe side is a key LIST (tiny by contract —
+    the keys you're asking about), broadcast into the bounded counter
+    table; a missing cell means the key was never seen (0)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.posexplode(F.array(*[cms_hash(key_col, i, w) for i in range(d)])).alias(
+            "row", "col"
+        ),
+    )
+    return (
+        sketch.join(F.broadcast(probes), ["row", "col"], "right")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
 def hll_oracle_sql(
     source_sql: str,
     key_expr: str,
