@@ -179,6 +179,37 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def crawl_to_changelog(records: DataFrame, block_seconds: int = 3600) -> DataFrame:
+    """Adapt parsed WARC records to the engine's changelog contract
+    (fixtures.CHANGELOG_DDL), so a raw crawl drives the full CDC pipeline:
+    WARC segments -> changelog -> CdcIngestPipeline -> lake pages table.
+
+    Crawl semantics: every fetch is an upsert of its url ('update' — the
+    LWW replay needs no insert/update distinction); re-fetches resolve by
+    (warc_ts, op_seq) last-writer-wins exactly like any other changelog.
+    op_seq = microseconds-since-epoch of the fetch: unique PER URL (the
+    exactly-once MERGE key is (url, op_seq) and LWW partitions by url, so
+    cross-url equality is harmless) and monotone with crawl time. Blocks
+    are wall-clock buckets of ``block_seconds`` — the retention/reorg unit;
+    crawls don't fork, so revert_of_block is always NULL. Pure map-side
+    column derivation: no shuffle, no Python."""
+    ts = F.col("warc_ts").cast("timestamp")  # NTZ -> UTC instant (session TZ pinned)
+    block_id = F.floor(F.unix_timestamp(ts) / block_seconds).cast("long")
+    return records.select(
+        F.unix_micros(ts).alias("op_seq"),
+        block_id.alias("block_id"),
+        block_id.cast("string").alias("block_hash"),
+        (block_id - 1).cast("string").alias("parent_hash"),
+        F.lit("update").alias("op"),
+        "url",
+        F.col("warc_ts").cast("timestamp").alias("warc_ts"),
+        F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("revert_of_block"),
+        F.lit("crawl").alias("reason"),
+    )
+
+
 def read_warc_stream(spark: SparkSession, dir_path: str) -> DataFrame:
     """Streaming tail of a WARC landing directory: new segment files become
     micro-batch rows via the file stream source (checkpointable, resumable,

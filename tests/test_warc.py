@@ -107,3 +107,55 @@ def test_warc_streaming_tail(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.read.parquet(out_dir).count() == 17
+
+
+def test_warc_crawl_drives_full_pipeline_end_to_end(spark, tmp_path):
+    """Crawl in, lake out: WARC segments -> parsed records -> changelog
+    adapter -> CdcIngestPipeline (streaming drain) -> pages table. The
+    final table must be the per-url LWW of the crawl with the pipeline's
+    own extraction applied to the winning payloads."""
+    from pyspark.sql import Window
+
+    from gnarly_spark.functions.extraction import extract_text_udf
+    from gnarly_spark.sources.warc import crawl_to_changelog
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    # 30 urls; urls 0..14 re-fetched 1h later with different content
+    first = _docs(spark, 30)
+    refetch = _docs(spark, 15).select(
+        "url",
+        F.timestamp_add("HOUR", F.lit(1), F.col("warc_ts")).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html>REVISED "), F.col("url")), "utf-8").alias(
+            "payload"
+        ),
+    )
+    crawl_dir = str(tmp_path / "crawl")
+    write_warc(first.repartition(2), crawl_dir, compress=True)
+    write_warc(refetch.repartition(1), crawl_dir + "/b", compress=True)
+    os.rename(crawl_dir + "/b/part-00000.warc.gz", crawl_dir + "/part-b.warc.gz")
+
+    log = crawl_to_changelog(read_warc(spark, f"{crawl_dir}/*.warc.gz"))
+    src = str(tmp_path / "changelog")
+    log.repartition(3).write.parquet(src)
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    q = p.start(src, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    got = {
+        (r["url"], r["warc_ts"], r["text"])
+        for r in p.pages().select("url", "warc_ts", "text").collect()
+    }
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    winners = (
+        first.unionByName(refetch)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumnRenamed("payload", "html")
+        .withColumn("text", extract_text_udf(F.col("html")))
+    )
+    want = {
+        (r["url"], r["warc_ts"], r["text"])
+        for r in winners.select("url", "warc_ts", "text").collect()
+    }
+    assert got == want and len(got) == 30
