@@ -1482,6 +1482,69 @@ def cdc_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_stream_stream_join",
+    """
+    SELECT v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           ROUND(p.value, 4) AS value
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def w_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join, driver-visible: views and
+    purchases are tailed as two real streams (same parquet dir, two
+    readStream handles), joined per user with purchase_ts constrained to
+    [view_ts, view_ts + 1h] behind 2h watermarks (the state-bounding
+    shape — streaming/joins.py), drained availableNow into an append-mode
+    memory sink. Oracle = the identical interval join as one batch SQL
+    statement (every row on time here; the late-drop path is
+    deterministic-tested in tests/test_stream_join.py)."""
+    import tempfile
+    import uuid as _uuid
+
+    from gnarly_spark.streaming.joins import attribute_purchases
+
+    work = tempfile.mkdtemp(prefix="gnarly_ssjoin_")
+    src = f"{work}/src"
+    _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def side(kind: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .where(F.col("event_type") == kind)
+        )
+
+    joined = attribute_purchases(side("view"), side("purchase"), horizon="1 hour")
+    out = joined.select(
+        "user_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.round("value", 4).alias("value"),
+    )
+    name = f"ssjoin_{_uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "w_tumbling_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
