@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "mm_media_features",
     "text_tfidf_search",
+    "sketch_hll_distinct",
+    "sketch_cms_topk",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

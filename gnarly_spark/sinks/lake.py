@@ -1573,6 +1573,78 @@ class ParquetLakeTable:
 
         return self._retrying(attempt)
 
+    def export_snapshot(self, dest: str, version: int | None = None) -> dict:
+        """Export ONE snapshot as a fully-functional standalone table at
+        ``dest`` (Iceberg snapshot-export / Delta SHALLOW-CLONE-then-deep
+        analog — the backup/DR and dev-fork primitive): the version's data
+        files are copied under ``dest`` and a fresh v0 manifest is written
+        referencing the copies, carrying schema, mode, n_buckets, key,
+        stats, per-file bounds (rewritten to the new paths, so lookup/
+        scan_range pruning works on the clone without re-reading footers)
+        AND ``batch_ids`` — a stream resumed against the clone keeps its
+        refire guard. History is deliberately NOT exported: a backup wants
+        one consistent snapshot, not the undo chain.
+
+        The file copy here is a driver-side shutil loop — correct at any
+        scale but serial; a production deployment swaps that one loop for
+        a distributed/object-store copy (distcp, S3 batch). The manifest
+        rewrite — the part that IS the engine — is identical either way.
+
+        Returns {"dest", "version_exported", "n_files", "n_bytes"}.
+        """
+        import shutil
+
+        m = self._manifest(version)
+        if m["version"] < 0:
+            raise ValueError("export_snapshot: table has no committed snapshot")
+        dest = os.path.realpath(dest)
+        if dest == self.path:
+            raise ValueError("export_snapshot: dest must differ from the table path")
+        os.makedirs(os.path.join(dest, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(dest, "data"), exist_ok=True)
+
+        path_map: dict[str, str] = {}
+        n_bytes = 0
+        for section in ("buckets", "deltas"):
+            for b, fl in m.get(section, {}).items():
+                d = os.path.join(dest, "data", f"{section}-{b}")
+                os.makedirs(d, exist_ok=True)
+                for f in fl:
+                    nf = os.path.join(d, os.path.basename(f))
+                    shutil.copy2(f, nf)
+                    path_map[f] = nf
+                    n_bytes += os.path.getsize(nf)
+
+        out = dict(m)
+        out["version"] = 0
+        out["parent"] = -1
+        out["exported_from"] = {"table": self.path, "version": m["version"]}
+        out["committed_at"] = time.time()
+        for section in ("buckets", "deltas"):
+            out[section] = {
+                b: [path_map[f] for f in fl]
+                for b, fl in m.get(section, {}).items()
+            }
+        out["bounds"] = {
+            path_map[f]: v for f, v in m.get("bounds", {}).items() if f in path_map
+        }
+        out["col_bounds"] = {
+            c: {path_map[f]: v for f, v in fm.items() if f in path_map}
+            for c, fm in m.get("col_bounds", {}).items()
+        }
+        with open(os.path.join(dest, "_manifests", "v0.json"), "w") as f:
+            json.dump(out, f)
+        tmp = os.path.join(dest, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write("0")
+        os.replace(tmp, os.path.join(dest, "_CURRENT"))
+        return {
+            "dest": dest,
+            "version_exported": m["version"],
+            "n_files": len(path_map),
+            "n_bytes": n_bytes,
+        }
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Drop manifests older than the last ``keep_last`` versions and
         delete data files no surviving manifest references (Iceberg's

@@ -1054,3 +1054,53 @@ def test_data_files_with_numeric_key(spark, tmp_path):
     )
     rows = t.data_files().collect()
     assert rows and all(r.key_min is not None for r in rows)
+
+
+def test_export_snapshot_standalone_clone(spark, table, tmp_path):
+    """export_snapshot produces a fully-functional table: read parity at
+    the exported version, working lookup pruning, carried batch_ids
+    (refire guard survives DR), and isolation from the source's future."""
+    table.merge(mk(spark, [("a", 1), ("b", 1), ("c", 3)]), batch_id=0)
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)
+    want = _pdf(table.read())
+
+    dest = str(tmp_path / "backup")
+    stats = table.export_snapshot(dest)
+    assert stats["n_files"] >= 1 and stats["n_bytes"] > 0
+    assert stats["version_exported"] == table.current_version()
+
+    clone = ParquetLakeTable(spark, dest, key="url")
+    assert _pdf(clone.read()).equals(want)
+    assert clone.current_version() == 0
+    # refire guard carried: batch 1 is already applied on the clone
+    assert clone.merge(mk(spark, [("a", 999)]), batch_id=1) is False
+    assert _pdf(clone.read()).equals(want)
+    # key zone maps were rewritten to the copied paths: lookup works and
+    # prunes (sanity: correct single-row answer through the pruned path)
+    assert _pdf(clone.lookup("c")).v.tolist() == [3]
+    # mutating the SOURCE after export must not leak into the clone
+    table.merge(mk(spark, [("z", 9)]), batch_id=2)
+    assert _pdf(clone.read()).equals(want)
+    # the clone evolves independently (fresh history rooted at v0)
+    clone.merge(mk(spark, [("d", 4)]), batch_id=100)
+    assert "d" in _pdf(clone.read()).url.tolist()
+    assert "d" not in _pdf(table.read()).url.tolist()
+
+
+def test_export_snapshot_mor_with_deltas_and_older_version(spark, tmp_path):
+    """MOR export: delta files ride along and resolve on the clone; an
+    explicit older version exports that snapshot, not head."""
+    t = ParquetLakeTable(spark, str(tmp_path / "mor"), key="url", n_buckets=2, mode="mor")
+    t.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=0)
+    v1 = t.current_version()
+    t.merge(mk(spark, [("a", 5)]), batch_id=1)  # delta, not compacted
+    t.merge(None, delete_keys=mk(spark, [("b",)], "url string"), batch_id=2)
+
+    head = t.export_snapshot(str(tmp_path / "bk_head"))
+    clone = ParquetLakeTable(spark, head["dest"], key="url")
+    got = _pdf(clone.read())
+    assert got.url.tolist() == ["a"] and got.v.tolist() == [5]
+
+    old = t.export_snapshot(str(tmp_path / "bk_v1"), version=v1)
+    clone_old = ParquetLakeTable(spark, old["dest"], key="url")
+    assert _pdf(clone_old.read()).v.tolist() == [1, 1]
