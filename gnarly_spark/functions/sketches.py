@@ -189,9 +189,11 @@ def cms_estimate(
     w: int = 256,
 ) -> DataFrame:
     """Estimate the frequency of each key in ``keys``: min over the d rows
-    of its counter cells. The probe side is a key LIST (tiny by contract —
-    the keys you're asking about), broadcast into the bounded counter
-    table; a missing cell means the key was never seen (0)."""
+    of its counter cells. The SKETCH side is broadcast — it is bounded at
+    d*w rows BY CONSTRUCTION (that's the point of the sketch), so the
+    probe side can be arbitrarily large (score every key in a corpus)
+    without shuffling either relation. A missing cell means the key never
+    hashed there (0)."""
     probes = keys.select(
         F.col(key_col),
         F.posexplode(F.array(*[cms_hash(key_col, i, w) for i in range(d)])).alias(
@@ -199,7 +201,7 @@ def cms_estimate(
         ),
     )
     return (
-        sketch.join(F.broadcast(probes), ["row", "col"], "right")
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
