@@ -1545,6 +1545,69 @@ def w_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_stream_dedup",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    dup AS (SELECT * FROM changelog WHERE op != 'revert'
+            UNION ALL
+            SELECT * FROM changelog WHERE op != 'revert' AND op_seq % 7 = 0)
+    SELECT COUNT(*) AS n_events,
+           CAST(SUM(op_seq) AS BIGINT) AS seq_sum,
+           COUNT(DISTINCT url) AS n_urls
+    FROM (SELECT DISTINCT op_seq, url, op_seq AS _s FROM dup)
+    """,
+)
+def w_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING at-least-once event dedup (dropDuplicatesWithinWatermark):
+    an at-least-once collector re-delivers individual events — here every
+    7th changelog row is injected twice — and the stream must pass each
+    (url, op_seq) exactly once while holding only watermark-bounded state
+    (plain dropDuplicates would accrete every key ever seen — unbounded at
+    10^10 events). Note the MERGE sink is already idempotent to redelivered
+    rows; this primitive is for sinks/aggregations that are NOT. Oracle =
+    batch DISTINCT aggregates (all duplicates arrive inside the watermark
+    here, so the streaming answer is exact; the beyond-watermark
+    may-pass semantics is pytest-covered)."""
+    import tempfile
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="gnarly_sdedup_")
+    src = f"{work}/src"
+    log = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
+    log.unionByName(log.where(F.col("op_seq") % 7 == 0)).coalesce(1).write.parquet(
+        src
+    )
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+        .withWatermark("warc_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["url", "op_seq"])
+    )
+    # ONE stateful operator in the stream (chaining dedup into streaming
+    # aggregation trips the global-watermark correctness check); the
+    # deduped stream lands append-mode and the driver row aggregates the
+    # sink in batch, where exact COUNT(DISTINCT) is legal anyway
+    name = f"sdedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.select("url", "op_seq")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("op_seq").cast("bigint").alias("seq_sum"),
+        F.countDistinct("url").alias("n_urls"),
+    )
+
+
+@register(
     "w_tumbling_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

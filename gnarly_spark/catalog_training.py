@@ -1580,3 +1580,46 @@ def _register_cms_query() -> None:
 
 
 _register_cms_query()
+
+
+def _register_gopher_query() -> None:
+    def _gram_cte(n: int) -> str:
+        parts = " || ' ' || ".join(f"w[g+{j}]" for j in range(n))
+        return f"""
+    g{n} AS (SELECT id, unnest([{parts}
+                                for g in range(1, greatest(len(w) - {n} + 2, 1))]) AS g
+             FROM dn),
+    per{n} AS (SELECT id,
+                      ROUND((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup{n},
+                      ROUND(MAX(c) / SUM(c), 6) AS top{n}
+               FROM (SELECT id, g, COUNT(*) AS c FROM g{n} GROUP BY id, g)
+               GROUP BY id)"""
+
+    @register(
+        "text_gopher_repetition",
+        f"""
+        WITH dn AS (SELECT doc_id AS id, string_split({_NORM}, ' ') AS w
+                    FROM documents),
+        {_gram_cte(2)},
+        {_gram_cte(3)}
+        SELECT d.doc_id,
+               coalesce(dup2, 0.0) AS dup2, coalesce(top2, 0.0) AS top2,
+               coalesce(dup3, 0.0) AS dup3, coalesce(top3, 0.0) AS top3
+        FROM documents d
+        LEFT JOIN per2 ON per2.id = d.doc_id
+        LEFT JOIN per3 ON per3.id = d.doc_id
+        """,
+    )
+    def text_gopher_repetition(spark, sf_dir):
+        """Gopher/MassiveText within-doc repetition gate: duplicate- and
+        top-n-gram fractions (n=2,3) per document — the quality rule that
+        catches machine-generated/template spam INSIDE one doc, which
+        cross-doc dedup can't see. See functions/text.py
+        gopher_repetition for the scale shape (per-doc bounded, no
+        cross-doc join)."""
+        from gnarly_spark.functions.text import gopher_repetition
+
+        return gopher_repetition(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+_register_gopher_query()

@@ -435,3 +435,77 @@ def tfidf_search(
         )
         .select(F.col("id").alias(id_col), "score", "n_terms")
     )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-doc n-gram repetition signals (Gopher / MassiveText quality
+    rules, Rae et al. 2021 table A1): per doc and per n,
+
+      dup{n}  — fraction of n-gram OCCURRENCES that are repeats of an
+                earlier occurrence (1 - distinct/total);
+      top{n}  — fraction held by the single most frequent n-gram.
+
+    Docs keep-filter thresholds (e.g. drop if dup2 > 0.2) are the standard
+    crawl-cleaning gate for machine-generated / template spam that plain
+    dedup can't see (the repetition is INSIDE one document).
+
+    Scale shape: one explode per n over the doc's own words, then ONE
+    partial-aggregating groupBy(id, gram) + groupBy(id) per n — per-doc
+    work is bounded by doc length, cross-doc nothing joins. All-integer
+    counts; ratios are single divisions rounded 6dp (oracle-exact).
+    Short docs (< n words) have no n-grams: both signals are 0 by
+    definition (left join + coalesce).
+    """
+    from gnarly_spark.operators.dedup import normalize_text
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_w"),
+    )
+    out = docs.select(F.col(id_col))
+    for n in ns:
+        w = F.col("_w")
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            "id",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+                    ),
+                )
+            ).alias("g"),
+        )
+        per = (
+            grams.groupBy("id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("id")
+            .agg(
+                F.sum("c").alias("_tot"),
+                F.count("*").alias("_dis"),
+                F.max("c").alias("_max"),
+            )
+            .select(
+                "id",
+                F.round(
+                    (F.col("_tot") - F.col("_dis")) / F.col("_tot"), 6
+                ).alias(f"dup{n}"),
+                F.round(F.col("_max") / F.col("_tot"), 6).alias(f"top{n}"),
+            )
+        )
+        out = out.join(
+            per.withColumnRenamed("id", id_col), id_col, "left"
+        ).select(
+            *out.columns,
+            F.coalesce(f"dup{n}", F.lit(0.0)).alias(f"dup{n}"),
+            F.coalesce(f"top{n}", F.lit(0.0)).alias(f"top{n}"),
+        )
+    return out

@@ -99,3 +99,50 @@ def test_windowed_rates_batch_parity(spark, tmp_path):
     out = windowed_lang_rates(spark.createDataFrame(pdf, schema=DDL)).collect()
     got = {(r.window_start.strftime("%H:%M"), r.lang): (r.n_changes, r.n_urls) for r in out}
     assert got == {("12:00", "en"): (2, 2), ("10:00", "de"): (1, 1)}
+
+
+def test_drop_duplicates_within_watermark_cross_batch(spark, tmp_path):
+    """At-least-once redelivery: a duplicate (url, op_seq) arriving in a
+    LATER micro-batch — inside the watermark — must be passed exactly
+    once; distinct pairs all survive. (State is watermark-bounded, unlike
+    plain dropDuplicates.)"""
+    import datetime as dt
+    import time
+    import uuid
+
+    base = dt.datetime(2026, 6, 1, 12, 0, 0)
+    ddl = "url string, op_seq long, warc_ts timestamp"
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [("u1", 1, base), ("u2", 2, base + dt.timedelta(minutes=1))], ddl
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    # batch 2 redelivers u1/1 (same event time, well inside the 1h
+    # watermark) and adds a new pair
+    b2 = spark.createDataFrame(
+        [("u1", 1, base), ("u3", 3, base + dt.timedelta(minutes=2))], ddl
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("warc_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["url", "op_seq"])
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["url"], r["op_seq"]) for r in spark.table(name).collect()
+    )
+    assert got == [("u1", 1), ("u2", 2), ("u3", 3)]
