@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import gnarly_spark.catalog as _catalog  # noqa: E402
+import gnarly_spark.catalog_graph as _graph  # noqa: E402  (registers more)
 import gnarly_spark.catalog_training as _training  # noqa: E402  (registers more)
 
 

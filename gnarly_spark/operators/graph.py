@@ -1,0 +1,201 @@
+"""Web link graph: anchor extraction -> host graph -> fixed-point PageRank.
+
+The training-data angle: link-graph centrality is the classic crawl-scale
+quality prior (Page et al. 1999; Common Crawl publishes exactly this as its
+host-level web graph). A host's PageRank feeds corpus curation the same way
+the text quality scores in functions/text.py do — e.g. weight the mixture
+sampler by centrality, or drop link-farm hosts with high out-degree and
+near-zero rank.
+
+Scale shape, stage by stage:
+- ``extract_links`` is map-only JVM work (regexp_extract_all + explode);
+  no Python touches the HTML and nothing shuffles until the graph groupBy.
+- ``host_graph`` collapses page-level links to DISTINCT host edges first —
+  at crawl scale the host graph is ~1e7 nodes vs 1e10 pages, so every
+  PageRank round runs on the small relation, never the corpus.
+- ``pagerank`` is the canonical iterative join+agg: each round is ONE
+  shuffle join (ranks ⋈ edges on src) + ONE groupBy(dst) partial-agg sum,
+  with lineage cut per round via localCheckpoint — identical shape to
+  dedup.duplicate_clusters, which is this engine's other iterative op.
+
+Determinism: ranks are FIXED-POINT BIGINTs (scale = 10^6 by default), the
+damping factor is the exact fraction 85/100, and every divide is integer
+floor-division on non-negative values — so the result is bit-identical in
+any engine, and the DuckDB oracle (catalog_graph.py) replays the exact
+iterations as chained CTEs. A float PageRank would hash-mismatch on
+sum-order ULPs; the fixed-point variant is what you'd run for reproducible
+corpus curation anyway. Per-edge quotients floor (documented bias: total
+mass leaks <= outdeg ULPs per node per round — at scale 10^6 that is a
+relative error < 1e-5, far under curation-threshold noise).
+
+Semantics notes (standard static-PageRank choices, same as GraphX's
+``staticPageRank``): dangling hosts (no outlinks) contribute no mass;
+self-loops are dropped in ``host_graph``; pr0 = 1.0 (scale) for every node;
+no normalization — ranks are centrality scores, not probabilities.
+
+Reference parity: the reference engine has no graph operators; net-new
+capability per the training-data mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one regex, shared with the SQL oracle text in catalog_graph.py:
+# href value of an anchor tag, either quote style
+HREF_RE = """<a href=["']([^"']+)["']"""
+HOST_RE = "^https?://([^/]+)"
+
+
+def host_of(col: Column | str) -> Column:
+    """Host part of an absolute http(s) URL ('' when not absolute).
+
+    Deliberately regexp_extract, not parse_url: the oracle engine has no
+    parse_url, and a shared regex keeps both sides byte-identical.
+    """
+    return F.regexp_extract(col, HOST_RE, 1)
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) page-level link rows from raw HTML anchors.
+
+    Map-only: regexp_extract_all pulls every href in one JVM pass, explode
+    fans out, and relative links (no scheme+host) are dropped — resolving
+    them against a base URL is a curation decision this operator does not
+    take. Column pruning means the scan reads only (url, html).
+    """
+    return (
+        pages.select(
+            F.col(url_col).alias("src"),
+            F.explode(
+                F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+            ).alias("dst"),
+        )
+        .where(host_of("dst") != "")
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Collapse page-level links to the weighted DISTINCT host graph:
+    (src_host, dst_host, n_links), self-loops dropped.
+
+    The ONE corpus-sized shuffle in the whole pipeline; everything
+    iterative afterwards runs on the collapsed host relation.
+    """
+    return (
+        links.select(
+            host_of("src").alias("src_host"), host_of("dst").alias("dst_host")
+        )
+        .where(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: tuple[int, int] = (85, 100),
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-point static PageRank over (src_host, dst_host) edges.
+
+    Per iteration, all-integer (d = dn/dd):
+
+        w(u)       = scale // outdeg(u)                 (per-source quotient)
+        contrib(v) = SUM over u->v of (pr(u) * w(u)) // scale
+        pr'(v)     = (scale * (dd - dn)) // dd + (dn * contrib(v)) // dd
+
+    Returns (host, pr) with pr0 = scale. Each round: one shuffle join on
+    src + one groupBy(dst) sum (partial-aggregated map-side), then a left
+    join back to the full node set so zero-indegree hosts keep the
+    teleport term. localCheckpoint per round cuts lineage so plan size is
+    O(1) in n_iter (the duplicate_clusters lesson).
+
+    Overflow headroom: pr <= n_nodes * scale (mass never grows), w <= scale,
+    so pr*w <= n_nodes * scale^2 — at scale 10^6 safe for n_nodes < 9e6;
+    pass scale=10**4 for a billion-host graph.
+    """
+    dn, dd = damping
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out_w = (
+        edges.groupBy("src_host")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .select("src_host", F.expr(f"CAST({scale} AS BIGINT) div outdeg").alias("w"))
+    )
+    # edges annotated once with the source weight; reused every round
+    ew = edges.join(out_w, "src_host").select("src_host", "dst_host", "w")
+    ew = ew.localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+
+    base = (scale * (dd - dn)) // dd
+    pr = nodes.select("host", F.lit(scale).cast("long").alias("pr"))
+    for _ in range(n_iter):
+        contrib = (
+            pr.join(ew, pr["host"] == ew["src_host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(pr * w) div " + str(scale)).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({dn} * coalesce(contrib, CAST(0 AS BIGINT))) div {dd}"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def host_rank_report(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_iter: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """End-to-end: pages -> links -> host graph -> PageRank, joined with
+    in/out degree — the per-host curation-signal table.
+
+    Output: (host, out_deg, in_deg, n_inlinks, pr) with pr fixed-point at
+    ``scale``. Degrees are DISTINCT-neighbor counts; n_inlinks is the raw
+    page-level link weight pointing at the host.
+    """
+    g = host_graph(extract_links(pages, url_col, html_col)).localCheckpoint(
+        eager=True
+    )
+    ranks = pagerank(g, n_iter=n_iter, scale=scale)
+    outd = g.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = g.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_deg"),
+        F.sum("n_links").alias("n_inlinks"),
+    )
+    return (
+        ranks.join(outd, "host", "left")
+        .join(ind, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("n_inlinks", F.lit(0).cast("long")).alias("n_inlinks"),
+            "pr",
+        )
+    )

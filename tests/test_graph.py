@@ -1,0 +1,127 @@
+"""Link graph: extraction edge cases, fixed-point PageRank vs a pure-Python
+re-implementation, and the iterative plan shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from gnarly_spark.operators.graph import (
+    extract_links,
+    host_graph,
+    host_rank_report,
+    pagerank,
+)
+
+SCALE = 10**6
+
+
+def _py_pagerank(edges, n_iter=5, dn=85, dd=100, scale=SCALE):
+    """Independent pure-Python replay of the fixed-point formula."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    w = {u: scale // d for u, d in outdeg.items()}
+    pr = {n: scale for n in nodes}
+    base = (scale * (dd - dn)) // dd
+    for _ in range(n_iter):
+        contrib = {n: 0 for n in nodes}
+        for u, v in edges:
+            contrib[v] += (pr[u] * w[u]) // scale
+        pr = {n: base + (dn * contrib[n]) // dd for n in nodes}
+    return pr
+
+
+def test_extract_links_quote_styles_and_relative(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/1",
+                '<a href="https://b.example/x">1</a>'
+                "<a href='https://c.example/y'>2</a>"
+                '<a href="/relative">3</a>'
+                '<a href="https://b.example/z">4</a>',
+            ),
+        ],
+        "url string, html string",
+    )
+    got = sorted(tuple(r) for r in extract_links(pages).collect())
+    assert got == [
+        ("https://a.example/1", "https://b.example/x"),
+        ("https://a.example/1", "https://b.example/z"),
+        ("https://a.example/1", "https://c.example/y"),
+    ]
+    g = {
+        (r.src_host, r.dst_host, r.n_links)
+        for r in host_graph(extract_links(pages)).collect()
+    }
+    assert g == {("a.example", "b.example", 2), ("a.example", "c.example", 1)}
+
+
+def test_host_graph_drops_self_loops(spark):
+    links = spark.createDataFrame(
+        [("https://a.x/1", "https://a.x/2"), ("https://a.x/1", "https://b.x/")],
+        "src string, dst string",
+    )
+    got = [(r.src_host, r.dst_host) for r in host_graph(links).collect()]
+    assert got == [("a.x", "b.x")]
+
+
+def test_pagerank_matches_python_reference(spark):
+    # hub-and-spoke plus a cycle: a dangling sink (d), a zero-indegree
+    # source (a), and a 2-cycle (b <-> c) — every structural case at once
+    edges = [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "c"),
+        ("c", "b"),
+        ("b", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r.host: r.pr for r in pagerank(df, n_iter=5).collect()}
+    want = _py_pagerank(edges, n_iter=5)
+    assert got == want
+    # zero-indegree node holds exactly the teleport term
+    assert got["a"] == (SCALE * 15) // 100
+    # mass never grows (dangling d leaks, floor divisions leak)
+    assert sum(got.values()) <= len(want) * SCALE
+
+
+def test_pagerank_cycle_symmetry_and_determinism(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    one = {r.host: r.pr for r in pagerank(df, n_iter=7).collect()}
+    two = {r.host: r.pr for r in pagerank(df, n_iter=7).collect()}
+    assert one == two  # bit-identical re-run (the oracle-exactness claim)
+    assert len(set(one.values())) == 1  # symmetric cycle -> equal ranks
+
+
+def test_host_rank_report_degrees(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.x/p", '<a href="https://b.x/1">.</a><a href="https://b.x/2">.</a>'),
+            ("https://b.x/p", '<a href="https://a.x/1">.</a>'),
+        ],
+        "url string, html string",
+    )
+    rows = {r.host: r for r in host_rank_report(pages, n_iter=3).collect()}
+    assert rows["a.x"].out_deg == 1 and rows["a.x"].in_deg == 1
+    assert rows["b.x"].n_inlinks == 2 and rows["b.x"].in_deg == 1
+    assert set(rows) == {"a.x", "b.x"}
+
+
+def test_pagerank_plan_iterations_stay_flat(spark):
+    """localCheckpoint per round: the FINAL plan must not contain the
+    join/agg lineage of every prior round (the duplicate_clusters lesson —
+    unchecked iterative plans grow without bound)."""
+    edges = [("a", "b"), ("b", "a"), ("b", "c")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    plan = (
+        pagerank(df, n_iter=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # a checkpointed final round reads one scan of an existing RDD plus at
+    # most the last round's operators; 8 rounds of un-cut lineage would
+    # show many joins
+    assert plan.count("Join") <= 1, plan
