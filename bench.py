@@ -48,6 +48,8 @@ HEADLINE = [
     "text_tfidf_search",
     "sketch_hll_distinct",
     "sketch_cms_topk",
+    "text_gopher_repetition",
+    "graph_pagerank",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

@@ -2088,3 +2088,63 @@ def cdc_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@register(
+    "cdc_table_diff",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    base AS (SELECT url, MAX(op_seq) AS last_seq,
+                    ROUND(max_by(value, op_seq), 4) AS last_value
+             FROM changelog WHERE op != 'revert' GROUP BY url),
+    rt AS (
+      SELECT url, last_seq,
+             CASE WHEN CAST(substr(url, 11) AS BIGINT) % 97 = 3
+                  THEN ROUND(last_value + 1, 4) ELSE last_value END AS last_value
+      FROM base
+      WHERE CAST(substr(url, 11) AS BIGINT) % 101 != 7
+      UNION ALL
+      SELECT 'https://x/' || CAST(g AS VARCHAR) AS url,
+             CAST(g AS BIGINT) AS last_seq, CAST(g AS DOUBLE) AS last_value
+      FROM range(1, 6) t(g))
+    SELECT url, status FROM (
+      SELECT COALESCE(l.url, r.url) AS url,
+             CASE WHEN r.url IS NULL THEN 'only_left'
+                  WHEN l.url IS NULL THEN 'only_right'
+                  WHEN l.last_seq IS DISTINCT FROM r.last_seq
+                    OR l.last_value IS DISTINCT FROM r.last_value
+                  THEN 'differs' END AS status
+      FROM base l FULL OUTER JOIN rt r ON l.url = r.url)
+    WHERE status IS NOT NULL
+    """,
+)
+def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation (operators/tablediff.py): left = the
+    replayed LWW state, right = the same state with planted divergence
+    (dropped urls -> only_left, injected urls -> only_right, perturbed
+    values -> differs). The two-phase diff — bucket checksums, then a
+    row-level full-outer join restricted to mismatched buckets — must
+    recall exactly the planted set. Oracle = direct full-outer-join
+    comparison (IS DISTINCT FROM per column, the hash-free restatement)."""
+    from gnarly_spark.operators.tablediff import table_diff
+
+    log = _changelog_df(spark, sf_dir).where(F.col("op") != "revert")
+    base = log.groupBy("url").agg(
+        F.max("op_seq").alias("last_seq"),
+        F.round(F.max_by("value", "op_seq"), 4).alias("last_value"),
+    )
+    uid = F.substring("url", 11, 30).cast("bigint")
+    right = base.where(uid % 101 != 7).select(
+        "url",
+        "last_seq",
+        F.when(uid % 97 == 3, F.round(F.col("last_value") + 1, 4))
+        .otherwise(F.col("last_value"))
+        .alias("last_value"),
+    ).unionByName(
+        spark.range(1, 6).select(
+            F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("url"),
+            F.col("id").alias("last_seq"),
+            F.col("id").cast("double").alias("last_value"),
+        )
+    )
+    return table_diff(base, right, "url", n_buckets=64)

@@ -1,0 +1,168 @@
+"""Anti-entropy table diff: bucket checksums first, rows only where needed.
+
+The ops problem this solves: after lake->lake replication
+(streaming/replicate.py) or a cross-region mirror, "are these two 10^10-row
+tables identical, and if not, WHICH keys differ?" A row-level full-outer
+join answers it by shuffling both corpora — O(total rows) network every
+time, almost all of it spent proving already-identical data identical.
+
+Merkle-tree-style two-phase shape instead (Dynamo/Cassandra anti-entropy,
+DeWitt et al.'s partitioned checksum compare):
+
+1. **Checksum pass** — each side aggregates (bucket -> n_rows, checksum)
+   where bucket = pmod(xxhash64(key), B) and checksum is an order-
+   independent SUM of per-row xxhash64 over the compared columns. One scan
+   per side, a B-row shuffle (partial-aggregated map-side), a B-row join.
+   Identical tables stop here having moved B rows over the network.
+2. **Row pass, mismatched buckets only** — full-outer join on key
+   restricted to the buckets whose checksums disagree. For k diverged keys
+   spread over b buckets, this touches ~(total/B)*b rows, not the corpus.
+
+``lake_table_diff`` goes one better on two ParquetLakeTables sharing a
+bucket layout: the checksum bucket IS the physical bucket, so phase 2
+opens ONLY the mismatched buckets' data files via the manifest — file-level
+pruning, no full scan even once (asserted via inputFiles in tests).
+
+Caveats, stated honestly: per-row xxhash64 collisions can mask a genuine
+diff with probability ~2^-64 per row pair (the standard checksum-compare
+trade; run with a different seed column order to re-roll). Keys are
+assumed unique per side (the lake's merge-key invariant); duplicate keys
+make 'differs' verdicts ambiguous and are the caller's bug.
+
+Reference parity: net-new — the reference's single Postgres store never
+needs cross-store reconciliation; a distributed lake does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STATUS = ("only_left", "only_right", "differs")
+
+
+def _row_hash(key_col: str, cols: list[str]):
+    # cast to decimal(38,0) BEFORE summing: ANSI mode overflows BIGINT on
+    # summed 64-bit hashes (CLAUDE.md gotcha)
+    return F.xxhash64(F.col(key_col), *[F.col(c) for c in cols])
+
+
+def bucket_checksums(
+    df: DataFrame, key_col: str, n_buckets: int, compare_cols: list[str]
+) -> DataFrame:
+    """(bucket, n_rows, checksum) — one scan, map-side partial agg, at most
+    ``n_buckets`` rows out."""
+    return (
+        df.select(
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
+            .cast("int")
+            .alias("bucket"),
+            _row_hash(key_col, compare_cols).cast("decimal(38,0)").alias("_h"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("_h").alias("checksum"))
+    )
+
+
+def _mismatched_buckets(
+    left: DataFrame, right: DataFrame, key_col: str, n_buckets: int, cols: list[str]
+) -> list[int]:
+    cl = bucket_checksums(left, key_col, n_buckets, cols)
+    cr = bucket_checksums(right, key_col, n_buckets, cols)
+    bad = (
+        cl.withColumnRenamed("n_rows", "nl")
+        .withColumnRenamed("checksum", "hl")
+        .join(
+            cr.withColumnRenamed("n_rows", "nr").withColumnRenamed(
+                "checksum", "hr"
+            ),
+            "bucket",
+            "full_outer",
+        )
+        .where(
+            ~(F.col("nl").eqNullSafe(F.col("nr")))
+            | ~(F.col("hl").eqNullSafe(F.col("hr")))
+        )
+        .select("bucket")
+        # <= n_buckets scalar ids — a bounded control-plane collect, the
+        # same class as cdc_incremental_merge's split midpoint
+        .collect()
+    )
+    return sorted(r.bucket for r in bad)
+
+
+def _row_diff(
+    left: DataFrame, right: DataFrame, key_col: str, cols: list[str]
+) -> DataFrame:
+    l = left.select(
+        F.col(key_col).alias("_k"), _row_hash(key_col, cols).alias("hl")
+    )
+    r = right.select(
+        F.col(key_col).alias("_k"), _row_hash(key_col, cols).alias("hr")
+    )
+    return (
+        l.join(r, "_k", "full_outer")
+        .select(
+            F.col("_k").alias(key_col),
+            F.when(F.col("hr").isNull(), F.lit("only_left"))
+            .when(F.col("hl").isNull(), F.lit("only_right"))
+            .when(F.col("hl") != F.col("hr"), F.lit("differs"))
+            .alias("status"),
+        )
+        .where(F.col("status").isNotNull())
+    )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    n_buckets: int = 1024,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Generic two-phase diff over any pair of keyed DataFrames.
+
+    Returns (key, status) with status in {only_left, only_right, differs}.
+    Column sets must match; ``compare_cols`` defaults to every non-key
+    column OF THE LEFT SIDE's schema (order-normalized so projection order
+    can't fake a diff).
+    """
+    cols = compare_cols or sorted(c for c in left.columns if c != key_col)
+    missing = [c for c in cols + [key_col] if c not in right.columns]
+    if missing:
+        raise ValueError(f"right side lacks columns {missing}")
+    bad = _mismatched_buckets(left, right, key_col, n_buckets, cols)
+    if not bad:
+        return left.sparkSession.createDataFrame(
+            [], schema=f"{key_col} string, status string"
+        )
+    in_bad = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
+        "int"
+    ).isin(bad)
+    return _row_diff(left.where(in_bad), right.where(in_bad), key_col, cols)
+
+
+def lake_table_diff(left, right, compare_cols: list[str] | None = None) -> DataFrame:
+    """Diff two ParquetLakeTables. When the bucket layouts agree (same key,
+    same n_buckets — the replication case), phase 2 opens ONLY the
+    mismatched buckets' data files straight from the manifests; otherwise
+    falls back to ``table_diff`` over full snapshot reads (still two-phase,
+    just without file pruning)."""
+    if left.key != right.key:
+        raise ValueError(f"merge keys differ: {left.key} vs {right.key}")
+    key = left.key
+    lv, rv = left.read(), right.read()
+    cols = compare_cols or sorted(c for c in lv.columns if c != key)
+    if left.n_buckets != right.n_buckets:
+        return table_diff(lv, rv, key, compare_cols=cols)
+    # physical-bucket alignment: bucket_of in sinks/lake.py is the same
+    # pmod(xxhash64(key), B) the checksum pass uses, so a mismatched
+    # checksum bucket maps 1:1 onto manifest file lists
+    bad = _mismatched_buckets(lv, rv, key, left.n_buckets, cols)
+    if not bad:
+        return lv.sparkSession.createDataFrame(
+            [], schema=f"{key} string, status string"
+        )
+    lsub = left._read_snapshot(left._manifest(), bad)
+    rsub = right._read_snapshot(right._manifest(), bad)
+    return _row_diff(lsub, rsub, key, cols)

@@ -1,0 +1,104 @@
+"""Anti-entropy diff: planted-divergence recall, identical-table
+short-circuit, and manifest-level file pruning on the lake fast path."""
+
+import pytest
+
+from gnarly_spark.operators.tablediff import lake_table_diff, table_diff
+from gnarly_spark.sinks.lake import ParquetLakeTable, bucket_of
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, schema="url string, v int, w string")
+
+
+def test_table_diff_finds_planted_divergence(spark):
+    base = [(f"u{i}", i, f"w{i}") for i in range(50)]
+    left = mk(spark, base + [("left-only", 1, "x")])
+    right_rows = [
+        (u, v + 100, w) if u == "u7" else (u, v, "CHANGED" if u == "u9" else w)
+        for u, v, w in base
+    ]
+    right = mk(spark, right_rows + [("right-only", 2, "y")])
+    got = {
+        (r.url, r.status) for r in table_diff(left, right, "url", n_buckets=8).collect()
+    }
+    assert got == {
+        ("left-only", "only_left"),
+        ("right-only", "only_right"),
+        ("u7", "differs"),
+        ("u9", "differs"),
+    }
+
+
+def test_table_diff_identical_short_circuits_empty(spark):
+    df = mk(spark, [(f"u{i}", i, "w") for i in range(20)])
+    out = table_diff(df, mk(spark, [(f"u{i}", i, "w") for i in range(20)]), "url")
+    assert out.count() == 0
+    assert out.columns == ["url", "status"]
+
+
+def test_table_diff_compare_cols_subset(spark):
+    """Diff restricted to v ignores a w-only divergence."""
+    left = mk(spark, [("a", 1, "x"), ("b", 2, "y")])
+    right = mk(spark, [("a", 1, "DIFFERENT"), ("b", 3, "y")])
+    got = {
+        (r.url, r.status)
+        for r in table_diff(left, right, "url", compare_cols=["v"]).collect()
+    }
+    assert got == {("b", "differs")}
+
+
+def test_table_diff_missing_column_raises(spark):
+    left = mk(spark, [("a", 1, "x")])
+    right = spark.createDataFrame([("a", 1)], "url string, v int")
+    with pytest.raises(ValueError, match="lacks columns"):
+        table_diff(left, right, "url")
+
+
+def test_lake_table_diff_prunes_to_mismatched_bucket_files(spark, tmp_path):
+    """Same bucket layout both sides: after diverging ONE key, phase 2 must
+    open only that key's bucket files on each table — not the snapshots."""
+    lt = ParquetLakeTable(spark, str(tmp_path / "l"), key="url", n_buckets=4)
+    rt = ParquetLakeTable(spark, str(tmp_path / "r"), key="url", n_buckets=4)
+    rows = mk(spark, [(f"u{i}", i, f"w{i}") for i in range(40)])
+    lt.merge(rows, batch_id=0)
+    rt.merge(rows, batch_id=0)
+
+    assert lake_table_diff(lt, rt).count() == 0
+
+    rt.merge(mk(spark, [("u13", 999, "w13")]), batch_id=1)
+    diff = lake_table_diff(lt, rt)
+    assert [(r.url, r.status) for r in diff.collect()] == [("u13", "differs")]
+
+    # file pruning: the phase-2 relation reads exactly the files of u13's
+    # bucket in each table (data_files() records bucket per file)
+    from pyspark.sql import functions as F
+
+    bad = spark.range(1).select(bucket_of(F.lit("u13"), 4).alias("b")).collect()[0].b
+    want = set()
+    for t in (lt, rt):
+        want |= {
+            r.file for r in t.data_files().collect() if int(r.bucket) == bad
+        }
+    got_files = {
+        "/" + f.removeprefix("file:").lstrip("/") for f in diff.inputFiles()
+    }
+    assert got_files == want
+
+
+def test_lake_table_diff_layout_mismatch_falls_back(spark, tmp_path):
+    lt = ParquetLakeTable(spark, str(tmp_path / "l"), key="url", n_buckets=2)
+    rt = ParquetLakeTable(spark, str(tmp_path / "r"), key="url", n_buckets=8)
+    rows = mk(spark, [(f"u{i}", i, "w") for i in range(10)])
+    lt.merge(rows, batch_id=0)
+    rt.merge(rows, batch_id=0)
+    rt.merge(mk(spark, [("u3", -1, "w")]), batch_id=1)
+    got = [(r.url, r.status) for r in lake_table_diff(lt, rt).collect()]
+    assert got == [("u3", "differs")]
+
+
+def test_lake_table_diff_key_mismatch_raises(spark, tmp_path):
+    lt = ParquetLakeTable(spark, str(tmp_path / "l"), key="url")
+    rt = ParquetLakeTable(spark, str(tmp_path / "r"), key="other")
+    with pytest.raises(ValueError, match="merge keys differ"):
+        lake_table_diff(lt, rt)

@@ -524,3 +524,30 @@ def test_tfidf_search_scores_and_membership(spark):
     idf = math.log(3 / 2)  # both terms appear in 2 of 3 docs
     assert got[1] == (round(3 * idf + 1 * idf, 6), 2)
     assert got[2] == (round(1 * idf + 2 * idf, 6), 2)
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """'the cat sat on the cat sat on the mat': 9 bigrams, 5 distinct ->
+    dup2 = 4/9, top2 = 2/9; 8 trigrams, 5 distinct -> dup3 = 3/8,
+    top3 = 2/8. Docs shorter than n get 0 for both signals (and a
+    one-bigram doc has top2 = 1.0 by definition)."""
+    from gnarly_spark.functions.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the cat sat on the mat"),
+            (2, "a b"),
+            (3, "x"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition(df).collect()}
+    assert (got[1].dup2, got[1].top2) == (
+        round(4 / 9, 6),
+        round(2 / 9, 6),
+    )
+    assert (got[1].dup3, got[1].top3) == (0.375, 0.25)
+    assert (got[2].dup2, got[2].top2, got[2].dup3) == (0.0, 1.0, 0.0)
+    assert (got[3].dup2, got[3].top2) == (0.0, 0.0)
+    assert (got[4].dup2, got[4].top3) == (0.0, 0.0)
