@@ -2148,3 +2148,41 @@ def cdc_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(base, right, "url", n_buckets=64)
+
+
+@register(
+    "cdc_recrawl_schedule",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    per AS (SELECT url, COUNT(*) AS n_changes,
+                   MIN(date_trunc('second', warc_ts)) AS first_ts,
+                   MAX(date_trunc('second', warc_ts)) AS last_ts,
+                   max_by(op, op_seq) AS last_op
+            FROM changelog WHERE op != 'revert' GROUP BY url),
+    calc AS (SELECT url, n_changes,
+                    strftime(first_ts, '%Y-%m-%d %H:%M:%S') AS first_change,
+                    strftime(last_ts, '%Y-%m-%d %H:%M:%S') AS last_change,
+                    CASE WHEN n_changes >= 2 THEN greatest(
+                      CAST(date_diff('second', first_ts, last_ts) AS BIGINT)
+                        // (n_changes - 1), 1) END AS gap_s,
+                    last_ts
+             FROM per WHERE last_op != 'delete')
+    SELECT url, n_changes, first_change, last_change, gap_s,
+           strftime(last_ts + to_seconds(gap_s),
+                    '%Y-%m-%d %H:%M:%S') AS next_due,
+           ROUND(CAST(date_diff('second', last_ts,
+                       TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+                 / gap_s, 6) AS overdue_score
+    FROM calc
+    """,
+)
+def cdc_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier scheduling from the changelog (operators/temporal.py
+    recrawl_schedule): per-url change-rate estimation (mean inter-change
+    gap, integer seconds), next-due timestamp, and an overdue score at a
+    fixed as_of — dead urls (latest op = delete) drop out, single-sighting
+    urls surface as cold-start NULLs. One partial-aggregating groupBy;
+    interval math is TZ-independent timestampdiff on the NTZ values."""
+    from gnarly_spark.operators.temporal import recrawl_schedule
+
+    return recrawl_schedule(_changelog_df(spark, sf_dir), "2024-02-01 00:00:00")

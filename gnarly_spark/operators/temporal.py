@@ -195,3 +195,90 @@ def sessionize_chunked(
         .withColumn("session_idx", F.col("_offset") + F.col("_local_idx"))
         .drop("_chunk", "_local_idx", "_offset")
     )
+
+
+def recrawl_schedule(
+    changelog: DataFrame,
+    as_of,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    seq_col: str = "op_seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Change-rate recrawl planning (Cho & Garcia-Molina, TOIT 2003): from
+    each url's observed mutation history, estimate its inter-change gap and
+    rank how overdue a re-fetch is at ``as_of`` — the query that turns the
+    CDC changelog into the crawler's frontier schedule.
+
+    Per url, ONE groupBy (min/max/count/max_by — all partial-aggregating,
+    so the shuffle carries one row per url per map partition):
+
+      n_changes  observed content mutations (revert rows excluded upstream
+                 of counting; a revert is pipeline bookkeeping, not a page
+                 change)
+      gap_s      greatest(span // (n-1), 1) — the MLE mean inter-change
+                 interval in whole seconds (n >= 2); NULL for cold-start
+                 urls seen once (no interval evidence)
+      next_due   last change + gap_s
+      overdue_score  ROUND(seconds_since_last / gap_s, 6) at as_of —
+                 > 1 means past due; the frontier orders by it descending
+
+    Urls whose LATEST op is a delete are dead pages and drop out (same
+    max_by LWW tie-break as the replay path).
+
+    Determinism contract (the catalog oracle replays this in SQL): all
+    interval math is wall-clock integer seconds via timestampdiff on the
+    NTZ values — no epoch conversion, so the driver's session timezone
+    never enters — and the single float op is the final rounded division.
+    """
+    # whole-second precision up front: Spark's timestampdiff floors the
+    # ELAPSED interval while other engines' date_diff counts boundary
+    # crossings — on sub-second timestamps the two disagree by one; on
+    # truncated ones they are identical (and recrawl cadence below one
+    # second is not a thing)
+    ts, seq = F.date_trunc("second", F.col(ts_col)), F.col(seq_col)
+    per = (
+        changelog.where(F.col(op_col) != "revert")
+        .groupBy(F.col(url_col).alias("url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_changes"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+            F.max_by(F.col(op_col), seq).alias("_last_op"),
+        )
+        .where(F.col("_last_op") != "delete")
+    )
+    gap = F.when(
+        F.col("n_changes") >= 2,
+        F.greatest(
+            F.expr(
+                "CAST(timestampdiff(SECOND, first_ts, last_ts) AS BIGINT)"
+                " div (n_changes - 1)"
+            ),
+            F.lit(1).cast("bigint"),
+        ),
+    )
+    base = per.select(
+        "url",
+        "n_changes",
+        F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_change"),
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_change"),
+        gap.alias("gap_s"),
+        F.expr(
+            "timestampdiff(SECOND, last_ts,"
+            f" CAST('{as_of}' AS TIMESTAMP_NTZ))"
+        ).alias("_since"),
+        F.col("last_ts"),
+    )
+    return base.select(
+        "url",
+        "n_changes",
+        "first_change",
+        "last_change",
+        "gap_s",
+        F.date_format(
+            F.expr("timestampadd(SECOND, CAST(gap_s AS INT), last_ts)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("next_due"),
+        F.round(F.col("_since") / F.col("gap_s"), 6).alias("overdue_score"),
+    )

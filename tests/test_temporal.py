@@ -281,3 +281,46 @@ def test_sessionize_chunked_equals_plain_property(spark):
             .session_idx.sort_index()
         )
         assert got.equals(base), f"chunk_seconds={cs} diverged"
+
+
+def test_recrawl_schedule_hand_computed(spark):
+    """u1: changes at 00:00, 01:00, 03:00 -> gap = 10800//2 = 5400s,
+    next_due 04:30, score at 06:00 = 10800/5400 = 2.0. u2 seen once ->
+    cold-start NULLs. u3's latest op is delete -> dead, dropped. u4's
+    changes share one timestamp -> gap clamps to 1 (no div-by-zero)."""
+    import datetime as dt
+
+    from gnarly_spark.operators.temporal import recrawl_schedule
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + dt.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, "u1", "insert", at(0)),
+        (2, "u1", "update", at(1)),
+        (3, "u1", "update", at(3)),
+        (4, "u2", "insert", at(2)),
+        (5, "u3", "insert", at(0)),
+        (6, "u3", "delete", at(1)),
+        (7, "u4", "insert", at(1)),
+        (8, "u4", "update", at(1)),
+        (9, "u1", "revert", at(5)),  # bookkeeping: not a content change
+    ]
+    log = spark.createDataFrame(
+        rows, "op_seq long, url string, op string, warc_ts timestamp_ntz"
+    )
+    got = {
+        r.url: r
+        for r in recrawl_schedule(log, "2024-03-01 06:00:00").collect()
+    }
+    assert set(got) == {"u1", "u2", "u4"}
+    u1 = got["u1"]
+    assert (u1.n_changes, u1.gap_s) == (3, 5400)
+    assert u1.next_due == "2024-03-01 04:30:00"
+    assert u1.overdue_score == 2.0
+    u2 = got["u2"]
+    assert u2.n_changes == 1
+    assert u2.gap_s is None and u2.next_due is None and u2.overdue_score is None
+    assert got["u4"].gap_s == 1  # zero span clamps, score defined
