@@ -125,3 +125,37 @@ def test_pagerank_plan_iterations_stay_flat(spark):
     # most the last round's operators; 8 rounds of un-cut lineage would
     # show many joins
     assert plan.count("Join") <= 1, plan
+
+
+def test_pagerank_random_graphs_match_python_property(spark):
+    """Property: on arbitrary random digraphs the Spark fixed-point
+    PageRank equals the pure-Python replay exactly (integer determinism is
+    the whole point — no tolerance)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(0, 10_000), n=st.integers(2, 12))
+    def prop(seed, n):
+        import random
+
+        rng = random.Random(seed)
+        nodes = [f"h{i}" for i in range(n)]
+        edges = sorted(
+            {
+                (rng.choice(nodes), rng.choice(nodes))
+                for _ in range(rng.randint(1, 3 * n))
+            }
+        )
+        edges = [(u, v) for u, v in edges if u != v]
+        if not edges:
+            edges = [("h0", "h1")]
+        df = spark.createDataFrame(edges, "src_host string, dst_host string")
+        got = {r.host: r.pr for r in pagerank(df, n_iter=4).collect()}
+        assert got == _py_pagerank(edges, n_iter=4)
+
+    prop()

@@ -250,3 +250,40 @@ def test_incremental_lsh_corpus_never_shuffle_joined(spark):
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-located join via native bucketing (the pre-shuffled layout the
+    prompt calls out): two tables bucketBy(8, url) + sortBy(url) join on
+    url with ZERO Exchange and ZERO Sort in the final plan — at 100 TB
+    this is the difference between a free merge and shuffling both
+    corpora. (The lake's own bucket layout gives the same property to
+    MERGE; this proves the catalog-table variant end-to-end.)"""
+    import uuid
+
+    a, b = (f"bt_{uuid.uuid4().hex[:8]}_{i}" for i in (0, 1))
+    rows = spark.range(2000).selectExpr(
+        "concat('https://u/', id) AS url", "id AS v"
+    )
+    try:
+        for name in (a, b):
+            (
+                rows.write.bucketBy(8, "url")
+                .sortBy("url")
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(a).join(spark.table(b), "url")
+            assert j.count() == 2000
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+        assert "ENSURE_REQUIREMENTS" not in plan
+    finally:
+        for name in (a, b):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
