@@ -1623,3 +1623,31 @@ def _register_gopher_query() -> None:
 
 
 _register_gopher_query()
+
+
+@register(
+    "text_unigram_surprisal",
+    f"""
+    WITH tok AS (SELECT id, t FROM (
+           SELECT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS t
+           FROM documents) WHERE t != ''),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+    s AS (SELECT t, CAST(length(bin(n // c)) - 1 AS BIGINT) AS s
+          FROM vocab, tot),
+    per AS (SELECT id, COUNT(*) AS n_tokens, CAST(SUM(s.s) AS BIGINT) AS ssum
+            FROM tok JOIN s USING (t) GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(n_tokens, 0) AS n_tokens,
+           COALESCE(ROUND(ssum / n_tokens, 6), 0.0) AS surprisal
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    """,
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Corpus-self-trained unigram LM score (integer log2 surprisal,
+    engine-exact — see functions/text.py unigram_surprisal): the CCNet-
+    style quality gate that catches boilerplate (too-low) and gibberish
+    (too-high) docs that n-gram repetition and dedup both miss."""
+    from gnarly_spark.functions.text import unigram_surprisal
+
+    return unigram_surprisal(_t(spark, sf_dir, "documents"))

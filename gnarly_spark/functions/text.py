@@ -509,3 +509,66 @@ def gopher_repetition(
             F.coalesce(f"top{n}", F.lit(0.0)).alias(f"top{n}"),
         )
     return out
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self-trained unigram LM quality score — the deterministic
+    cousin of CCNet's (Wenzek et al. 2020) LM-perplexity filter: score each
+    doc by the mean information content of its tokens under the corpus's
+    OWN unigram distribution. Low scores flag boilerplate/template spam
+    (all stop-tokens), very high scores flag gibberish/encoding garbage
+    (all hapax tokens); the keep-band in between is the curation gate.
+
+    Engine-exact by construction: per-token surprisal is the INTEGER
+    binary order of magnitude of the inverse frequency,
+
+        s(t) = floor(log2(N div c(t))) = length(bin(N div c)) - 1
+
+    (the bin-length trick functions/sketches.py proved portable), so the
+    only float op is the final rounded division sum/len. A true ln-based
+    perplexity would differ across engines in the last ULP and is not
+    oracle-checkable; the integer bucketing preserves the ranking signal
+    curation thresholds actually use.
+
+    Scale shape: one explode over the corpus tokens; vocab = one
+    partial-agg groupBy(token); total N rides in as a broadcast 1-row
+    relation; the token->surprisal annotate is the one corpus-sized
+    shuffle join (same cost class as inverted_index — swap in a broadcast
+    top-K vocab with a constant tail surprisal when the full vocab
+    doesn't fit); then one groupBy(id). No Python anywhere.
+    """
+    from gnarly_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("t"),
+    ).where(F.col("t") != "")
+    vocab = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("bigint").alias("n"))
+    surp = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        (F.length(F.bin(F.expr("n div c"))) - 1).cast("bigint").alias("s"),
+    )
+    per = (
+        toks.join(surp, "t")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s").alias("ssum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("bigint")).alias("n_tokens"),
+            F.coalesce(
+                F.round(F.col("ssum") / F.col("n_tokens"), 6), F.lit(0.0)
+            ).alias("surprisal"),
+        )
+    )

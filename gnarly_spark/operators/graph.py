@@ -199,3 +199,41 @@ def host_rank_report(
             "pr",
         )
     )
+
+
+def link_census_reducer(name: str = "host_links"):
+    """Pipeline integration: an AppendReducer that maintains the host
+    link census INCREMENTALLY as crawls stream through the CDC engine —
+    each micro-batch contributes the host-graph collapse of its own
+    insert/update pages (O(batch) work, one tiny append), and
+    ``link_census_read`` folds the per-batch censuses into the current
+    edge table for ``pagerank``.
+
+    Semantics: observational, like the audit log — a crawl that happened
+    contributes its links even if a later reorg reverts the page state
+    (reorgs don't un-crawl), deletes carry no html so add nothing, and
+    the per-batch append is refire-idempotent via AppendReducer's
+    batch-path guard. For state-tracking semantics (only currently-live
+    page versions count) run host_rank_report over the pages table
+    instead.
+    """
+    from gnarly_spark.reducers import AppendReducer
+
+    def project(batch: DataFrame) -> DataFrame:
+        pages = batch.where(F.col("op").isin("insert", "update")).select(
+            "url", F.col("html").cast("string").alias("_html")
+        )
+        return host_graph(extract_links(pages, "url", "_html"))
+
+    return AppendReducer(name=name, project=project)
+
+
+def link_census_read(reducer, ctx) -> DataFrame:
+    """Current census edges: fold the per-batch partial censuses (a
+    sum-merge — host_graph weights are abelian, so per-batch collapse
+    then re-sum equals one global collapse)."""
+    return (
+        reducer.read(ctx)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+    )

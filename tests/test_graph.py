@@ -159,3 +159,64 @@ def test_pagerank_random_graphs_match_python_property(spark):
         assert got == _py_pagerank(edges, n_iter=4)
 
     prop()
+
+
+def test_link_census_reducer_incremental_matches_batch(spark, tmp_path):
+    """Drain a changelog with planted anchors through the pipeline in 3
+    micro-batches (one refired): the folded per-batch censuses must equal
+    one batch host_graph over all insert/update events, and the refire
+    must not double-count."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.operators.graph import (
+        link_census_read,
+        link_census_reducer,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    def page(seq, uid, op, links):
+        html = "".join(f'<a href="https://{h}/x">.</a>' for h in links)
+        return dict(
+            op_seq=seq,
+            block_id=seq // 2,
+            block_hash=str(seq // 2),
+            parent_hash=str(seq // 2 - 1),
+            op=op,
+            url=f"https://s{uid}.example/p",
+            warc_ts=pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=seq),
+            html=html.encode(),
+            lang="en",
+            revert_of_block=None,
+            reason=None,
+        )
+
+    rows = [
+        page(0, 1, "insert", ["a.x", "b.x"]),
+        page(1, 2, "insert", ["a.x"]),
+        page(2, 1, "update", ["a.x", "c.x"]),
+        page(3, 3, "delete", []),
+        page(4, 2, "update", ["s2.example"]),  # self-loop: dropped
+        page(5, 4, "insert", ["b.x", "b.x", "b.x"]),  # weight 3
+    ]
+    log = pd.DataFrame(rows)
+    red = link_census_reducer()
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[red])
+    for i, lo in enumerate(range(0, 6, 2)):
+        p.process_batch(
+            spark.createDataFrame(log.iloc[lo : lo + 2], schema=CHANGELOG_DDL), i
+        )
+    # refire batch 1: AppendReducer's batch-path guard must no-op
+    p.process_batch(spark.createDataFrame(log.iloc[2:4], schema=CHANGELOG_DDL), 1)
+
+    got = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in link_census_read(red, p).collect()
+    }
+    assert got == {
+        ("s1.example", "a.x"): 2,
+        ("s1.example", "b.x"): 1,
+        ("s1.example", "c.x"): 1,
+        ("s2.example", "a.x"): 1,
+        ("s4.example", "b.x"): 3,
+    }

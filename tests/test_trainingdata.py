@@ -551,3 +551,20 @@ def test_gopher_repetition_hand_computed(spark):
     assert (got[2].dup2, got[2].top2, got[2].dup3) == (0.0, 1.0, 0.0)
     assert (got[3].dup2, got[3].top2) == (0.0, 0.0)
     assert (got[4].dup2, got[4].top3) == (0.0, 0.0)
+
+
+def test_unigram_surprisal_hand_computed(spark):
+    """Corpus 'a a b' + 'a c': N=5, c(a)=3 -> s = floor(log2(5 div 3)) = 0,
+    c(b)=c(c)=1 -> s = floor(log2(5)) = 2. Doc scores 2/3 and 1.0; empty
+    and null docs score 0 with 0 tokens."""
+    from gnarly_spark.functions.text import unigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "A  a b"), (2, "a c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in unigram_surprisal(df).collect()}
+    assert (got[1].n_tokens, got[1].surprisal) == (3, round(2 / 3, 6))
+    assert (got[2].n_tokens, got[2].surprisal) == (2, 1.0)
+    assert (got[3].n_tokens, got[3].surprisal) == (0, 0.0)
+    assert (got[4].n_tokens, got[4].surprisal) == (0, 0.0)
