@@ -1651,3 +1651,33 @@ def text_unigram_surprisal(spark, sf_dir):
     from gnarly_spark.functions.text import unigram_surprisal
 
     return unigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_chunk_passages",
+    f"""
+    WITH dn AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                FROM documents),
+    ok AS (SELECT doc_id, w,
+                  1 + (greatest(len(w) - 64, 0) + 47) // 48 AS nw
+           FROM dn WHERE len(w) > 0 AND w[1] != ''),
+    ex AS (SELECT doc_id,
+                  unnest([struct_pack(i := g - 1,
+                                      c := w[(g-1)*48 + 1 : (g-1)*48 + 64])
+                          for g in range(1, nw + 1)]) AS u
+           FROM ok)
+    SELECT doc_id, u.i AS chunk_idx,
+           CAST(len(u.c) AS BIGINT) AS n_tokens,
+           array_to_string(u.c, ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def text_chunk_passages(spark, sf_dir):
+    """Sliding-window passage chunking (functions/text.py chunk_passages:
+    64-token windows, stride 48): map-only — split + transform + one
+    explode, zero shuffles; the long-doc -> training-passage prep step."""
+    from gnarly_spark.functions.text import chunk_passages
+
+    return chunk_passages(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    ).withColumnRenamed("id", "doc_id")

@@ -572,3 +572,57 @@ def unigram_surprisal(
             ).alias("surprisal"),
         )
     )
+
+
+def chunk_passages(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window passage chunking — the retrieval/pretraining prep
+    step that turns long documents into fixed-size overlapping passages
+    (stride < chunk_tokens keeps boundary context in two chunks, the
+    standard RAG / BERT-style windowing).
+
+    Chunk starts are 0, stride, 2*stride, ... up to the last start that
+    still exposes a NEW token (ceil((n - chunk)/stride) windows after the
+    first); the final chunk may be short. A doc shorter than one chunk
+    yields exactly one chunk (itself); empty/null docs yield none.
+
+    Scale shape: map-only — split, one transform over the start indices,
+    one explode. No shuffle at all; chunking 10^10 docs is a single scan.
+    Output: (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if stride < 1 or chunk_tokens < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    from gnarly_spark.operators.dedup import normalize_text
+
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride), as integers
+    n_win = 1 + F.expr(
+        f"CAST((greatest(size(_w) - {chunk_tokens}, 0) + {stride} - 1)"
+        f" div {stride} AS INT)"
+    )
+    base = docs.select(F.col(id_col).alias("id"), w.alias("_w")).where(
+        (F.col("_w").isNotNull()) & (F.size("_w") > 0) & (F.element_at("_w", 1) != "")
+    )
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.slice(
+                    F.col("_w"), i * stride + 1, chunk_tokens
+                ),
+            )
+        ).alias("chunk_idx", "_c"),
+    )
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.size("_c").cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", "_c").alias("chunk_text"),
+    )

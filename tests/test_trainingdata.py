@@ -568,3 +568,31 @@ def test_unigram_surprisal_hand_computed(spark):
     assert (got[2].n_tokens, got[2].surprisal) == (2, 1.0)
     assert (got[3].n_tokens, got[3].surprisal) == (0, 0.0)
     assert (got[4].n_tokens, got[4].surprisal) == (0, 0.0)
+
+
+def test_chunk_passages_windows_and_edges(spark):
+    """10 tokens, chunk 4, stride 3 -> starts 0,3,6 cover all tokens with
+    1-token overlap; last chunk full here, short tail when n=9; short doc
+    -> itself; empty/null -> no chunks."""
+    from gnarly_spark.functions.text import chunk_passages
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    nine = " ".join(f"t{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, ten), (2, "a b"), (3, ""), (4, None), (5, nine)],
+        "doc_id long, text string",
+    )
+    out = chunk_passages(df, chunk_tokens=4, stride=3)
+    got = {
+        (r.id, r.chunk_idx): (r.n_tokens, r.chunk_text) for r in out.collect()
+    }
+    assert {k for k in got if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert got[(2, 0)] == (2, "a b")  # short doc: one chunk, itself
+    assert not any(k[0] in (3, 4) for k in got)
+    assert got[(5, 2)] == (3, "t6 t7 t8")  # short tail chunk
+    # every token of doc 1 appears in some chunk (coverage)
+    covered = " ".join(got[(1, i)][1] for i in range(3)).split()
+    assert set(covered) == {f"t{i}" for i in range(10)}
