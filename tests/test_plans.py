@@ -287,3 +287,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     finally:
         for name in (a, b):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_chunk_passages_is_map_only(spark):
+    """Chunking 10^10 docs must be a single scan: split + transform +
+    posexplode, ZERO Exchange of any kind."""
+    from gnarly_spark.functions.text import chunk_passages
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(chunk_passages(docs))
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Generate" in plan  # the one explode
+
+
+def test_unigram_surprisal_total_rides_broadcast(spark):
+    """The corpus token total N is a 1-row aggregate: it must annotate the
+    vocab via a broadcast (nested-loop on one row = free), never by
+    shuffling the vocab against it."""
+    from gnarly_spark.functions.text import unigram_surprisal
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(unigram_surprisal(docs))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_recrawl_schedule_one_shuffle_partial_agg(spark):
+    """The whole frontier computation is ONE partial-aggregating groupBy:
+    exactly one Exchange, with map-side partial min/max/count."""
+    from gnarly_spark.catalog import _changelog_df
+    from gnarly_spark.operators.temporal import recrawl_schedule
+
+    log = _changelog_df(spark, SF)
+    plan = plan_of(recrawl_schedule(log, "2024-02-01 00:00:00"))
+    assert plan.count("Exchange") == 1, plan[:1500]
+    assert "partial_" in plan
