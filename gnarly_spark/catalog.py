@@ -530,7 +530,11 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _two_commit_pages(
-    spark: SparkSession, sf_dir: str, work_prefix: str, split: str = "half"
+    spark: SparkSession,
+    sf_dir: str,
+    work_prefix: str,
+    split: str = "half",
+    extra=None,
 ):
     """Shared scaffold for the change-feed queries: commit the changelog's
     first-cutoff LWW state (batch 1), then the incremental delta to the
@@ -553,25 +557,34 @@ def _two_commit_pages(
     else:
         cut = log.agg(F.max("op_seq")).collect()[0][0] // 2  # scalar only
 
+    # extra: optional (name, fn(last_seq Column) -> Column) derived value
+    # column carried through state/upserts (e.g. a synthetic text body for
+    # the index-MV query); being a pure function of last_seq it never
+    # changes the change-detection outcome
+    vcols = ["last_seq", "last_value"] + ([extra[0]] if extra else [])
+
     def state(df: DataFrame) -> DataFrame:
         w = last_writer_wins(df)
-        return w.where(F.col("op") != "delete").select(
+        out = w.where(F.col("op") != "delete").select(
             "url",
             F.col("op_seq").alias("last_seq"),
             F.round("value", 4).alias("last_value"),
         )
+        if extra:
+            out = out.withColumn(extra[0], extra[1](F.col("last_seq")))
+        return out
 
     a = state(log.where(F.col("op_seq") <= cut))
     b = state(log)
-    ao = a.select("url", F.struct("last_seq", "last_value").alias("_a"))
+    ao = a.select("url", F.struct(*vcols).alias("_a"))
     j = b.join(ao, "url", "full_outer")
     ups = j.where(
         F.col("last_seq").isNotNull()
         & (
             F.col("_a").isNull()
-            | ~F.col("_a").eqNullSafe(F.struct("last_seq", "last_value"))
+            | ~F.col("_a").eqNullSafe(F.struct(*vcols))
         )
-    ).select("url", "last_seq", "last_value")
+    ).select("url", *vcols)
     dels = j.where(F.col("last_seq").isNull()).select("url")
 
     work = tempfile.mkdtemp(prefix=work_prefix)
@@ -2186,3 +2199,54 @@ def cdc_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnarly_spark.operators.temporal import recrawl_schedule
 
     return recrawl_schedule(_changelog_df(spark, sf_dir), "2024-02-01 00:00:00")
+
+
+@register(
+    "cdc_incremental_index",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live),
+    fin AS (SELECT url, op_seq AS last_seq
+            FROM ranked WHERE rn = 1 AND op != 'delete'),
+    tok AS (SELECT url, unnest(['tok' || CAST(last_seq % 7 AS VARCHAR),
+                                'tok' || CAST(last_seq % 5 AS VARCHAR),
+                                'tok' || CAST(last_seq % 7 AS VARCHAR)])
+                   AS token
+            FROM fin),
+    per AS (SELECT token, url, COUNT(*) AS c FROM tok GROUP BY token, url)
+    SELECT token, COUNT(*) AS doc_freq, CAST(SUM(c) AS BIGINT) AS term_freq
+    FROM per GROUP BY token
+    """,
+)
+def cdc_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary TEXT index maintained by CDC (operators/mv.py
+    maintain_index_mv): the (token, doc_freq, term_freq) census — the
+    stopword/band statistics behind inverted_index and tfidf_search — is
+    bootstrapped from snapshot v1 and then maintained from the lake's own
+    image-carrying change feed at O(|feed|) per commit, never rescanning
+    the corpus. Pages carry a synthetic 3-token body derived from
+    last_seq ('tokA tokB tokA': repeats exercise term_freq vs doc_freq;
+    updates change the body so retraction paths fire). Oracle = direct
+    census over the FINAL replay state: incremental must equal recompute
+    exactly (all-integer arithmetic)."""
+    from gnarly_spark.operators.mv import index_bootstrap, maintain_index_mv
+
+    def body(seq):
+        return F.concat(
+            F.lit("tok"), (seq % 7).cast("string"),
+            F.lit(" tok"), (seq % 5).cast("string"),
+            F.lit(" tok"), (seq % 7).cast("string"),
+        )
+
+    t, v1 = _two_commit_pages(
+        spark, sf_dir, "gnarly_idx_", split="median", extra=("text", body)
+    )
+    mv1 = index_bootstrap(t.read(v1))
+    return maintain_index_mv(mv1, t.changelog(v1))

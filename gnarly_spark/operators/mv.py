@@ -86,3 +86,89 @@ def maintain_sum_mv(
         )
         .where(F.col(count_alias) > 0)
     )
+
+
+def index_mv_delta(
+    changes: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Signed per-token delta of an image-carrying change feed for the
+    inverted-index MV: (token, df_delta, tf_delta) where df counts docs
+    containing the token and tf counts total occurrences.
+
+    One explode over the FEED's text (never the corpus), one per-(row,
+    token) count, one token groupBy — all partial-aggregating. Rows are
+    keyed (id, _change_type), which changelog() guarantees unique per
+    commit range (per-key collapse), so an update contributes its before
+    tokens at -1 and after tokens at +1 and unchanged tokens cancel
+    exactly."""
+    from gnarly_spark.operators.dedup import normalize_text
+
+    sign = F.when(F.col("_change_type").isin(*_PLUS), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    toks = changes.select(
+        F.col(id_col).alias("_id"),
+        F.col("_change_type").alias("_ct"),
+        sign.alias("_sg"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "token"
+        ),
+    ).where(F.col("token") != "")
+    per_doc = toks.groupBy("token", "_id", "_ct", "_sg").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_doc.groupBy("token").agg(
+        F.sum("_sg").cast("bigint").alias("df_delta"),
+        F.sum(F.col("_sg") * F.col("_c")).cast("bigint").alias("tf_delta"),
+    )
+
+
+def maintain_index_mv(
+    index: DataFrame,
+    changes: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a change feed to the inverted-index census MV
+    (token, doc_freq, term_freq) — the secondary text index (the band/
+    stopword statistics behind functions/text.py inverted_index and
+    tfidf_search) maintained at O(|feed|) instead of a corpus rescan.
+
+    All-integer arithmetic, so incremental == recompute exactly; tokens
+    whose doc_freq reaches zero drop out, exactly as a recompute would.
+    Bootstrap: index_bootstrap(snapshot) on the first commit."""
+    delta = index_mv_delta(changes, id_col, text_col)
+    j = index.select(
+        "token",
+        F.col("doc_freq").alias("_mdf"),
+        F.col("term_freq").alias("_mtf"),
+    ).join(delta, "token", "full_outer")
+    zero = F.lit(0).cast("bigint")
+    return (
+        j.select(
+            "token",
+            (F.coalesce("_mdf", zero) + F.coalesce("df_delta", zero)).alias(
+                "doc_freq"
+            ),
+            (F.coalesce("_mtf", zero) + F.coalesce("tf_delta", zero)).alias(
+                "term_freq"
+            ),
+        )
+        .where(F.col("doc_freq") > 0)
+    )
+
+
+def index_bootstrap(
+    snapshot: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Direct (token, doc_freq, term_freq) census of a snapshot — the MV's
+    initial state, and the recompute oracle the incremental path must
+    equal bit-for-bit."""
+    fake = snapshot.select(
+        F.col(id_col), F.col(text_col), F.lit("insert").alias("_change_type")
+    )
+    return index_mv_delta(fake, id_col, text_col).select(
+        "token",
+        F.col("df_delta").alias("doc_freq"),
+        F.col("tf_delta").alias("term_freq"),
+    )

@@ -1104,3 +1104,50 @@ def test_export_snapshot_mor_with_deltas_and_older_version(spark, tmp_path):
     old = t.export_snapshot(str(tmp_path / "bk_v1"), version=v1)
     clone_old = ParquetLakeTable(spark, old["dest"], key="url")
     assert _pdf(clone_old.read()).v.tolist() == [1, 1]
+
+
+def test_incremental_index_mv_matches_recompute(spark, tmp_path):
+    """maintain_index_mv: bootstrap the (token, doc_freq, term_freq)
+    census at v1, fold changelog(v1) in, and it must equal a direct
+    recompute over v2 exactly — updates cancel unchanged tokens, a token
+    whose last doc is deleted drops out, repeated tokens count in
+    term_freq but once in doc_freq."""
+    from gnarly_spark.operators.mv import index_bootstrap, maintain_index_mv
+
+    t = ParquetLakeTable(spark, str(tmp_path / "docs"), key="url", n_buckets=2)
+    schema = "url string, text string"
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("u1", "spark shuffles Spark merges"),
+                ("u2", "lake merges"),
+                ("u3", "rare gem"),
+            ],
+            schema,
+        ),
+        batch_id=0,
+    )
+    v1 = t.current_version()
+    # u1 edited (drops 'merges', keeps both 'spark'), u3 deleted
+    # (kills 'rare'/'gem'), u4 inserted
+    t.merge(
+        spark.createDataFrame(
+            [("u1", "spark shuffles spark joins"), ("u4", "lake spark")],
+            schema,
+        ),
+        delete_keys=spark.createDataFrame([("u3",)], "url string"),
+        batch_id=1,
+    )
+    mv1 = index_bootstrap(t.read(v1))
+    got = (
+        maintain_index_mv(mv1, t.changelog(v1))
+        .toPandas()
+        .set_index("token")
+        .sort_index()
+    )
+    want = index_bootstrap(t.read()).toPandas().set_index("token").sort_index()
+    assert got.equals(want), (got, want)
+    assert got.loc["spark"].doc_freq == 2  # u1, u4 — not 3 for u1's two
+    assert got.loc["spark"].term_freq == 3
+    assert "rare" not in got.index and "merges" in got.index
+    assert got.loc["merges"].doc_freq == 1  # only u2 now
