@@ -1708,6 +1708,185 @@ class ParquetLakeTable:
                 dropped += 1
         return {"kept": keep, "dropped_manifests": dropped, "deleted_files": deleted}
 
+    def purge_keys(self, *keys: str) -> dict:
+        """Compliance hard delete (GDPR right-to-be-forgotten): physically
+        remove the given merge keys from EVERY retained snapshot — current
+        AND historical — in one maintenance operation.
+
+        A normal ``merge(delete_keys=...)`` is logical: a tombstone in the
+        next snapshot, with the old rows still readable via time travel,
+        ``diff()`` and the change feed. Compliance requires the opposite —
+        history itself is rewritten. This is the engine's one deliberate
+        violation of snapshot immutability, scoped to exactly the purged
+        rows:
+
+        - affected data files (bucket-routed, zone-map pre-skipped) are
+          rewritten without the keys' rows — including MOR delta files and
+          their tombstone rows (consistent: every copy in every version
+          goes, so nothing can resurrect a purged key), and files
+          referenced only by OLD manifests (pre-compaction deltas etc.);
+        - a NEW version is committed under the usual CAS, so a purge racing
+          an ingest resolves like any other maintenance op (recompute on a
+          lost CAS); then every older retained manifest is atomically
+          rewritten in place to reference the purged files, preserving its
+          version number, commit stamp and batch_ids — time travel, AS OF
+          reads and the refire guard all survive;
+        - the replaced files are unlinked; files emptied entirely drop out
+          of the manifests.
+
+        Not touched: staged write-audit-publish manifests (publish or
+        abandon them first) and exported snapshot clones (separate tables).
+        Rewritten files do not re-declare optional key blooms. Cost:
+        O(affected files) single-file jobs — bucket routing plus zone maps
+        bound that to ~retained_versions x files_per_bucket per key.
+        """
+        if not keys:
+            return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0,
+                    "versions_rewritten": 0}
+        klist = list(keys)
+
+        def attempt() -> dict:
+            head = self._manifest(self._latest_committed())
+            self._adopt_layout(head)
+            kdf = self.spark.createDataFrame(
+                [(k,) for k in klist], schema=f"{self.key} string"
+            )
+            bids = {
+                str(r.b)
+                for r in kdf.select(
+                    bucket_of(F.col(self.key), self.n_buckets).alias("b")
+                ).distinct().collect()
+            }
+            retained = self._retained_versions()
+            manifests = {v: self._manifest(v) for v in retained}
+            affected: list[str] = []
+            seen: set[str] = set()
+            for m in manifests.values():
+                bounds = m.get("bounds", {})
+                for fmap in (m.get("buckets", {}), m.get("deltas", {})):
+                    for b, fl in fmap.items():
+                        if b not in bids:
+                            continue
+                        for f in fl:
+                            if f in seen:
+                                continue
+                            seen.add(f)
+                            kb = bounds.get(f)
+                            try:
+                                if kb is not None and not any(
+                                    kb[0] <= k <= kb[1] for k in klist
+                                ):
+                                    continue  # zone map proves key absent
+                            except TypeError:
+                                pass
+                            affected.append(f)
+
+            # rewrite each affected file without the keys' rows
+            subst: dict[str, str | None] = {}
+            rows_purged = 0
+            out_root = os.path.join(
+                self.path, "data", f"purge-{uuid.uuid4().hex[:8]}"
+            )
+            for i, old in enumerate(sorted(affected)):
+                df = self.spark.read.parquet(old)
+                counts = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count(
+                        F.when(F.col(self.key).isin(klist), 1)
+                    ).alias("hit"),
+                ).collect()[0]
+                if counts.hit == 0:
+                    continue  # bounds were absent/wide; file untouched
+                rows_purged += counts.hit
+                if counts.hit == counts.n:
+                    # every row in the file belonged to the keys
+                    subst[old] = None
+                    continue
+                kept = df.where(~F.col(self.key).isin(klist))
+                tmp = os.path.join(out_root, f"_tmp-{i}")
+                kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+                parts = [
+                    p for p in os.listdir(tmp) if p.endswith(".parquet")
+                ]
+                dest = os.path.join(out_root, f"purged-{i}.parquet")
+                os.replace(os.path.join(tmp, parts[0]), dest)
+                shutil.rmtree(tmp, ignore_errors=True)
+                subst[old] = os.path.realpath(dest)
+
+            if not subst:
+                return {"files_rewritten": 0, "files_dropped": 0,
+                        "rows_purged": 0, "versions_rewritten": 0}
+
+            def patch_maps(m: dict) -> dict:
+                out = dict(m)
+                for which in ("buckets", "deltas"):
+                    out[which] = {
+                        b: [
+                            (subst.get(f, f))
+                            for f in fl
+                            if subst.get(f, f) is not None
+                        ]
+                        for b, fl in m.get(which, {}).items()
+                    }
+                # drop stale per-file stats; _attach_bounds / the in-place
+                # patch below re-derive them for the new files
+                for sect in ("bounds",):
+                    out[sect] = {
+                        f: v for f, v in m.get(sect, {}).items() if f not in subst
+                    }
+                out["col_bounds"] = {
+                    c: {f: v for f, v in fm.items() if f not in subst}
+                    for c, fm in m.get("col_bounds", {}).items()
+                }
+                return out
+
+            # 1) the new head commit (CAS-guarded — raises CommitConflict
+            #    into _retrying if an ingest won the version)
+            new = patch_maps(head)
+            new["version"] = head["version"] + 1
+            new["parent"] = head["version"]
+            self._commit(new)
+
+            # 2) in-place rewrite of every older retained manifest
+            newest = self._manifest(new["version"])
+            nb, ncb = newest.get("bounds", {}), newest.get("col_bounds", {})
+            mdir = os.path.join(self.path, "_manifests")
+            n_rewritten = 0
+            for v, m in manifests.items():
+                pm = patch_maps(m)
+                if pm["buckets"] == m.get("buckets", {}) and pm["deltas"] == m.get(
+                    "deltas", {}
+                ):
+                    continue
+                for f in {nf for nf in subst.values() if nf}:
+                    if f in nb:
+                        pm["bounds"][f] = nb[f]
+                    for c, fm in ncb.items():
+                        if f in fm:
+                            pm.setdefault("col_bounds", {}).setdefault(c, {})[
+                                f
+                            ] = fm[f]
+                tmp = os.path.join(mdir, f"v{v}.json.purge-{uuid.uuid4().hex[:6]}")
+                with open(tmp, "w") as fh:
+                    json.dump(pm, fh)
+                os.replace(tmp, os.path.join(mdir, f"v{v}.json"))
+                n_rewritten += 1
+
+            # 3) unlink the replaced files
+            for old in subst:
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+            return {
+                "files_rewritten": sum(1 for v in subst.values() if v),
+                "files_dropped": sum(1 for v in subst.values() if v is None),
+                "rows_purged": rows_purged,
+                "versions_rewritten": n_rewritten,
+            }
+
+        return self._retrying(attempt)
+
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Full-table replace — for INITIAL loads: it RESETS the applied
         batch_id history (a refire of a pre-overwrite batch would re-apply).

@@ -1151,3 +1151,71 @@ def test_incremental_index_mv_matches_recompute(spark, tmp_path):
     assert got.loc["spark"].term_freq == 3
     assert "rare" not in got.index and "merges" in got.index
     assert got.loc["merges"].doc_freq == 1  # only u2 now
+
+
+def test_purge_keys_erases_from_all_retained_versions(spark, table):
+    """Hard delete: after purge, the key is gone from the CURRENT read,
+    from every time-travel read, and from the change feed — while other
+    rows, version numbers and the refire guard are untouched."""
+    table.merge(mk(spark, [(f"u{i}", i) for i in range(12)]), batch_id=0)
+    v1 = table.current_version()
+    table.merge(mk(spark, [("u3", 333), ("u20", 20)]), batch_id=1)
+    v2 = table.current_version()
+
+    stats = table.purge_keys("u3")
+    assert stats["rows_purged"] >= 2  # v1 copy + v2 copy
+    assert stats["versions_rewritten"] >= 1
+
+    # gone everywhere, including history
+    assert table.read().where("url = 'u3'").count() == 0
+    assert table.read(v1).where("url = 'u3'").count() == 0
+    assert table.read(v2).where("url = 'u3'").count() == 0
+    assert table.diff(v1).where("url = 'u3'").count() == 0
+    # neighbors intact at both versions
+    assert table.read(v1).count() == 11 and table.read().count() == 12
+    assert _pdf(table.lookup("u2")).v.tolist() == [2]
+    # refire guard survives the history rewrite
+    assert table.applied_batch_ids() >= {0, 1}
+    # a purged key can be re-inserted later (purge is not a tombstone)
+    table.merge(mk(spark, [("u3", 999)]), batch_id=2)
+    assert _pdf(table.lookup("u3")).v.tolist() == [999]
+
+
+def test_purge_keys_mor_deltas_and_dropped_files(spark, tmp_path):
+    """MOR mode: purged rows disappear from delta files too (including
+    delete tombstones), and a delta file consisting ONLY of the key's
+    rows is dropped from the manifests entirely."""
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "m"), key="url", n_buckets=2, mode="mor"
+    )
+    t.merge(mk(spark, [(f"u{i}", i) for i in range(8)]), batch_id=0)
+    v1 = t.current_version()
+    t.merge(mk(spark, [("u5", 55)]), batch_id=1)  # delta holds only u5
+    t.merge(
+        mk(spark, [("u1", 11)]),
+        delete_keys=spark.createDataFrame([("u5",)], "url string"),
+        batch_id=2,
+    )
+    stats = t.purge_keys("u5")
+    assert stats["files_dropped"] >= 1  # the u5-only delta file
+    assert t.read().where("url = 'u5'").count() == 0
+    assert t.read(v1).where("url = 'u5'").count() == 0
+    # survivors resolve correctly through the remaining deltas
+    assert _pdf(t.read()).set_index("url").v.loc["u1"] == 11
+    assert t.read().count() == 7
+    # physical check: no retained data file contains u5 anywhere
+    for r in t.data_files().collect():
+        assert spark.read.parquet(r.file).where("url = 'u5'").count() == 0
+
+
+def test_purge_keys_noop_and_empty(spark, table):
+    table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    assert table.purge_keys() == {
+        "files_rewritten": 0,
+        "files_dropped": 0,
+        "rows_purged": 0,
+        "versions_rewritten": 0,
+    }
+    stats = table.purge_keys("not-there")
+    assert stats["rows_purged"] == 0 and stats["files_rewritten"] == 0
+    assert table.read().count() == 2
