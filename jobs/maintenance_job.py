@@ -5,7 +5,8 @@ rewrite_data_files + expire_snapshots procedures).
     spark-submit --master <cluster> --py-files dist/gnarly_spark.zip \
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
         [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K] \
-        [--cluster col1,col2 [--cluster-bits B]] [--key-bloom-ndv NDV]
+        [--cluster col1,col2 [--cluster-bits B]] [--key-bloom-ndv NDV] \
+        [--purge-keys url1,url2]
 
 Run it between ingest runs — or concurrently: lake commits are
 version-CAS'd, so a maintenance commit racing an ingest merge makes the
@@ -47,6 +48,12 @@ def main(argv=None):
     # the table-wide distinct count (BENCH.md "key-bloom sizing": 20x bytes
     # for zero benefit).
     ap.add_argument("--key-bloom-ndv", type=int, default=None, metavar="NDV")
+    ap.add_argument(
+        "--purge-keys", default=None, metavar="K1,K2",
+        help="compliance HARD delete: comma-separated merge keys erased "
+        "from every retained snapshot (history rewrite; see "
+        "ParquetLakeTable.purge_keys). Runs before compaction/expiry.",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +74,10 @@ def main(argv=None):
         key_bloom_ndv=args.key_bloom_ndv,
     )
     out = {"table": args.table, "version_before": tbl.current_version()}
+    if args.purge_keys:
+        out["purge"] = tbl.purge_keys(
+            *[k.strip() for k in args.purge_keys.split(",") if k.strip()]
+        )
     if args.compact and tbl.current_version() >= 0:
         if tbl.mode == "mor":
             out["compact"] = tbl.compact()  # fold deltas, bucket-granular

@@ -1219,3 +1219,19 @@ def test_purge_keys_noop_and_empty(spark, table):
     stats = table.purge_keys("not-there")
     assert stats["rows_purged"] == 0 and stats["files_rewritten"] == 0
     assert table.read().count() == 2
+
+
+def test_maintenance_job_purge_flag(spark, tmp_path, capsys):
+    from jobs.maintenance_job import main
+
+    t = ParquetLakeTable(spark, str(tmp_path / "p"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+    t.merge(mk(spark, [("a", 11)]), batch_id=1)
+    main(["--table", str(tmp_path / "p"), "--purge-keys", "a,zz", "--keep-last", "10"])
+    import json as _json
+
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["purge"]["rows_purged"] == 2  # both versions' copy of a
+    t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
+    assert t2.read().where("url = 'a'").count() == 0
+    assert sorted(_pdf(t2.read()).url) == ["b", "c"]
