@@ -84,7 +84,10 @@ def _oracle_sql() -> str:
     """Chained-CTE replay of host_rank_report: extraction regex, host
     graph, and _N_ITER integer PageRank rounds, formula-identical to
     operators/graph.py (dn/dd = 85/100, scale = 10^6, floor divisions)."""
-    href_re = """<a href=["']([^"']+)["']""".replace("'", "''")
+    from gnarly_spark.operators.graph import HOST_RE, HREF_RE
+
+    href_re = HREF_RE.replace("'", "''")
+    host_re = HOST_RE
     base = (_SCALE * (_DD - _DN)) // _DD
     rounds = []
     for i in range(_N_ITER):
@@ -104,11 +107,11 @@ def _oracle_sql() -> str:
         SELECT url AS src,
                unnest(regexp_extract_all(html, '{href_re}', 1)) AS dst
         FROM pages)
-      WHERE regexp_extract(dst, '^https?://([^/]+)', 1) != ''),
+      WHERE regexp_extract(dst, '{host_re}', 1) != ''),
     g AS (
       SELECT src_host, dst_host, COUNT(*) AS n_links FROM (
-        SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
-               regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+        SELECT regexp_extract(src, '{host_re}', 1) AS src_host,
+               regexp_extract(dst, '{host_re}', 1) AS dst_host
         FROM links)
       WHERE src_host != dst_host
       GROUP BY src_host, dst_host),
