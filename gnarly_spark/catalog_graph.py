@@ -46,8 +46,10 @@ _PAGES_SQL = """
 """
 
 
-def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _t(spark, sf_dir, "events")
+def _page_cols() -> tuple:
+    """(url, html) column expressions over an `events` row — shared by the
+    batch pages relation and the streaming-census changelog so both derive
+    byte-identical pages from the same rows."""
     uid, eid = F.col("user_id"), F.col("event_id")
     a1 = F.concat(
         F.lit('<a href="https://h'),
@@ -67,16 +69,22 @@ def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = F.when(eid % 5 == 0, F.lit('<a href="/rel/skip">r</a>')).otherwise(
         F.lit("")
     )
-    return e.select(
-        F.concat(
-            F.lit("https://h"),
-            (uid % 23).cast("string"),
-            F.lit(".example/p/"),
-            uid.cast("string"),
-        ).alias("url"),
-        F.concat(
-            F.lit("<html><body><p>t</p>"), a1, a2, rel, F.lit("</body></html>")
-        ).alias("html"),
+    url = F.concat(
+        F.lit("https://h"),
+        (uid % 23).cast("string"),
+        F.lit(".example/p/"),
+        uid.cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>t</p>"), a1, a2, rel, F.lit("</body></html>")
+    )
+    return url, html
+
+
+def _pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url, html = _page_cols()
+    return _t(spark, sf_dir, "events").select(
+        url.alias("url"), html.alias("html")
     )
 
 
@@ -154,3 +162,117 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_rank_report(
         _pages_df(spark, sf_dir), n_iter=_N_ITER, scale=_SCALE
     )
+
+
+def _census_oracle() -> str:
+    from gnarly_spark.operators.graph import HOST_RE, HREF_RE
+
+    href_re = HREF_RE.replace("'", "''")
+    return f"""
+    WITH ev AS (SELECT event_id, user_id,
+                  CASE event_type WHEN 'signup' THEN 'insert'
+                                  WHEN 'purchase' THEN 'delete'
+                                  WHEN 'error' THEN 'revert'
+                                  ELSE 'update' END AS op
+                FROM events),
+    pages AS ({_PAGES_SQL.replace("FROM events", "")}
+              FROM ev WHERE op IN ('insert', 'update')),
+    links AS (
+      SELECT src, dst FROM (
+        SELECT url AS src,
+               unnest(regexp_extract_all(html, '{href_re}', 1)) AS dst
+        FROM pages)
+      WHERE regexp_extract(dst, '{HOST_RE}', 1) != '')
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+      SELECT regexp_extract(src, '{HOST_RE}', 1) AS src_host,
+             regexp_extract(dst, '{HOST_RE}', 1) AS dst_host
+      FROM links)
+    WHERE src_host != dst_host
+    GROUP BY src_host, dst_host
+    """
+
+
+@register("graph_link_census_stream", _census_oracle())
+def graph_link_census_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The link census maintained INSIDE the streaming engine, oracle-
+    checked: a changelog of multi-host crawled pages (html bodies with
+    anchors, derived from events) is drained by the real checkpointed
+    CdcIngestPipeline in 3 micro-batches with link_census_reducer
+    attached; the folded per-batch censuses must equal one batch collapse
+    over all insert/update pages (census is observational — reverts
+    don't un-crawl, deletes carry no html, and the pipeline hands reducers
+    the RAW batch before revert adjudication). Proves a USER reducer with
+    a net-new operator runs exactly-once through the engine loop
+    (reference: N ReducerRunners over one source, Gnarly.ts:22-28)."""
+    import math
+    import os
+    import tempfile
+    import time
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.operators.graph import (
+        link_census_read,
+        link_census_reducer,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    work = tempfile.mkdtemp(prefix="gnarly_census_stream_")
+    cl_dir = os.path.join(work, "changelog")
+    eid = F.col("event_id")
+    url, html = _page_cols()
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "purchase", "delete")
+        .when(F.col("event_type") == "error", "revert")
+        .otherwise("update")
+    )
+    # url/html are pure functions of the events row, so the changelog can
+    # carry the page body inline (what a crawler's fetch payload would be)
+    log = _t(spark, sf_dir, "events").select(
+        eid.alias("op_seq"),
+        (eid / 50).cast("long").alias("block_id"),
+        (eid / 50).cast("long").cast("string").alias("block_hash"),
+        F.lit(None).cast("string").alias("parent_hash"),
+        op.alias("op"),
+        url.alias("url"),
+        F.col("ts").alias("warc_ts"),
+        F.when(op.isin("insert", "update"), F.encode(html, "UTF-8")).alias(
+            "html"
+        ),
+        F.lit(None).cast("string").alias("lang"),
+        F.when(
+            (F.col("event_type") == "error") & (eid >= 50),
+            ((eid / 50).cast("long") - 1).cast("string"),
+        ).alias("revert_of_block"),
+        F.lit(None).cast("string").alias("reason"),
+    )
+    mx = log.agg(F.max("op_seq")).collect()[0][0]  # scalar only
+    n_chunks = 3
+    step = math.ceil((mx + 1) / n_chunks)
+    for i in range(n_chunks):
+        log.where(
+            (F.col("op_seq") >= i * step) & (F.col("op_seq") < (i + 1) * step)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(cl_dir, f"chunk={i:04d}")
+        )
+    # FileStreamSource orders by MTIME — stamp files in chunk order so
+    # micro-batches honor the changelog's total-order contract
+    base, n = time.time() - 1000, 0
+    for i in range(n_chunks):
+        cdir = os.path.join(cl_dir, f"chunk={i:04d}")
+        for fn in sorted(os.listdir(cdir)):
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(cdir, fn), (base + 2 * n, base + 2 * n))
+                n += 1
+    red = link_census_reducer()
+    pipe = CdcIngestPipeline(
+        spark, os.path.join(work, "wd"), with_text=False, reducers=[red]
+    )
+    pipe.start(
+        cl_dir,
+        available_now=True,
+        max_files_per_trigger=1,
+        schema=CHANGELOG_DDL,
+    ).awaitTermination()
+    assert len(pipe.metrics()) >= n_chunks  # really ran incrementally
+    return link_census_read(red, pipe)
