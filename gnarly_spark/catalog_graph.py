@@ -276,3 +276,94 @@ def graph_link_census_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).awaitTermination()
     assert len(pipe.metrics()) >= n_chunks  # really ran incrementally
     return link_census_read(red, pipe)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization census (functions/url.py)
+# ---------------------------------------------------------------------------
+
+#: messy-spelling variants of the same crawled page, single-sourced between
+#: the Spark build and the DuckDB oracle. Tokens: H = host id string
+#: ((event_id%150)%23), P = page key string (event_id%150), G = fragment id
+#: string (event_id%5); everything else is a literal. Variant = event_id%7.
+_URL_VARIANTS: list[list[str]] = [
+    ["HTTPS://H", "H", ".Example.com/p/", "P"],          # case + scheme case
+    ["https://h", "H", ".example.com:443/p/", "P"],      # default port
+    ["https://h", "H", ".example.com/p/", "P", "#sec-", "G"],  # fragment
+    ["https://h", "H", ".example.com/p/", "P", "/?utm_source=feed&b=2&a=1"],
+    ["https://h", "H", ".example.com/p/", "P", "/"],     # trailing slash
+    ["https://h", "H", ".example.com/p/", "P", "?b=2&a=1&utm_campaign=x"],
+    ["javascript:void(", "P", ")"],                      # not a URL -> NULL
+]
+
+
+def _messy_url_col() -> F.Column:
+    eid = F.col("event_id")
+    tok = {
+        "H": ((eid % 150) % 23).cast("string"),
+        "P": (eid % 150).cast("string"),
+        "G": (eid % 5).cast("string"),
+    }
+    expr = None
+    for i, parts in enumerate(_URL_VARIANTS):
+        built = F.concat(*[tok.get(p, F.lit(p)) for p in parts])
+        expr = F.when(eid % 7 == i, built) if expr is None else expr.when(
+            eid % 7 == i, built
+        )
+    return expr
+
+
+def _messy_url_sql() -> str:
+    tok = {
+        "H": "CAST((event_id % 150) % 23 AS VARCHAR)",
+        "P": "CAST(event_id % 150 AS VARCHAR)",
+        "G": "CAST(event_id % 5 AS VARCHAR)",
+    }
+    arms = []
+    for i, parts in enumerate(_URL_VARIANTS):
+        built = " || ".join(tok.get(p, f"'{p}'") for p in parts)
+        arms.append(f"WHEN {i} THEN {built}")
+    return f"CASE event_id % 7 {' '.join(arms)} END"
+
+
+def _url_oracle() -> str:
+    from gnarly_spark.functions.url import canonicalize_url_sql, url_host_sql
+
+    return f"""
+    WITH raw AS (SELECT {_messy_url_sql()} AS raw_url FROM events),
+    c AS (SELECT raw_url,
+                 {canonicalize_url_sql("raw_url")} AS canonical_url,
+                 {url_host_sql("raw_url")} AS host
+          FROM raw)
+    SELECT canonical_url,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT raw_url) AS n_raw_forms,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM c GROUP BY canonical_url
+    """
+
+
+@register("web_url_canonicalize", _url_oracle())
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization census: messy crawl spellings (case, default
+    port, fragment, tracking params, param order, trailing slash, non-URL
+    junk) collapse to canonical pages. One map-side canonicalize (all JVM
+    regexp/split/sort — functions/url.py) + one groupBy; at 100 TB this is
+    the projection run BEFORE the url-keyed shuffle, so the CDC merge and
+    every dedup downstream key on the canonical spelling."""
+    from gnarly_spark.functions.url import canonicalize_url, url_host
+
+    raw = _t(spark, sf_dir, "events").select(_messy_url_col().alias("raw_url"))
+    return (
+        raw.select(
+            "raw_url",
+            canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+            url_host(F.col("raw_url")).alias("host"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("raw_url").alias("n_raw_forms"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+    )
