@@ -95,6 +95,7 @@ class CdcIngestPipeline:
         compact_every: int | None = None,
         files_per_bucket: int = 1,
         quality_gate: list | None = None,
+        canonicalize_urls: bool = False,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -114,6 +115,12 @@ class CdcIngestPipeline:
         self.salt_partitions = salt_partitions
         self.rename_map = rename_map or {}
         self.with_text = with_text
+        # canonicalize_urls: rewrite the url key per functions/url.py at
+        # batch entry, BEFORE the log append — so the retained log, revert
+        # adjudication, reducers, and the LWW merge all key on one spelling
+        # per page (a crawl feed spells the same page many ways: case,
+        # ?utm_*, trailing slash — each would otherwise mint its own row)
+        self.canonicalize_urls = canonicalize_urls
         # extra reducers running over the same stream (gnarly runs N
         # ReducerRunners over one source, Gnarly.ts:22-28); each has its own
         # sink + batch-id guard so partial crashes repair on refire
@@ -438,6 +445,15 @@ class CdcIngestPipeline:
         for src, dst in self.rename_map.items():
             if src in batch_df.columns:
                 batch_df = batch_df.withColumnRenamed(src, dst)
+
+        if self.canonicalize_urls:
+            from gnarly_spark.functions.url import canonicalize_url
+
+            # coalesce: a non-URL key (canonical = NULL) keeps its raw
+            # string rather than null-keying the merge; map-side, codegen'd
+            batch_df = batch_df.withColumn(
+                "url", F.coalesce(canonicalize_url(F.col("url")), F.col("url"))
+            )
 
         phases = {}
         # prespread: the caller already repartitioned AND persisted the

@@ -718,3 +718,36 @@ def test_metrics_are_trigger_ordered(spark, tmp_path):
         with open(os.path.join(p.metrics_dir, f"batch-{b}.json"), "w") as f:
             _json.dump({"batch_id": b, "wall_s": float(b)}, f)
     assert [m["batch_id"] for m in p.metrics()] == [0, 2, 10, 11]
+
+
+def test_canonicalize_urls_collapses_messy_spellings(spark, tmp_path):
+    """The same page arriving as ?utm_*, UPPERCASE scheme/host, and
+    trailing-slash spellings merges into ONE canonical row — final state
+    equals the clean changelog's oracle. With the option off, the messy
+    feed mints phantom pages (the failure mode the option exists for)."""
+    log = gen_changelog(n_blocks=12, events_per_block=5)
+    messy = log.copy()
+
+    def _mess(row):
+        u, k = row["url"], row["op_seq"] % 4
+        if k == 0:
+            return u
+        if k == 1:
+            return u.replace("https://", "HTTPS://", 1) + "/"
+        if k == 2:
+            return u + "?utm_source=feed&utm_campaign=x"
+        return u + "#frag"
+
+    messy["url"] = messy.apply(_mess, axis=1)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, messy, src, n_files=4)
+
+    p = CdcIngestPipeline(
+        spark, str(tmp_path / "work"), canonicalize_urls=True
+    )
+    run_stream(p, src)
+    assert_pdf_equal(_got(p), _want(log))
+
+    p_off = CdcIngestPipeline(spark, str(tmp_path / "work_off"))
+    run_stream(p_off, src)
+    assert len(_got(p_off)) > len(_want(log))
