@@ -1681,3 +1681,39 @@ def text_chunk_passages(spark, sf_dir):
     return chunk_passages(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
     ).withColumnRenamed("id", "doc_id")
+
+
+def _register_bottomk_query() -> None:
+    from gnarly_spark.functions.sketches import bottomk_oracle_sql
+
+    @register(
+        "sketch_bottomk_quantiles",
+        bottomk_oracle_sql(
+            "documents", "doc_id", "n_chars", "source", k=48, qs=(0.5, 0.9)
+        ),
+    )
+    def sketch_bottomk_quantiles(spark, sf_dir):
+        """Doc-length p50/p90 per source from a bottom-k sketch (k=48): the
+        k hash-smallest doc_ids form a deterministic uniform sample, so the
+        estimate — unlike percentile_approx's — is partitioning-independent
+        and the oracle re-derives sample AND quantiles bit-for-bit. At
+        100 TB the shuffle carries k rows per group instead of the column;
+        per-day sketches roll up exactly (bottomk_merge, tested)."""
+        from gnarly_spark.functions.sketches import (
+            bottomk_quantiles,
+            bottomk_sketch,
+        )
+
+        sk = bottomk_sketch(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "n_chars",
+            ("source",),
+            k=48,
+        )
+        return bottomk_quantiles(sk, (0.5, 0.9)).select(
+            "source", "n_sample", "est_p50", "est_p90"
+        )
+
+
+_register_bottomk_query()

@@ -250,3 +250,106 @@ def hll_oracle_sql(
                       ELSE e_raw END, 2) AS hll_distinct
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sketch: deterministic mergeable uniform sample (Cohen & Kaplan,
+# "Summarizing data using bottom-k sketches", PODC 2007)
+# ---------------------------------------------------------------------------
+#
+# The k rows whose md5(id) is smallest form a uniform-without-replacement
+# sample of the group (the hash is a fixed random permutation of ids), and
+# the union rule "keep the k smallest of both" makes sketches mergeable:
+# per-partition / per-day sketches roll up EXACTLY to the whole-data sketch
+# — so, unlike a reservoir sample, the result is order- and
+# partitioning-independent, which is also what makes it oracle-checkable
+# bit-for-bit. Quantile estimates read the sample; error is the standard
+# sampling bound (~1/sqrt(k) quantile deviation), deterministic given ids.
+
+
+def bottomk_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    k: int = 64,
+) -> DataFrame:
+    """(group..., sketch: array<struct<h,v>>) — the k rows with the smallest
+    md5(id) per group, hash-ordered. One shuffle on the group key; the
+    window's sort-based top-k spills instead of materializing the group in
+    memory (why this is not a collect_list)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+    return ranked.groupBy(*group_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("_h").alias("h"), F.col(value_col).alias("v"))
+            )
+        ).alias("sketch")
+    )
+
+
+def bottomk_merge(
+    sketches: DataFrame, k: int, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Roll partial sketches up: keep the k hash-smallest across all —
+    merged(partials) == sketch(whole data), exactly (tested)."""
+    return sketches.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("sketch"))), 1, k
+        ).alias("sketch")
+    )
+
+
+def bottomk_quantiles(sketches: DataFrame, qs: tuple[float, ...]) -> DataFrame:
+    """Append est_p<q> columns: the sample's q-quantile by lower index
+    (element floor(q*(n-1)), 0-based, of the value-sorted sample — no
+    interpolation, so any engine agrees bit-for-bit)."""
+    vals = F.array_sort(F.transform(F.col("sketch"), lambda x: x["v"]))
+    n = F.size(vals)
+    out = sketches.withColumn("n_sample", n.cast("long"))
+    for q in qs:
+        idx0 = F.floor(F.lit(q) * (n - F.lit(1)).cast("double")).cast("int")
+        out = out.withColumn(
+            f"est_p{int(q * 100)}", F.get(vals, idx0)
+        )
+    return out
+
+
+def bottomk_oracle_sql(
+    table: str,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    k: int,
+    qs: tuple[float, ...],
+) -> str:
+    """DuckDB twin of bottomk_sketch + bottomk_quantiles (1-based list
+    indexing vs Spark's 0-based F.get is the only dialect delta)."""
+    est_cols = ", ".join(
+        f"samp[CAST(floor({q} * (n_sample - 1)) AS INT) + 1] AS est_p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col}, {value_col},
+             row_number() OVER (
+               PARTITION BY {group_col}
+               ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn
+      FROM {table}),
+    sk AS (
+      SELECT {group_col},
+             list_sort(list({value_col})) AS samp,
+             CAST(COUNT(*) AS BIGINT) AS n_sample
+      FROM ranked WHERE rn <= {k} GROUP BY {group_col})
+    SELECT {group_col}, n_sample, {est_cols} FROM sk
+    """

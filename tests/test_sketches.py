@@ -69,3 +69,45 @@ def test_hll_add_is_partial_aggregation_no_explode(spark, keys_50k):
     # most m register rows per (input partition, group), never raw keys
     assert "partial_max" in plan
     assert "Generate" not in plan  # no explode anywhere in the sketch path
+
+
+# ---------------------------------------------------------------------------
+# bottom-k sketch
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_merge_of_partials_equals_whole(spark):
+    """Sketches built over arbitrary slices merge EXACTLY to the whole-data
+    sketch — the property that makes per-day/per-partition rollups sound."""
+    from gnarly_spark.functions.sketches import bottomk_merge, bottomk_sketch
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 3).alias("v")
+    )
+    whole = bottomk_sketch(df, "id", "v", ("g",), k=16)
+    parts = [
+        bottomk_sketch(df.where(F.col("id") % 3 == i), "id", "v", ("g",), k=16)
+        for i in range(3)
+    ]
+    merged = bottomk_merge(parts[0].union(parts[1]).union(parts[2]), 16, ("g",))
+    got = {r["g"]: r["sketch"] for r in merged.collect()}
+    want = {r["g"]: r["sketch"] for r in whole.collect()}
+    assert got == want
+
+
+def test_bottomk_quantile_accuracy_and_small_group(spark):
+    from gnarly_spark.functions.sketches import bottomk_quantiles, bottomk_sketch
+
+    df = spark.range(5000).select(
+        F.col("id"), F.lit("a").alias("g"), F.col("id").alias("v")
+    )
+    small = spark.range(5).select(
+        (F.col("id") + 10000).alias("id"), F.lit("b").alias("g"),
+        F.col("id").alias("v"),
+    )
+    sk = bottomk_sketch(df.union(small), "id", "v", ("g",), k=256)
+    est = {r["g"]: r for r in bottomk_quantiles(sk, (0.5,)).collect()}
+    # ~1/sqrt(k) sampling bound, generous factor
+    assert abs(est["a"]["est_p50"] - 2500) <= 4 / (256**0.5) * 5000
+    # group smaller than k: the sample IS the group -> exact median
+    assert est["b"]["n_sample"] == 5 and est["b"]["est_p50"] == 2
