@@ -50,6 +50,8 @@ HEADLINE = [
     "sketch_cms_topk",
     "text_gopher_repetition",
     "graph_pagerank",
+    "web_url_canonicalize",
+    "sketch_bottomk_quantiles",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"
