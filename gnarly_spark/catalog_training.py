@@ -625,7 +625,7 @@ def text_url_canonicalize(spark, sf_dir):
     scheme+host, strip fragment/query, drop default ports, strip trailing
     slash. Messy variants are synthesized deterministically from events so
     the oracle sees identical inputs."""
-    from gnarly_spark.functions.text import canonicalize_url
+    from gnarly_spark.functions.url import canonicalize_url_dropquery as canonicalize_url
 
     e = _t(spark, sf_dir, "events").where(F.col("event_id") < 400)
     uid = F.col("user_id").cast("string")

@@ -98,31 +98,6 @@ def fingerprint(col):
     return F.md5(normalize_text(col))
 
 
-def canonicalize_url(col):
-    """Web-crawl URL canonicalization — the dedup-key normalizer every
-    crawl pipeline applies before url-keyed operations (our CDC key IS the
-    url). Rule, fully specified so a SQL oracle reproduces it:
-
-      1. lowercase the scheme and host (path/query stay case-sensitive);
-      2. strip the fragment (#...);
-      3. strip the query string (?...);
-      4. drop default ports (:80 for http, :443 for https);
-      5. strip a single trailing slash.
-
-    Pure JVM regexp chain (codegen'd, no Python).
-    """
-    prefix_re = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
-    raw_prefix = F.regexp_extract(col, prefix_re, 1)
-    tail = col.substr(F.length(raw_prefix) + 1, F.length(col))
-    u = F.concat(F.lower(raw_prefix), tail)
-    u = F.regexp_replace(u, r"#.*$", "")
-    u = F.regexp_replace(u, r"\?.*$", "")
-    u = F.regexp_replace(u, r"^(http://[^/:]*):80(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"(.)/$", r"$1")
-    return u
-
-
 def scrub_pii(col):
     """Training-data PII scrubbing pass: mask emails, then long digit runs
     (phone/account numbers) — the standard pre-training hygiene transform.

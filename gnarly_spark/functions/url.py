@@ -152,3 +152,27 @@ def canonicalize_url_sql(u: str) -> str:
         f"{port_part} || {path} || "
         f"CASE WHEN {qjoin} = '' THEN '' ELSE '?' || {qjoin} END END"
     )
+
+
+def canonicalize_url_dropquery(col: Column) -> Column:
+    """The aggressive near-dup FINGERPRINT policy: like canonicalize_url
+    but the whole query string is dropped (``?page=2`` == ``?page=3`` —
+    right for "is this the same page content" grouping, wrong for a CDC
+    merge key, where dropping params would alias distinct pages; pick per
+    use). Legacy semantics pinned by the text_url_canonicalize oracle and
+    kept distinct from the key-preserving default: only a SINGLE trailing
+    slash is stripped, an empty path stays empty (no '/' is added), and a
+    non-URL string passes through unchanged instead of becoming NULL.
+
+    Pure JVM regexp chain (codegen'd, no Python).
+    """
+    prefix_re = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+    raw_prefix = F.regexp_extract(col, prefix_re, 1)
+    tail = col.substr(F.length(raw_prefix) + 1, F.length(col))
+    u = F.concat(F.lower(raw_prefix), tail)
+    u = F.regexp_replace(u, r"#.*$", "")
+    u = F.regexp_replace(u, r"\?.*$", "")
+    u = F.regexp_replace(u, r"^(http://[^/:]*):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"(.)/$", r"$1")
+    return u

@@ -9,7 +9,7 @@ def test_public_api_surface():
     from gnarly_spark import (
         catalog, catalog_training, datagen, fixtures, quality, reducers, session,
     )
-    from gnarly_spark.functions import extraction, paths, text
+    from gnarly_spark.functions import extraction, paths, text, url
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
     from gnarly_spark.sources import changelog
@@ -25,10 +25,14 @@ def test_public_api_surface():
         extraction: ["extract_text", "extract_text_udf", "EXTRACTION_RULE_VERSION"],
         text: [
             "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
-            "fingerprint", "canonicalize_url", "scrub_pii", "collapse_repeat_tokens",
+            "fingerprint", "scrub_pii", "collapse_repeat_tokens",
             "lm_quality", "pack_sequences",
         ],
         paths: ["parse_path"],
+        url: [
+            "canonicalize_url", "canonicalize_url_dropquery", "url_host",
+            "canonicalize_url_sql", "url_host_sql",
+        ],
         replay: [
             "final_state", "live_events", "reverted_blocks",
             "last_writer_wins", "last_writer_wins_salted",
