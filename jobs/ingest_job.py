@@ -45,6 +45,9 @@ def main(argv=None):
     # in-pipeline near-dup flagging vs the persisted signature table
     # (defaults: k=8, bands=4, min_est_jaccard=0.5)
     ap.add_argument("--dedup-flags", action="store_true")
+    # canonical url keys (functions/url.py): collapse messy crawl spellings
+    # before the log append / merge
+    ap.add_argument("--canonicalize-urls", action="store_true")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -75,6 +78,7 @@ def main(argv=None):
         files_per_bucket=args.files_per_bucket,
         compact_every=args.compact_every,
         dedup_minhash={} if args.dedup_flags else None,
+        canonicalize_urls=args.canonicalize_urls,
     )
     q = p.start(
         args.changelog,
