@@ -48,11 +48,31 @@ def test_watermark_drops_too_late_keeps_in_window(spark, tmp_path):
     def _in_rows():
         return sum(p["numInputRows"] for p in q.recentProgress)
 
+    def _watermark():
+        lp = q.lastProgress
+        return (lp or {}).get("eventTime", {}).get("watermark", "")
+
+    def _dropped():
+        return sum(
+            o.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for o in p["stateOperators"]
+        )
+
     try:
         deadline = time.monotonic() + 60
         while _in_rows() < 2 and time.monotonic() < deadline:
             time.sleep(0.5)
         assert _in_rows() == 2, "first file never processed"
+        # the max-event-time-derived watermark takes effect only in a batch
+        # AFTER the one that read 12:10 — wait until a progress entry shows
+        # it active (Spark runs a no-data batch to propagate it), otherwise
+        # the late file can be read by a trigger still at the initial
+        # watermark and nothing is dropped (flaked under full-suite load)
+        deadline = time.monotonic() + 60
+        while _watermark() < "2024-01-01T11:10:00" and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert _watermark() >= "2024-01-01T11:10:00", "watermark never advanced"
         # second file arrives AFTER the watermark advanced: 10:30 is older
         # than the watermark (dropped); 11:30 is late but within it
         # (incorporated into the 11:00 window)
@@ -66,12 +86,10 @@ def test_watermark_drops_too_late_keeps_in_window(spark, tmp_path):
         while _in_rows() < 4 and time.monotonic() < deadline:
             time.sleep(0.5)
         assert _in_rows() == 4, "second file never processed"
-        dropped = sum(
-            o.get("numRowsDroppedByWatermark", 0)
-            for p in q.recentProgress
-            for o in p["stateOperators"]
-        )
-        assert dropped == 1, "exactly the too-late 10:30 event is dropped"
+        deadline = time.monotonic() + 30
+        while _dropped() < 1 and time.monotonic() < deadline:
+            time.sleep(0.5)
+        assert _dropped() == 1, "exactly the too-late 10:30 event is dropped"
     finally:
         q.stop()
 
