@@ -7,7 +7,8 @@
         [--available-now | --processing-time "5 seconds"] \
         [--max-files-per-trigger 64] [--retention-blocks 100] \
         [--salt-partitions 32] [--no-retain-log] [--no-spread-batch] \
-        [--files-per-bucket 8] [--compact-every 50] [--dedup-flags]
+        [--files-per-bucket 8] [--compact-every 50] [--dedup-flags] \
+        [--canonicalize-urls]
 
 The SparkSession comes from spark-submit (master/executors configured
 there); this script only sets SQL-level knobs. Prints one JSON line of
