@@ -1739,8 +1739,9 @@ def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS new_s
           FROM l),
-    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+    s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+                    AS session_idx
           FROM f)
     SELECT user_id, session_idx,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

@@ -1751,18 +1751,28 @@ class ParquetLakeTable:
             kdf = self.spark.createDataFrame(
                 [(k,) for k in klist], schema=f"{self.key} string"
             )
-            bids = {
-                str(r.b)
-                for r in kdf.select(
-                    bucket_of(F.col(self.key), self.n_buckets).alias("b")
-                ).distinct().collect()
-            }
+            # Hash the keys ONCE (JVM xxhash64 — the same expression
+            # bucket_of composes), then derive bucket ids per manifest from
+            # THAT manifest's recorded n_buckets. A rebucket() inside the
+            # retention window leaves older manifests keyed by the old
+            # layout; pruning them with head's layout would silently skip
+            # files that still hold the purged key in historical snapshots
+            # (readable via time travel) — breaking the hard-delete
+            # guarantee. pmod(h, n) in Python mirrors F.pmod for int64.
+            hashes = [
+                r.h for r in kdf.select(F.xxhash64(self.key).alias("h")).collect()
+            ]
+
+            def bids_for(nb: int) -> set:
+                return {str(((h % nb) + nb) % nb) for h in hashes}
+
             retained = self._retained_versions()
             manifests = {v: self._manifest(v) for v in retained}
             affected: list[str] = []
             seen: set[str] = set()
             for m in manifests.values():
                 bounds = m.get("bounds", {})
+                bids = bids_for(int(m.get("n_buckets", self.n_buckets)))
                 for fmap in (m.get("buckets", {}), m.get("deltas", {})):
                     for b, fl in fmap.items():
                         if b not in bids:

@@ -1208,6 +1208,47 @@ def test_purge_keys_mor_deltas_and_dropped_files(spark, tmp_path):
         assert spark.read.parquet(r.file).where("url = 'u5'").count() == 0
 
 
+def test_purge_keys_after_rebucket_erases_old_layout_snapshots(spark, tmp_path):
+    """Hard-delete must honor EVERY retained manifest's own bucket layout.
+
+    A rebucket() inside the retention window leaves older manifests keyed
+    by the old n_buckets; pruning them with HEAD's layout computes wrong
+    bucket ids and silently skips files that still hold the purged key in
+    historical snapshots — the key stays readable via time travel while
+    purge reports success. Regression for the per-manifest bids_for fix."""
+    from gnarly_spark.sinks.lake import bucket_of
+
+    # pick a victim key whose bucket id DIFFERS between the layouts —
+    # otherwise the head-layout pruning accidentally matches and the bug
+    # stays hidden (pre-fix, this test fails only with such a key)
+    keys = [(f"u{i}",) for i in range(16)]
+    kdf = spark.createDataFrame(keys, "url string").select(
+        "url",
+        bucket_of(F.col("url"), 2).alias("b2"),
+        bucket_of(F.col("url"), 8).alias("b8"),
+    )
+    victim = kdf.where("b2 <> b8").head().url
+
+    t = ParquetLakeTable(spark, str(tmp_path / "rb"), key="url", n_buckets=2)
+    t.merge(mk(spark, [(f"u{i}", i) for i in range(16)]), batch_id=0)
+    v_old = t.current_version()  # old layout (2 buckets) holds the victim
+    t.rebucket(8)
+    t.merge(mk(spark, [(victim, 777), ("u99", 99)]), batch_id=1)
+    v_new = t.current_version()
+
+    stats = t.purge_keys(victim)
+    # both the old-layout copy and the new-layout copy must be rewritten
+    assert stats["rows_purged"] >= 2, stats
+    for v in (v_old, v_new, None):
+        assert (
+            t.read(v).where(F.col("url") == victim).count() == 0
+        ), f"{victim} visible at v={v}"
+    # neighbors intact in the old snapshot, refire guard alive
+    assert t.read(v_old).count() == 15
+    assert _pdf(t.lookup("u99")).v.tolist() == [99]
+    assert t.merge(mk(spark, [("u99", 1)]), batch_id=1) is False
+
+
 def test_purge_keys_noop_and_empty(spark, table):
     table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
     assert table.purge_keys() == {

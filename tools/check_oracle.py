@@ -31,6 +31,40 @@ def _render(v):
     return repr(v)
 
 
+def _dtype_class(dt) -> str:
+    """Collapse a pandas dtype into the class the driver's value hash
+    distinguishes: an integer column and a float column hash differently
+    even when every float is integral (the w_sessionize HUGEINT lesson —
+    DuckDB windows SUM(int) as HUGEINT which lands in pandas as float64,
+    while Spark returns bigint; _render masked it, the driver did not)."""
+    k = getattr(dt, "kind", "O")
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    return "object"
+
+
+def dtype_drift(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns whose dtype class differs between Spark and DuckDB results.
+
+    int-vs-float drift is always a real driver-hash hazard. object-vs-numeric
+    is too (e.g. DuckDB DECIMAL → object of Decimal vs Spark float64)."""
+    bad = []
+    for c in sorted(got.columns):
+        a, b = _dtype_class(got[c].dtype), _dtype_class(want[c].dtype)
+        if a != b:
+            # an all-NaN/None column degrades to object/float regardless of
+            # logical type — only flag when both sides have real values
+            if got[c].notna().any() and want[c].notna().any():
+                bad.append(f"{c}: spark={got[c].dtype}({a}) duckdb={want[c].dtype}({b})")
+    return bad
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -79,6 +113,11 @@ def main():
             continue
         if len(got) != len(want):
             print(f"FAIL  {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+            continue
+        drift = dtype_drift(got, want)
+        if drift:
+            print(f"FAIL  {name}: dtype drift (driver hash would differ): {drift}")
             n_fail += 1
             continue
         a, b = normalize(got), normalize(want)
