@@ -280,6 +280,20 @@ def bottomk_sketch(
     memory (why this is not a collect_list)."""
     from pyspark.sql import Window
 
+    if not group_cols:
+        # Window.partitionBy() with no keys would move the WHOLE input into
+        # one partition for the sort. Mergeability is the fix: bottom-k per
+        # input partition in parallel, then merge the tiny partials — the
+        # union rule makes the result EXACTLY the global sketch.
+        partials = bottomk_sketch(
+            df.withColumn("_pid", F.spark_partition_id()),
+            id_col,
+            value_col,
+            ("_pid",),
+            k,
+        )
+        return bottomk_merge(partials, k)
+
     h = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         h.asc(), F.col(id_col).asc()

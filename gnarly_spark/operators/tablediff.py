@@ -113,6 +113,15 @@ def _row_diff(
     )
 
 
+def _empty_diff(left: DataFrame, key_col: str) -> DataFrame:
+    """Zero-row diff whose key column preserves the input's real type —
+    the identical-tables short-circuit must union/schema-compare cleanly
+    with the non-empty path (which inherits the key type from the join)."""
+    return left.select(F.col(key_col)).limit(0).withColumn(
+        "status", F.lit(None).cast("string")
+    )
+
+
 def table_diff(
     left: DataFrame,
     right: DataFrame,
@@ -133,9 +142,7 @@ def table_diff(
         raise ValueError(f"right side lacks columns {missing}")
     bad = _mismatched_buckets(left, right, key_col, n_buckets, cols)
     if not bad:
-        return left.sparkSession.createDataFrame(
-            [], schema=f"{key_col} string, status string"
-        )
+        return _empty_diff(left, key_col)
     in_bad = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast(
         "int"
     ).isin(bad)
@@ -160,9 +167,7 @@ def lake_table_diff(left, right, compare_cols: list[str] | None = None) -> DataF
     # checksum bucket maps 1:1 onto manifest file lists
     bad = _mismatched_buckets(lv, rv, key, left.n_buckets, cols)
     if not bad:
-        return lv.sparkSession.createDataFrame(
-            [], schema=f"{key} string, status string"
-        )
+        return _empty_diff(lv, key)
     lsub = left._read_snapshot(left._manifest(), bad)
     rsub = right._read_snapshot(right._manifest(), bad)
     return _row_diff(lsub, rsub, key, cols)

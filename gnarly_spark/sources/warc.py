@@ -122,6 +122,18 @@ def write_warc(
     return [(r["file"], r["n_records"]) for r in manifest]
 
 
+def _parse_warc_date(name: str, raw: str) -> datetime:
+    """WARC 1.0 dates have second precision ('2017-01-01T00:00:00Z' — all
+    real Common Crawl segments); WARC 1.1 allows fractional seconds (what
+    this module's writer emits). Accept both, reject anything else loudly."""
+    for fmt in (_DATE_FMT, "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            return datetime.strptime(raw, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"{name}: unparseable WARC-Date {raw!r}")
+
+
 def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
     """Yield (url, warc_ts, payload, file) from one WARC file's bytes.
     Framing walk: header block up to the blank line, Content-Length bytes
@@ -135,12 +147,15 @@ def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
             i += 1
         if i >= n:
             break
-        end = blob.find(b"\r\n\r\n", i)
-        sep = 4
-        if end == -1:
-            end = blob.find(b"\n\n", i)
-            sep = 2
-        if end == -1:
+        # take whichever terminator ends FIRST: an LF-only header block is
+        # otherwise mis-framed by a \r\n\r\n further down in an HTTP payload
+        e1 = blob.find(b"\r\n\r\n", i)
+        e2 = blob.find(b"\n\n", i)
+        if e1 != -1 and (e2 == -1 or e1 < e2):
+            end, sep = e1, 4
+        elif e2 != -1:
+            end, sep = e2, 2
+        else:
             raise ValueError(f"{name}: truncated WARC header block at byte {i}")
         headers = {}
         for line in blob[i:end].decode("utf-8", errors="replace").splitlines()[1:]:
@@ -152,8 +167,12 @@ def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
         if len(payload) != length:
             raise ValueError(f"{name}: truncated payload at byte {body_start}")
         if headers.get("warc-type") == "response":
-            ts = datetime.strptime(headers["warc-date"], _DATE_FMT)
-            yield headers["warc-target-uri"], ts, payload, name
+            yield (
+                headers["warc-target-uri"],
+                _parse_warc_date(name, headers["warc-date"]),
+                payload,
+                name,
+            )
         i = body_start + length
 
 

@@ -95,6 +95,26 @@ def test_bottomk_merge_of_partials_equals_whole(spark):
     assert got == want
 
 
+def test_bottomk_ungrouped_is_partition_parallel_and_exact(spark):
+    """group_cols=() must NOT funnel the whole input through one window
+    partition: it pre-reduces bottom-k per input partition then merges the
+    tiny partials (exact by the merge rule). Result equals a constant-group
+    sketch; the plan's big window is keyed by the partition id."""
+    from gnarly_spark.functions.sketches import bottomk_sketch
+
+    df = spark.range(4000).repartition(8).select(
+        F.col("id"), (F.col("id") * 7 % 1001).alias("v")
+    )
+    got = bottomk_sketch(df, "id", "v", (), k=32)
+    want = bottomk_sketch(
+        df.withColumn("_g", F.lit(1)), "id", "v", ("_g",), k=32
+    ).drop("_g")
+    assert got.select("sketch").collect() == want.select("sketch").collect()
+    # the full-input window runs per input partition, not SinglePartition
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan, plan
+
+
 def test_bottomk_quantile_accuracy_and_small_group(spark):
     from gnarly_spark.functions.sketches import bottomk_quantiles, bottomk_sketch
 

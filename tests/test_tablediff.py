@@ -37,6 +37,23 @@ def test_table_diff_identical_short_circuits_empty(spark):
     assert out.columns == ["url", "status"]
 
 
+def test_table_diff_empty_path_preserves_key_type(spark):
+    """Identical-table short-circuit must return the key's REAL type —
+    a numeric-keyed caller unioning empty and non-empty results would
+    otherwise hit a bigint-vs-string mismatch depending on whether a diff
+    was found."""
+    same = spark.createDataFrame([(i, i * 2) for i in range(10)], "doc_id long, v int")
+    empty = table_diff(same, same, "doc_id")
+    assert empty.schema["doc_id"].dataType.simpleString() == "bigint"
+    diverged = spark.createDataFrame(
+        [(i, i * 2 + (1 if i == 3 else 0)) for i in range(10)], "doc_id long, v int"
+    )
+    nonempty = table_diff(same, diverged, "doc_id")
+    # the two paths union cleanly (same schema) — the original bug
+    both = empty.unionByName(nonempty)
+    assert [(r.doc_id, r.status) for r in both.collect()] == [(3, "differs")]
+
+
 def test_table_diff_compare_cols_subset(spark):
     """Diff restricted to v ignores a w-only divergence."""
     left = mk(spark, [("a", 1, "x"), ("b", 2, "y")])

@@ -58,6 +58,33 @@ def test_warc_parser_tolerates_lf_only_and_skips_non_response():
     ]
 
 
+def test_warc_10_second_precision_dates_parse():
+    """Real Common Crawl segments are WARC 1.0: WARC-Date has NO fractional
+    seconds. The parser must accept both forms (regression: strict %f-only
+    strptime rejected every real crawl file)."""
+    rec = warc_record_bytes("https://a/1", datetime(2026, 3, 1, 0, 0, 0, 123456), b"B")
+    plain = rec.replace(b"2026-03-01T00:00:00.123456Z", b"2017-01-01T00:00:05Z")
+    out = list(_parse_warc_bytes("cc.warc", plain))
+    assert out == [("https://a/1", datetime(2017, 1, 1, 0, 0, 5), b"B", "cc.warc")]
+    with pytest.raises(ValueError, match="unparseable WARC-Date"):
+        list(_parse_warc_bytes("bad.warc", rec.replace(
+            b"2026-03-01T00:00:00.123456Z", b"01 Mar 2026 00:00:00 GMT+0"
+        )))
+
+
+def test_warc_lf_only_header_with_crlf_in_payload():
+    """An LF-only header block followed by a payload CONTAINING \\r\\n\\r\\n
+    (every HTTP response does) must frame on the earlier \\n\\n terminator,
+    not the payload's CRLFCRLF (regression: the fallback only fired when
+    CRLFCRLF was absent from the entire remainder)."""
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>hi</html>"
+    rec = warc_record_bytes("https://a/1", datetime(2026, 3, 1), body)
+    lf_only_headers = rec.split(b"\r\n\r\n", 1)
+    lf_rec = lf_only_headers[0].replace(b"\r\n", b"\n") + b"\n\n" + lf_only_headers[1]
+    out = list(_parse_warc_bytes("f.warc", lf_rec))
+    assert out == [("https://a/1", datetime(2026, 3, 1), body, "f.warc")]
+
+
 def test_warc_parser_raises_on_truncation():
     rec = warc_record_bytes("https://a/1", datetime(2026, 1, 1), b"0123456789")
     with pytest.raises(ValueError, match="truncated payload"):
