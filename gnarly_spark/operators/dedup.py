@@ -562,6 +562,30 @@ def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str
     return sums.select("id", word.alias("simhash"))
 
 
+def _block_layout(bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """(offset, width) of each of n_blocks contiguous bit blocks covering
+    ``bits`` bits — widths differ by at most 1 when n_blocks doesn't divide
+    bits (Manku et al. §3 allows uneven blocks; pigeonhole only needs them
+    disjoint and covering)."""
+    base, extra = divmod(bits, n_blocks)
+    layout, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def combination_key_bits(bits: int, n_blocks: int, max_hamming: int) -> int:
+    """Width in bits of the NARROWEST combination-blocking join key — the
+    join keyspace is >= 2**this. Disjoint-band blocking's keyspace is only
+    2**(bits/bands); combination blocking multiplies it to ~2**(bits *
+    (1 - max_hamming/n_blocks)), which is what keeps candidate volume
+    sub-quadratic at 1e10 docs."""
+    widths = sorted(w for _, w in _block_layout(bits, n_blocks))
+    return sum(widths[: n_blocks - max_hamming])
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -569,47 +593,100 @@ def simhash_hamming_pairs(
     bits: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    combination_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, found via
     bit-band blocking (Manku et al., WWW'07: near-dup detection for web
     crawling). Output: (id_a, id_b, hamming) with id_a < id_b.
 
-    EXACT, not approximate: with ``bands`` equal-width bit bands and
-    ``max_hamming <= bands - 1``, any pair within the Hamming radius
-    differs in at most max_hamming bands, so by pigeonhole it agrees
-    exactly on at least one band — banded blocking recalls every
-    qualifying pair, and the post-join bit_count(xor) filter discards
-    false collisions. (Asserted below; raising max_hamming needs more
-    bands, e.g. 64-bit simhash with 8 bands covers radius 7.)
+    EXACT, not approximate, in BOTH modes:
+
+    - Default (disjoint bands): with ``bands`` equal-width bit bands and
+      ``max_hamming <= bands - 1``, any pair within the Hamming radius
+      differs in at most max_hamming bands, so by pigeonhole it agrees
+      exactly on at least one band — banded blocking recalls every
+      qualifying pair, and the post-join bit_count(xor) filter discards
+      false collisions. Keyspace per band = 2**(bits/bands): right at
+      sandbox..1e8 doc scale, but candidate volume grows ~n^2/keyspace, so
+      16-bit keys (64 bits / 4 bands) are infeasible at 1e10 docs.
+
+    - ``combination_blocks=b`` (Manku §3 combination blocking, the
+      1e10-doc shape): split the fingerprint into b > max_hamming blocks
+      and emit one join key per C(b, b - max_hamming) block COMBINATION —
+      the concatenated bits of those blocks. A pair within the radius has
+      at most max_hamming dirty blocks, so the combination made of its
+      >= b - max_hamming clean blocks matches exactly (recall still exact
+      by pigeonhole). Rows per doc rise to C(b, b-h) (20 for b=6, h=3)
+      but the keyspace widens to 2**combination_key_bits(...) — 2**31 for
+      64-bit fingerprints with b=6, h=3 (uneven 64/6 blocks; b=7 crosses
+      2**32) — collapsing candidate volume by ~2**15 vs the disjoint mode
+      at the same radius.
 
     Scale shape: one narrow (id, simhash) row per doc -> one explode into
-    ``bands`` rows -> ONE shuffle for the (band, band_val) equi-join; no
-    all-pairs comparison ever happens. Candidate multiplicity (a pair
-    colliding in several bands) is deduped AFTER the cheap xor verify so
-    the distinct runs on the filtered (small) relation.
+    ``bands`` (or C(b, b-h)) rows -> ONE shuffle for the (band, band_val)
+    equi-join; no all-pairs comparison ever happens. Candidate
+    multiplicity (a pair colliding in several bands) is deduped AFTER the
+    cheap xor verify so the distinct runs on the filtered (small)
+    relation.
     """
-    if bands <= 0 or bits % bands != 0 or max_hamming > bands - 1:
-        raise ValueError(
-            f"need bits ({bits}) divisible by bands ({bands}) > 0 and "
-            f"max_hamming ({max_hamming}) <= bands-1 (pigeonhole coverage)"
-        )
-    r = bits // bands
-    mask = (1 << r) - 1
     sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
-    banded = sig.select(
-        "id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.expr(f"shiftright(simhash, {b * r})").bitwiseAND(F.lit(mask))).cast(
-                        "long"
-                    )
-                    for b in range(bands)
-                ]
+    if combination_blocks is not None:
+        nb = combination_blocks
+        if nb <= max_hamming or nb > bits:
+            raise ValueError(
+                f"need max_hamming ({max_hamming}) < combination_blocks "
+                f"({nb}) <= bits ({bits})"
             )
-        ).alias("band", "band_val"),
-    )
+        import itertools
+
+        layout = _block_layout(bits, nb)
+        if combination_key_bits(bits, nb, max_hamming) > 62:
+            raise ValueError(
+                "combination key exceeds 62 bits — use more blocks or a "
+                "narrower fingerprint"
+            )
+
+        def block_val(off: int, w: int):
+            # bit 63 survives shiftright (arithmetic) because the width
+            # mask clears the smeared sign bits
+            return F.expr(f"shiftright(simhash, {off})").bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+
+        keys = []
+        for combo in itertools.combinations(range(nb), nb - max_hamming):
+            k = F.lit(0).cast("long")
+            for j in combo:
+                off, w = layout[j]
+                k = F.shiftleft(k, w).bitwiseOR(block_val(off, w))
+            keys.append(k)
+        banded = sig.select(
+            "id",
+            "simhash",
+            F.posexplode(F.array(*keys)).alias("band", "band_val"),
+        )
+    else:
+        if bands <= 0 or bits % bands != 0 or max_hamming > bands - 1:
+            raise ValueError(
+                f"need bits ({bits}) divisible by bands ({bands}) > 0 and "
+                f"max_hamming ({max_hamming}) <= bands-1 (pigeonhole coverage)"
+            )
+        r = bits // bands
+        mask = (1 << r) - 1
+        banded = sig.select(
+            "id",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        (F.expr(f"shiftright(simhash, {b * r})").bitwiseAND(F.lit(mask))).cast(
+                            "long"
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band", "band_val"),
+        )
     # self-join of the O(corpus) banded relation: pin shuffle_hash so no
     # side is ever broadcast-built on the driver (see minhash_lsh_pairs)
     a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")

@@ -45,7 +45,8 @@ def test_public_api_surface():
             "minhash_signatures", "minhash_lsh_pairs", "simhash",
             "incremental_lsh_dups",
             "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
-            "duplicate_clusters",
+            "duplicate_clusters", "simhash_hamming_pairs",
+            "combination_key_bits",
         ],
         similarity: [
             "cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk",

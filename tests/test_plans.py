@@ -165,6 +165,32 @@ def test_simhash_pairs_blocking_is_equi_join_no_cartesian(spark):
     assert "band_val" in plan  # the blocking key is the join key
 
 
+def test_simhash_combination_blocking_plan_and_keyspace(spark):
+    """Combination-blocking mode keeps the same plan shape (one equi-join
+    on band_val, no cartesian, no broadcast) while the join keyspace is
+    >= 2^32 — the property that bounds candidate volume at 1e10 docs where
+    disjoint 16-bit bands go quadratic."""
+    from gnarly_spark.operators.dedup import (
+        combination_key_bits,
+        simhash_hamming_pairs,
+    )
+
+    assert combination_key_bits(64, 6, 3) == 31  # vs 16 for disjoint bands
+    assert combination_key_bits(64, 7, 3) >= 32  # b=7 crosses 2^32
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(
+        simhash_hamming_pairs(docs, max_hamming=3, bits=64, combination_blocks=6)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "band_val" in plan
+    # per join side: one Generate for the token split + ONE for the
+    # 20-key posexplode (the keys ride a single array, never 20 explodes);
+    # the self-join materializes the subtree twice -> 4 total
+    assert plan.count("Generate") <= 4, plan.count("Generate")
+
+
 def test_corpus_dedup_joins_never_broadcast(spark):
     """Every join side in the shingle-pair operators is O(corpus) — banded
     self-join, shingle verify joins, per-doc size joins — so NONE may be

@@ -129,6 +129,40 @@ def test_simhash_64bit_pairs_complete_vs_bruteforce(spark, docs):
     assert brute[(0, 1)] == 0 and brute[(0, 4)] == 0  # exact dups
 
 
+def test_simhash_combination_blocking_complete_vs_bruteforce(spark, docs):
+    """Manku combination blocking (b=6 blocks, key per C(6,3)=20 block
+    combination) must recall EXACTLY the all-pairs answer at radius 3 —
+    same completeness contract as disjoint bands, 2^32 keyspace instead of
+    2^16. Also: both modes agree pair-for-pair."""
+    from gnarly_spark.operators.dedup import (
+        combination_key_bits,
+        simhash,
+        simhash_hamming_pairs,
+    )
+
+    # the 1e10-doc keyspace claim: b=6 gives 2^31 (uneven 64/6 blocks —
+    # narrowest C(6,3) combo is 10+10+11 bits); b=7 crosses 2^32
+    assert combination_key_bits(64, 6, 3) == 31
+    assert combination_key_bits(64, 7, 3) >= 32
+    sig = simhash(docs, bits=64).toPandas().set_index("id").simhash
+    m = (1 << 64) - 1
+    brute = {
+        (a, b): bin((int(sig[a]) ^ int(sig[b])) & m).count("1")
+        for a in sig.index
+        for b in sig.index
+        if a < b and bin((int(sig[a]) ^ int(sig[b])) & m).count("1") <= 3
+    }
+    combo = simhash_hamming_pairs(
+        docs, max_hamming=3, bits=64, combination_blocks=6
+    ).toPandas()
+    assert {(r.id_a, r.id_b): r.hamming for r in combo.itertuples()} == brute
+    disjoint = simhash_hamming_pairs(docs, max_hamming=3, bands=4, bits=64).toPandas()
+    assert {(r.id_a, r.id_b): r.hamming for r in disjoint.itertuples()} == brute
+
+    with pytest.raises(ValueError, match="combination_blocks"):
+        simhash_hamming_pairs(docs, max_hamming=3, combination_blocks=3)
+
+
 def test_cosine_topk_matches_numpy(spark):
     rng = np.random.default_rng(1)
     vecs = rng.normal(size=(50, 16)).astype("float32")
