@@ -961,6 +961,51 @@ def mm_media_features(spark, sf_dir):
     )
 
 
+@register(
+    "mm_image_dims",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST(16 + doc_id % 640 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 480 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+           CAST(8 AS INT) AS bit_depth
+    FROM documents
+    """,
+)
+def mm_image_dims(spark, sf_dir):
+    """REAL image decode, driver-checked: synthesize valid PNG (IHDR,
+    RGBA) and JPEG (APP0 + baseline SOF0, 3 components) byte streams
+    JVM-side with width/height derived from doc_id, then recover the
+    dimensions with the pure-Python header parsers over Arrow batches
+    (extract_image_dims). The oracle recomputes the dims from doc_id
+    directly — a wrong SOF/IHDR offset, endianness, or channel map breaks
+    the hash. (Header-building: unhex over lpad(hex(n)) stays entirely in
+    whole-stage codegen until the one mapInPandas decode.)"""
+    from gnarly_spark.operators.multimodal import extract_image_dims
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    w16 = F.lpad(F.hex((F.col("doc_id") % 640 + 16).cast("int")), 4, "0")
+    h16 = F.lpad(F.hex(((F.col("doc_id") * 7) % 480 + 16).cast("int")), 4, "0")
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A" "0000000D" "49484452"),
+        F.lpad(w16, 8, "0"),
+        F.lpad(h16, 8, "0"),
+        F.lit("0806000000"),  # depth 8, color type 6 (RGBA), no interlace
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8" "FFE000104A46494600010100000100010000"),  # SOI + APP0
+        F.lit("FFC00011" "08"),  # SOF0, len 17, precision 8
+        h16,
+        w16,
+        F.lit("03" "011100" "021101" "031101" "FFD9"),  # 3 components + EOI
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex)
+    )
+    return extract_image_dims(docs.withColumn("payload", payload))
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level dedup / boilerplate removal
 # ---------------------------------------------------------------------------

@@ -3,10 +3,13 @@
 Training-data pipelines at 100 TB carry media as `binary` columns with a
 struct of metadata, and run decode / feature-extract / resize / frame-sample
 as Arrow-batched pandas functions over `mapInPandas`. The Spark-side
-plumbing here — schemas, batch iteration, partition sizing, deterministic
-fake features — is real and tested; the actual codec calls are STUBBED
-(`NotImplementedError` behind `decode_real=True`) because no image/audio
-libraries exist in this container. Swapping in PIL/ffmpeg at deploy time
+plumbing here — schemas, batch iteration, partition sizing — is real and
+tested. Image decode is REAL for the two formats that dominate the web:
+JPEG SOF and PNG IHDR headers are parsed in pure Python over the Arrow
+batches (width/height/channels/bit_depth — `extract_image_dims`,
+`decode_image_header`). Audio/video codec calls remain STUBBED
+(`NotImplementedError` behind `decode_real=True`) because no ffmpeg/
+torchaudio exists in this container; swapping them in at deploy time
 changes only the inside of `_decode_stub`.
 
 Scale notes:
@@ -59,17 +62,109 @@ def media_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
     )
 
 
+# PNG color type -> sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOF markers: C0-CF minus C4 (DHT), C8 (JPG extension), CC (DAC)
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+# standalone markers with NO length field: TEM, RST0-7 (SOI/EOI handled
+# separately — EOI ends the scan)
+_JPEG_BARE = {0x01, *range(0xD0, 0xD8)}
+
+
+def _png_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, bit_depth) from a PNG IHDR, or None.
+
+    IHDR is REQUIRED to be the first chunk (PNG spec §5.6): 8-byte
+    signature, 4-byte length, 'IHDR', then width/height (4-byte BE each),
+    bit depth, color type."""
+    if len(b) < 29 or b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    depth, color = b[24], b[25]
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None or not (0 < w and 0 < h):
+        return None
+    return w, h, ch, depth
+
+
+def _jpeg_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, bit_depth) from the first JPEG SOF
+    segment, or None. Walks the marker stream from SOI: every non-bare
+    segment carries a 2-byte BE length (inclusive of itself); SOF payload
+    is precision, height(2), width(2), n_components (ITU T.81 §B.2.2).
+    Handles APPn/COM/DQT/DHT before the SOF (every camera JPEG has them)
+    and both baseline (SOF0) and progressive (SOF2)."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None  # desynced marker stream
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte padding before a marker
+            i += 1
+            continue
+        if marker in _JPEG_BARE:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if i + 4 + 6 > n:
+                return None
+            depth = b[i + 4]
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            ch = b[i + 9]
+            if not (0 < w and 0 < h):
+                return None
+            return w, h, ch, depth
+        if marker == 0xDA:  # SOS without a prior SOF: give up
+            return None
+        i += 2 + seg_len
+    return None
+
+
+def decode_image_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """Pure-Python image dimension decode for the two formats that matter
+    at corpus scale (JPEG + PNG ~ the whole web): (width, height,
+    channels, bit_depth), or None if the payload is neither."""
+    if not payload:
+        return None
+    if payload[:2] == b"\xff\xd8":
+        return _jpeg_header(payload)
+    return _png_header(payload)
+
+
 def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[float]:
-    """Deterministic fake feature vector (replace with a real decoder at
-    deploy: PIL.Image.open / torchaudio.load / av.open)."""
-    if decode_real:
-        raise NotImplementedError(
-            "real media decoding needs PIL/torchaudio/av — not in this container"
-        )
+    """Feature vector per media row.
+
+    decode_real=False (default): deterministic sha256 fake — the plumbing
+    tester. decode_real=True: REAL header decode for image/jpeg and
+    image/png — feature[0:4] = (width, height, channels, bit_depth) as
+    floats, remaining slots the sha256 signature (so the payload-identity
+    property survives); other media types still raise loudly (audio/video
+    codecs genuinely need ffmpeg/torchaudio — not in this container)."""
     import hashlib
 
     h = hashlib.sha256(payload or b"").digest()
-    return [((h[i] / 255.0) - 0.5) for i in range(FEATURE_DIM)]
+    sha_feats = [((h[i] / 255.0) - 0.5) for i in range(FEATURE_DIM)]
+    if not decode_real:
+        return sha_feats
+    if media_type in ("image/jpeg", "image/png"):
+        dims = decode_image_header(payload)
+        if dims is None:
+            raise ValueError(f"undecodable {media_type} payload")
+        return [float(v) for v in dims] + sha_feats[4:]
+    raise NotImplementedError(
+        f"real decode of {media_type} needs ffmpeg/torchaudio — not in "
+        "this container (JPEG/PNG decode IS implemented)"
+    )
 
 
 def extract_media_features(
@@ -108,6 +203,51 @@ def extract_media_features(
         F.col(id_col), F.col(type_col), F.col(binary_col)
     )  # prune early: never ship unused columns into Python
     return cols.mapInPandas(run, schema=FEATURES_DDL)
+
+
+IMAGE_DIMS_DDL = (
+    "doc_id long, fmt string, width int, height int, channels int, bit_depth int"
+)
+
+
+def extract_image_dims(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real image dimension extraction over Arrow mapInPandas batches:
+    (doc_id, fmt, width, height, channels, bit_depth), with NULL dims and
+    fmt for payloads that are neither JPEG nor PNG (no decode library —
+    the headers are ~20 lines of struct parsing each, see _jpeg_header /
+    _png_header). Column-pruned before the Python boundary; per-batch
+    vectorized loop, never a row-at-a-time UDF."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, chs, ds = [], [], [], [], []
+            for p in pdf[binary_col]:
+                b = bytes(p) if p is not None else b""
+                if b[:2] == b"\xff\xd8":
+                    fmt, dims = "jpeg", _jpeg_header(b)
+                elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                    fmt, dims = "png", _png_header(b)
+                else:
+                    fmt, dims = None, None
+                fmts.append(fmt)
+                w, h, c, d = dims if dims else (None, None, None, None)
+                ws.append(w), hs.append(h), chs.append(c), ds.append(d)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "fmt": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "bit_depth": pd.array(ds, dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=IMAGE_DIMS_DDL
+    )
 
 
 def media_repartition_by_bytes(

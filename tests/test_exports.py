@@ -55,6 +55,7 @@ def test_public_api_surface():
         multimodal: [
             "media_metadata", "extract_media_features",
             "media_repartition_by_bytes", "sample_frames",
+            "extract_image_dims", "decode_image_header",
         ],
         lake: [
             "ParquetLakeTable", "IcebergLakeTable", "bucket_of",

@@ -53,9 +53,106 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     assert got.loc[3, "n_bytes"] == len(MP4)
 
 
-def test_real_decode_is_stubbed(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|real media decoding"):
-        extract_media_features(media, decode_real=True).collect()
+def test_real_decode_still_stubbed_for_audio_video(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|needs ffmpeg"):
+        extract_media_features(
+            media.where("media_type = 'audio/wav'"), decode_real=True
+        ).collect()
+    # a JPEG payload with no parseable SOF fails loudly, not silently
+    with pytest.raises(Exception, match="undecodable"):
+        extract_media_features(
+            media.where("media_type = 'image/jpeg'"), decode_real=True
+        ).collect()
+
+
+def _png_bytes(w, h, color_type=6, depth=8):
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([depth, color_type, 0, 0, 0])
+        + b"\x00" * 8  # fake CRC + next-chunk bytes
+    )
+
+
+def _jpeg_bytes(w, h, sof=0xC0, ncomp=3, pre_segments=b""):
+    sof_seg = (
+        bytes([0xFF, sof])
+        + (8 + 3 * ncomp).to_bytes(2, "big")
+        + bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([ncomp])
+        + b"\x01\x11\x00" * ncomp
+    )
+    return b"\xff\xd8" + pre_segments + sof_seg + b"\xff\xd9"
+
+
+def test_image_header_decode_real_formats():
+    """Pure-Python JPEG SOF / PNG IHDR parsing over realistic header
+    shapes: APPn+COM segments before the SOF, progressive SOF2, fill
+    bytes, grayscale and 16-bit PNG — plus garbage rejection."""
+    from gnarly_spark.operators.multimodal import decode_image_header
+
+    # baseline JPEG with APP0 + comment before SOF0
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe\x00\x07hello"
+    assert decode_image_header(
+        _jpeg_bytes(1920, 1080, pre_segments=app0 + com)
+    ) == (1920, 1080, 3, 8)
+    # progressive (SOF2), grayscale, fill bytes before the marker
+    assert decode_image_header(
+        _jpeg_bytes(640, 480, sof=0xC2, ncomp=1, pre_segments=b"\xff" + app0)
+    ) == (640, 480, 1, 8)
+    # PNG RGBA / grayscale / 16-bit
+    assert decode_image_header(_png_bytes(800, 600)) == (800, 600, 4, 8)
+    assert decode_image_header(_png_bytes(32, 32, color_type=0)) == (32, 32, 1, 8)
+    assert decode_image_header(_png_bytes(5, 7, color_type=2, depth=16)) == (
+        5, 7, 3, 16,
+    )
+    # rejects: garbage, truncation, DHT-only JPEG, empty
+    assert decode_image_header(b"GIF89a" + b"\x00" * 40) is None
+    assert decode_image_header(_png_bytes(800, 600)[:20]) is None
+    assert decode_image_header(b"\xff\xd8\xff\xc4\x00\x04\x00\x00\xff\xd9") is None
+    assert decode_image_header(None) is None and decode_image_header(b"") is None
+
+
+def test_extract_image_dims_spark_path(spark):
+    """The mapInPandas operator: typed dims for JPEG/PNG rows, NULLs for
+    everything else, column-pruned before the Python boundary."""
+    from gnarly_spark.operators.multimodal import extract_image_dims
+
+    rows = [
+        (0, _png_bytes(12, 34)),
+        (1, _jpeg_bytes(56, 78)),
+        (2, b"not an image at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = extract_image_dims(df).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[0].tolist() == ["png", 12, 34, 4, 8]
+    assert got.loc[1].tolist() == ["jpeg", 56, 78, 3, 8]
+    assert got.loc[2].isna().all() and got.loc[3].isna().all()
+
+
+def test_decode_real_features_carry_dims(spark):
+    """decode_real=True on JPEG/PNG returns REAL dimensions in
+    feature[0:4] while the sha tail still proves payload identity."""
+    rows = [(0, "image/png", _png_bytes(100, 50)), (1, "image/jpeg", _jpeg_bytes(20, 10))]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = (
+        extract_media_features(df, decode_real=True)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert got.loc[0, "feature"][:4].tolist() == [100.0, 50.0, 4.0, 8.0]
+    assert got.loc[1, "feature"][:4].tolist() == [20.0, 10.0, 3.0, 8.0]
+    fake = extract_media_features(df).toPandas().set_index("doc_id")
+    for i in (0, 1):
+        assert got.loc[i, "feature"][4:].tolist() == fake.loc[i, "feature"][4:].tolist()
 
 
 def _partition_bytes(out):
