@@ -961,6 +961,44 @@ def mm_media_features(spark, sf_dir):
     )
 
 
+# Ranked BPE merge table for the driver-visible count query (literal so the
+# DuckDB twin is single-sourced from the same constant; real deployments
+# train with train_bpe_merges or load a public merges.txt). Each merge's
+# parts exist before it (rank-proper), e.g. ('th','e') needs ('t','h').
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("an", "d"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("in", "g"), ("o", "u"), ("i", "s"),
+    ("t", "o"),
+]
+
+
+def _register_bpe_query() -> None:
+    from gnarly_spark.functions.text import bpe_count_sql
+
+    @register(
+        "text_bpe_token_count",
+        f"SELECT doc_id, {bpe_count_sql(_BPE_MERGES)} AS n_tok FROM documents",
+    )
+    def text_bpe_token_count(spark, sf_dir):
+        """REAL BPE token counting, driver-checked: the ranked merge table
+        is applied greedily per word inside one Arrow-batched pandas UDF
+        (functions/text.py bpe_token_count); the DuckDB oracle applies the
+        SAME merges as chained replace() over the marker representation —
+        both sides single-sourced from _BPE_MERGES, so a divergence in
+        merge order, boundary handling, or overlap semantics breaks the
+        hash. This is the count pack_sequences budgets on when merges are
+        passed."""
+        from gnarly_spark.functions.text import bpe_token_count
+
+        return bpe_token_count(_t(spark, sf_dir, "documents"), _BPE_MERGES).select(
+            F.col("id").alias("doc_id"), "n_tok"
+        )
+
+
+_register_bpe_query()
+
+
 @register(
     "mm_image_dims",
     """

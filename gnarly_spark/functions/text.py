@@ -65,6 +65,168 @@ def bpe_ish_token_count(col):
     return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# Real BPE token counting: a ranked merge table (trained on the corpus or
+# loaded from a public merges.txt) applied greedily inside an Arrow-batched
+# pandas UDF. Token budgets in training pipelines are tokenizer tokens, not
+# whitespace words — pack_sequences budgets on this when merges are given.
+# ---------------------------------------------------------------------------
+
+# Token-boundary marker for the merge-application representation: each
+# token is MARK + token + ' ', so the pattern 'MARK a MARK b ' matches a
+# (a, b) token pair exactly (never a token suffix/prefix), and one
+# left-to-right non-overlapping str.replace pass per merge IS the BPE merge
+# step. Applying merges in rank order, one pass each, equals priority-queue
+# BPE for any properly-ranked merge list (each merge's parts are created by
+# strictly earlier merges, and later merges can only fuse neighbors —
+# never re-create a lower-ranked pair).
+_BPE_MARK = "\x01"
+
+
+def _bpe_word_tokens(word: str, patterns: list[tuple[str, str]]) -> int:
+    rep = "".join(f"{_BPE_MARK}{c} " for c in word)
+    for pat, sub in patterns:
+        if pat in rep:
+            rep = rep.replace(pat, sub)
+    return rep.count(_BPE_MARK)
+
+
+def _bpe_patterns(merges) -> list[tuple[str, str]]:
+    return [
+        (f"{_BPE_MARK}{a} {_BPE_MARK}{b} ", f"{_BPE_MARK}{a}{b} ")
+        for a, b in merges
+    ]
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tok) — real BPE token counts: normalize JVM-side, then apply
+    the ranked ``merges`` greedily per word inside ONE vectorized pandas
+    UDF. The merge table rides a SparkContext broadcast (one transfer per
+    executor, fine up to GPT-2's 50k merges); per-word counts are memoized
+    per Python worker, which on natural text (Zipfian words) makes the
+    amortized cost ~a dict hit per word."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        bpe_count_column(docs.sparkSession, merges, F.col(text_col)).alias(
+            "n_tok"
+        ),
+    )
+
+
+def bpe_count_column(spark, merges, text_col) -> "F.Column":
+    """The BPE-count Column itself (normalize JVM-side -> one pandas UDF)
+    so callers (bpe_token_count, pack_sequences) add it without a join."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(list(merges))
+    memo: dict[str, int] = {}
+
+    @pandas_udf("long")
+    def n_tok(texts):
+        patterns = _bpe_patterns(bc.value)
+
+        def count_doc(t: str | None) -> int:
+            if not t:
+                return 0
+            total = 0
+            for w in t.split(" "):
+                n = memo.get(w)
+                if n is None:
+                    n = _bpe_word_tokens(w, patterns)
+                    memo[w] = n
+                total += n
+            return total
+
+        return texts.map(count_doc)
+
+    return n_tok(normalize_text(text_col))
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 64,
+    max_vocab: int = 50_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train a ranked BPE merge list on the corpus itself (classic
+    Sennrich et al. 2016 training over a word-frequency table).
+
+    Scale shape: the corpus contributes ONE distributed word-count pass
+    (explode -> groupBy, partial-aggregated); training then runs on the
+    top ``max_vocab`` (word, count) rows driver-side — a BOUNDED relation
+    (50k rows covers the mass of any Zipfian corpus), which is how real
+    BPE trainers work too. Ties break on lexicographically smallest pair
+    so the merge list is deterministic across runs and partitionings."""
+    wc = (
+        docs.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {tuple(r["w"]): int(r["count"]) for r in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_count_sql(merges: list[tuple[str, str]], text_sql: str = "text") -> str:
+    """DuckDB twin of bpe_token_count, single-sourced from the SAME merge
+    table: per word, build the marker representation with regexp_replace,
+    apply each merge as one replace() (identical non-overlapping
+    left-to-right semantics), count markers. CAST to BIGINT — list_sum
+    returns HUGEINT (the w_sessionize lesson)."""
+    norm = rf"trim(regexp_replace(lower({text_sql}), '\s+', ' ', 'g'))"
+    rep = r"regexp_replace(w, '(.)', chr(1) || '\1' || ' ', 'g')"
+    for a, b in merges:
+        pat = f"chr(1) || {_sql_quote(a + ' ')} || chr(1) || {_sql_quote(b + ' ')}"
+        sub = f"chr(1) || {_sql_quote(a + b + ' ')}"
+        rep = f"replace({rep}, {pat}, {sub})"
+    per_word = f"length({rep}) - length(replace({rep}, chr(1), ''))"
+    return (
+        f"CAST(coalesce(list_sum([{per_word} "
+        f"for w in string_split({norm}, ' ')]), 0) AS BIGINT)"
+    )
+
+
 def quality_features(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality features + composite score.
 
@@ -276,9 +438,13 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Greedy first-fit sequence packing for training: docs fill
-    fixed-token-budget packs by cumulative whitespace-token count.
+    fixed-token-budget packs by cumulative token count — whitespace
+    tokens by default, REAL BPE tokens when a ranked ``merges`` table is
+    passed (train_bpe_merges / a public merges.txt), which is what makes
+    the budget trustworthy for an actual tokenizer.
     Output: (id, n_tok, pack_id).
 
     Deterministic AND distributed: the cumsum window is partitioned by
@@ -293,12 +459,14 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if merges is not None:
+        n_tok = bpe_count_column(docs.sparkSession, merges, F.col(text_col))
+    else:
+        n_tok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
     d = docs.select(
         F.col(id_col),
         F.col(source_col),
-        F.size(F.split(normalize_text(F.col(text_col)), " "))
-        .cast("long")
-        .alias("n_tok"),
+        n_tok.alias("n_tok"),
         F.expr(f"{id_col} div {chunk_rows}").alias("chunk"),
     )
     w = (

@@ -27,6 +27,7 @@ def test_public_api_surface():
             "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
             "fingerprint", "scrub_pii", "collapse_repeat_tokens",
             "lm_quality", "pack_sequences",
+            "bpe_token_count", "train_bpe_merges", "bpe_count_sql",
         ],
         paths: ["parse_path"],
         url: [

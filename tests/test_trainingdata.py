@@ -394,6 +394,67 @@ def test_pack_sequences_respects_budget(spark):
         assert docs_in.n_tok.iloc[:-1].sum() <= 2048
 
 
+def test_bpe_count_matches_hand_tokenization(spark):
+    """bpe_token_count applies merges in rank order, one non-overlapping
+    left-to-right pass each — checked against hand-derived tokenizations,
+    including cascading merges and the overlap case."""
+    from gnarly_spark.functions.text import bpe_token_count
+
+    merges = [("t", "h"), ("th", "e"), ("l", "l")]
+    rows = [
+        (0, "the"),        # t h e -> th e -> the        = 1
+        (1, "thethe"),     # -> the the                  = 2
+        (2, "hello"),      # h e ll o                    = 4
+        (3, "llll"),       # ll ll (non-overlapping)     = 2
+        (4, "lll"),        # ll l (leftmost first)       = 2
+        (5, "x theta"),    # x | the t a                 = 1 + 3
+        (6, ""),           # empty                        = 0
+        (7, None),
+        (8, "THE  Lll"),   # normalize: 'the lll' -> 1 + 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bpe_token_count(df, merges).toPandas().set_index("id").n_tok
+    assert got.to_dict() == {0: 1, 1: 2, 2: 4, 3: 2, 4: 2, 5: 4, 6: 0, 7: 0, 8: 3}
+
+
+def test_bpe_trainer_learns_corpus_merges(spark):
+    """train_bpe_merges on a skewed corpus must learn the dominant pair
+    first, rank-properly (every merge's parts exist before it), and
+    deterministically; counting with the learned merges compresses the
+    dominant word to ~1 token."""
+    from gnarly_spark.functions.text import bpe_token_count, train_bpe_merges
+
+    rows = [(i, "sparkly " * 5) for i in range(40)] + [
+        (100 + i, "rare words here") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe_merges(df, n_merges=8)
+    assert merges == train_bpe_merges(df, n_merges=8)  # deterministic
+    built = {"".join(p) for p in merges} | set("abcdefghijklmnopqrstuvwxyz")
+    for a, b in merges:
+        assert a in built and b in built  # rank-proper
+    n = bpe_token_count(df.where("doc_id = 0"), merges).head().n_tok
+    assert n <= 2 * 5  # 'sparkly' (7 chars) compressed to <= 2 tokens
+
+
+def test_pack_sequences_bpe_budget_mode(spark):
+    """pack_sequences(merges=...) budgets on REAL BPE counts: same
+    first-fit invariants as whitespace mode, and n_tok comes from the
+    tokenizer (sub-word counts exceed word counts)."""
+    from gnarly_spark.catalog_training import _BPE_MERGES
+    from gnarly_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, budget=2048, merges=_BPE_MERGES).toPandas()
+    ws = pack_sequences(docs, budget=2048).toPandas().set_index("doc_id")
+    got = out.set_index("doc_id")
+    assert (got.n_tok >= ws.n_tok).all()  # sub-word >= whitespace words
+    sums = out.groupby("pack_id").agg(total=("n_tok", "sum"), n=("doc_id", "count"))
+    for pid in sums[(sums.total > 2048) & (sums.n > 1)].index:
+        docs_in = out[out.pack_id == pid].sort_values("doc_id")
+        assert docs_in.n_tok.iloc[:-1].sum() <= 2048
+
+
 def test_incremental_lsh_flags_batch_dup_of_corpus(spark, docs):
     """An incoming batch doc that duplicates a corpus doc is flagged with
     est_jaccard 1.0; an unrelated batch doc produces no row; corpus-vs-
