@@ -1768,6 +1768,82 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_stream_sessionize",
+    """
+    WITH l AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+    f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS new_s
+          FROM l),
+    s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS session_idx
+          FROM f)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def w_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization, driver-visible: the events table is
+    tailed with readStream and rolled into gap-based sessions by
+    ``F.session_window`` behind a 1-hour watermark
+    (streaming/windows.session_rollup), drained availableNow into an
+    append-mode memory sink. Append mode only EMITS a session once the
+    watermark passes it, so a far-future flush row (sentinel user -1,
+    filtered from the output) closes every real session — the no-data
+    final micro-batch then flushes the state store. Oracle = batch
+    gap-sessionization SQL with the session_window boundary rule
+    (exactly-gap spacing starts a new session: window merge is
+    strict-less-than)."""
+    import tempfile
+    import uuid as _uuid
+
+    work = tempfile.mkdtemp(prefix="gnarly_stream_sess_")
+    src = f"{work}/src"
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev.coalesce(1).write.parquet(src)
+    flush = ev.select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    from gnarly_spark.streaming.windows import session_rollup
+
+    sess = session_rollup(stream, key="user_id", ts="ts", gap="30 minutes")
+    name = f"wsess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .where(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
+@register(
     "q_rollup",
     """
     SELECT COALESCE(event_type, '(all)') AS event_type,

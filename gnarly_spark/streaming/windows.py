@@ -22,6 +22,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_rollup(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionization: ``F.session_window(ts, gap)``
+    merges events of one key whose timestamps fall within ``gap`` of the
+    growing session window, with watermark-bounded state — the Structured
+    Streaming twin of batch operators/temporal.sessionize (same
+    semantics; boundary nuance: an EXACTLY-gap spacing starts a new
+    session here, window-merge is strict-less-than, so the batch twin is
+    ``ts - prev >= gap`` starts-new).
+
+    Output: (key, session_start, session_end, n_events) where start/end
+    are the session's real MIN/MAX event times (the session window's
+    ``end`` is last_ts + gap — an implementation artifact we don't leak).
+
+    Scale shape: per micro-batch this partial-aggregates map-side into
+    per-key session state; state for a session is dropped once the
+    watermark passes its end (without it a 10^10-event stream accretes
+    every bot session forever). Works on batch DataFrames too
+    (withWatermark is a no-op there) — same code path for backfill.
+    In streaming append mode a session only EMITS once the watermark
+    passes it; drain patterns append a far-future flush row per the
+    w_stream_sessionize catalog query."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), key)
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(key, "session_start", "session_end", "n_events")
+    )
+
+
 def windowed_lang_rates(
     events: DataFrame,
     window_len: str = "1 hour",

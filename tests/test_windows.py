@@ -119,6 +119,83 @@ def test_windowed_rates_batch_parity(spark, tmp_path):
     assert got == {("12:00", "en"): (2, 2), ("10:00", "de"): (1, 1)}
 
 
+def test_streaming_sessionize_cross_batch_merge_and_watermark(spark, tmp_path):
+    """session_rollup over a real stream: a session spanning MICRO-BATCHES
+    merges in the state store; an event older than the watermark is
+    dropped (state for closed sessions is evicted, never reopened); a
+    far-future flush row emits every closed session in append mode."""
+    import uuid
+
+    from gnarly_spark.streaming.windows import session_rollup
+
+    ddl = "user_id long, ts timestamp"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t0 = time.time() - 1000
+    rows1 = [(1, "2024-01-01 12:00:00"), (1, "2024-01-01 12:10:00"),
+             (2, "2024-01-01 12:05:00")]
+    rows2 = [(1, "2024-01-01 12:25:00")]  # within 30min of 12:10 -> same session
+    # 10:00 is older than the watermark (12:25 - 1h) by file 3: dropped;
+    # user 99 is the far-future flush that closes every real session
+    rows3 = [(1, "2024-01-01 10:00:00"), (99, "2024-03-01 00:00:00")]
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        p = os.path.join(src, f"chunk={i:04d}")
+        spark.createDataFrame(pdf, schema=ddl).coalesce(1).write.parquet(p)
+        for f in [p] + [os.path.join(p, x) for x in os.listdir(p)]:
+            os.utime(f, (t0 + 10 * i, t0 + 10 * i))
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    sess = session_rollup(stream, gap="30 minutes", watermark="1 hour")
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        o.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for o in p["stateOperators"]
+    )
+    assert dropped == 1, "exactly the too-late 10:00 event is dropped"
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M"),
+         r.session_end.strftime("%H:%M"), r.n_events)
+        for r in spark.table(name).where("user_id < 99").collect()
+    }
+    assert got == {
+        (1, "12:00", "12:25", 3),  # merged ACROSS three micro-batches
+        (2, "12:05", "12:05", 1),
+    }, got
+
+
+def test_streaming_sessionize_batch_parity(spark):
+    """The same session_rollup code over a batch DataFrame returns every
+    session including what streaming would have dropped as late."""
+    import datetime as dt
+
+    from gnarly_spark.streaming.windows import session_rollup
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=10)),
+        (1, base + dt.timedelta(minutes=41)),  # 31min after 12:10: new session
+        (2, base - dt.timedelta(hours=5)),     # 'late' — batch keeps it
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.n_events)
+        for r in session_rollup(df, gap="30 minutes").collect()
+    }
+    assert got == {(1, 2), (1, 1), (2, 1)}
+
+
 def test_drop_duplicates_within_watermark_cross_batch(spark, tmp_path):
     """At-least-once redelivery: a duplicate (url, op_seq) arriving in a
     LATER micro-batch — inside the watermark — must be passed exactly
