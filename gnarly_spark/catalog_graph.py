@@ -347,23 +347,33 @@ def _url_oracle() -> str:
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization census: messy crawl spellings (case, default
     port, fragment, tracking params, param order, trailing slash, non-URL
-    junk) collapse to canonical pages. One map-side canonicalize (all JVM
-    regexp/split/sort — functions/url.py) + one groupBy; at 100 TB this is
-    the projection run BEFORE the url-keyed shuffle, so the CDC merge and
-    every dedup downstream key on the canonical spelling."""
+    junk) collapse to canonical pages.
+
+    Shape (the no-Expand cascade): dedup raw spellings FIRST with a plain
+    count groupBy, so the regex-heavy canonicalize (all JVM regexp/split/
+    sort — functions/url.py) runs once per DISTINCT spelling instead of
+    once per event; then roll (canonical, host) -> canonical with plain
+    sums/counts. Two distinct-count aggregates in one groupBy would put a
+    3x Expand on an event-sized shuffle — this cascade shuffles the event
+    relation once (narrow count rows) and everything after is
+    distinct-spelling-sized. host/canonical are functions of raw_url, so
+    the cascade is exact (count of (canonical,host) groups == COUNT
+    (DISTINCT host), NULL hosts excluded to match the oracle)."""
     from gnarly_spark.functions.url import canonicalize_url, url_host
 
     raw = _t(spark, sf_dir, "events").select(_messy_url_col().alias("raw_url"))
-    return (
-        raw.select(
-            "raw_url",
-            canonicalize_url(F.col("raw_url")).alias("canonical_url"),
-            url_host(F.col("raw_url")).alias("host"),
-        )
-        .groupBy("canonical_url")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.countDistinct("raw_url").alias("n_raw_forms"),
-            F.countDistinct("host").alias("n_hosts"),
-        )
+    raw_counts = raw.groupBy("raw_url").agg(F.count("*").alias("n"))
+    c = raw_counts.select(
+        "raw_url",
+        "n",
+        canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+        url_host(F.col("raw_url")).alias("host"),
+    )
+    per_host = c.groupBy("canonical_url", "host").agg(
+        F.sum("n").alias("n"), F.count("raw_url").alias("n_raw")
+    )
+    return per_host.groupBy("canonical_url").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("n_raw").alias("n_raw_forms"),
+        F.count("host").alias("n_hosts"),
     )

@@ -191,6 +191,18 @@ def test_simhash_combination_blocking_plan_and_keyspace(spark):
     assert plan.count("Generate") <= 4, plan.count("Generate")
 
 
+def test_url_canonicalize_cascade_no_expand(spark):
+    """The url census must stay a no-Expand cascade: raw-spelling count
+    first (regex once per DISTINCT spelling), then plain-sum rollups —
+    two countDistincts in one groupBy put a 3x Expand on an event-sized
+    shuffle (the r02 headline-slowest query until this rewrite)."""
+    from gnarly_spark.catalog_graph import web_url_canonicalize
+
+    plan = plan_of(web_url_canonicalize(spark, SF))
+    assert "Expand" not in plan, "distinct-aggregate Expand crept back in"
+    assert plan.count("partial_sum") >= 1  # rollups partial-aggregate
+
+
 def test_corpus_dedup_joins_never_broadcast(spark):
     """Every join side in the shingle-pair operators is O(corpus) — banded
     self-join, shingle verify joins, per-doc size joins — so NONE may be
