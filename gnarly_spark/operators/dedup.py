@@ -99,6 +99,33 @@ def cap_hot_shingles(sh: DataFrame, max_doc_freq: int) -> DataFrame:
     return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
+def cap_hot_bands(
+    banded: DataFrame,
+    max_bucket: int,
+    key_cols: tuple[str, ...] = ("band", "band_key"),
+) -> DataFrame:
+    """Drop rows of banded-signature relations whose (band, key) bucket
+    exceeds ``max_bucket`` rows — cap_hot_shingles for LSH/simhash bands.
+
+    Every banded SELF-join is quadratic per bucket: one boilerplate
+    template shared by 10^6 pages puts 10^12 candidate pairs in that
+    band's bucket regardless of banding math. The hot set is tiny by
+    construction (only buckets with > max_bucket members), so it
+    broadcasts; one agg + one broadcast anti-join bounds every bucket.
+    Trade-off: docs whose EVERY band is hot generate no candidates (an
+    exact-dup pass catches the template-identical mass far cheaper);
+    near-dup recall for docs with at least one cool band is unaffected.
+    Default OFF in the pair operators so small-corpus answers stay exact.
+    """
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select(*key_cols)
+    )
+    return banded.join(F.broadcast(hot), list(key_cols), "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -307,6 +334,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
 
@@ -314,7 +342,9 @@ def minhash_lsh_pairs(
     become candidates (equi-join on (band, band_key)); candidates are then
     verified with the exact n-gram Jaccard. Output: (id_a, id_b, jaccard).
     ``max_doc_freq`` (default off) drops stop-shingles before signatures
-    AND verification — see cap_hot_shingles.
+    AND verification — see cap_hot_shingles. ``max_band_bucket`` (default
+    off) additionally bounds each band BUCKET before the self-join — the
+    skew cap for template-heavy corpora, see cap_hot_bands.
     """
     if bands <= 0 or k % bands != 0:
         raise ValueError(f"k ({k}) must be divisible by bands ({bands}) > 0")
@@ -332,6 +362,8 @@ def minhash_lsh_pairs(
     sh = sh.localCheckpoint(eager=True)
     sig = _minhash_agg(sh, k)
     banded = _banded(sig, k, bands)
+    if max_band_bucket is not None:
+        banded = cap_hot_bands(banded, max_band_bucket)
     # SELF-join: both sides are O(corpus) by construction, so broadcasting
     # either side is never right — at 200k docs AQE's broadcast pick of the
     # 800k-row banded relation OOM'd an 8 GB driver (hash-relation build is
@@ -594,6 +626,7 @@ def simhash_hamming_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     combination_blocks: int | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, found via
     bit-band blocking (Manku et al., WWW'07: near-dup detection for web
@@ -686,6 +719,12 @@ def simhash_hamming_pairs(
                     ]
                 )
             ).alias("band", "band_val"),
+        )
+    if max_band_bucket is not None:
+        # skew cap for template-heavy corpora (recall trade-off documented
+        # on cap_hot_bands; default off so answers stay exact)
+        banded = cap_hot_bands(
+            banded, max_band_bucket, key_cols=("band", "band_val")
         )
     # self-join of the O(corpus) banded relation: pin shuffle_hash so no
     # side is ever broadcast-built on the driver (see minhash_lsh_pairs)

@@ -46,7 +46,7 @@ def test_public_api_surface():
             "minhash_signatures", "minhash_lsh_pairs", "simhash",
             "incremental_lsh_dups",
             "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
-            "duplicate_clusters", "simhash_hamming_pairs",
+            "duplicate_clusters", "simhash_hamming_pairs", "cap_hot_bands",
             "combination_key_bits",
         ],
         similarity: [

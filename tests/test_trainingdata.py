@@ -394,6 +394,37 @@ def test_pack_sequences_respects_budget(spark):
         assert docs_in.n_tok.iloc[:-1].sum() <= 2048
 
 
+def test_hot_band_cap_bounds_candidates_keeps_cool_pairs(spark):
+    """A synthetic hot band (60 template-identical docs -> every band
+    bucket holds all 60) must be dropped by max_band_bucket: the O(n^2)
+    template pairs vanish while a planted near-dup pair in a cool bucket
+    survives — in BOTH banded operators (minhash LSH and simhash)."""
+    from gnarly_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_hamming_pairs,
+    )
+
+    template = [(i, "breaking news site boilerplate footer nav bar") for i in range(60)]
+    planted = [
+        (100, "unique quantum entanglement research results alpha beta"),
+        (101, "unique quantum entanglement research results alpha gamma"),
+    ]
+    docs = spark.createDataFrame(template + planted, "doc_id long, text string")
+
+    for fn, kw in (
+        (minhash_lsh_pairs, dict(k=8, bands=4, threshold=0.5)),
+        (simhash_hamming_pairs, dict(max_hamming=3, bands=4, bits=32)),
+    ):
+        uncapped = fn(docs, **kw).toPandas()
+        assert len(uncapped) >= 60 * 59 / 2, fn.__name__  # template pairs
+        capped = fn(docs, max_band_bucket=10, **kw).toPandas()
+        got = {(r.id_a, r.id_b) for r in capped.itertuples()}
+        assert (100, 101) in got, f"{fn.__name__}: cool pair lost"
+        assert not any(a < 60 and b < 60 for a, b in got), (
+            f"{fn.__name__}: hot-bucket pairs must be dropped by the cap"
+        )
+
+
 def test_bpe_count_matches_hand_tokenization(spark):
     """bpe_token_count applies merges in rank order, one non-overlapping
     left-to-right pass each — checked against hand-derived tokenizations,
