@@ -114,3 +114,23 @@ def test_spark_submit_replicate_feed_from_zip(spark, tmp_path):
     mirror = ParquetLakeTable(spark, str(tmp_path / "dst"), key="url", n_buckets=2)
     got = {(r.url, r.value) for r in mirror.read().select("url", "value").collect()}
     assert got == {("a", 3.0)}
+
+
+def test_iceberg_smoke_kit_consistency():
+    """The smoke kit can't execute in-sandbox (no network for --packages),
+    but its pieces must stay in sync: every SMOKE step the job prints
+    appears in the script's expected block, the job compiles, and the
+    script drives the job file that exists."""
+    import py_compile
+    import re
+
+    job = os.path.join(REPO, "tools", "iceberg_smoke_job.py")
+    sh = os.path.join(REPO, "tools", "iceberg_smoke.sh")
+    py_compile.compile(job, doraise=True)
+    sh_text = open(sh).read()
+    assert "iceberg_smoke_job.py" in sh_text
+    assert os.access(sh, os.X_OK)
+    job_steps = re.findall(r'step\(\s*"(\w+)"', open(job).read())
+    expected_steps = re.findall(r"SMOKE (\w+) PASS", sh_text)
+    assert job_steps == expected_steps, (job_steps, expected_steps)
+    assert "iceberg-spark-runtime" in sh_text  # pinned package present
