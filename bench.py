@@ -52,6 +52,8 @@ HEADLINE = [
     "graph_pagerank",
     "web_url_canonicalize",
     "sketch_bottomk_quantiles",
+    "text_bpe_token_count",
+    "mm_image_dims",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

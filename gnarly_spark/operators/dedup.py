@@ -618,6 +618,74 @@ def combination_key_bits(bits: int, n_blocks: int, max_hamming: int) -> int:
     return sum(widths[: n_blocks - max_hamming])
 
 
+def simhash_band_relation(
+    sig: DataFrame,
+    max_hamming: int,
+    bands: int,
+    bits: int,
+    combination_blocks: int | None,
+) -> DataFrame:
+    """(id, simhash) -> (id, simhash, band, band_val): the blocking keys
+    for simhash_hamming_pairs (its docstring has the two modes' math).
+    Exposed so benches can measure candidate volume per mode."""
+    if combination_blocks is not None:
+        nb = combination_blocks
+        if nb <= max_hamming or nb > bits:
+            raise ValueError(
+                f"need max_hamming ({max_hamming}) < combination_blocks "
+                f"({nb}) <= bits ({bits})"
+            )
+        import itertools
+
+        layout = _block_layout(bits, nb)
+        if combination_key_bits(bits, nb, max_hamming) > 62:
+            raise ValueError(
+                "combination key exceeds 62 bits — use more blocks or a "
+                "narrower fingerprint"
+            )
+
+        def block_val(off: int, w: int):
+            # bit 63 survives shiftright (arithmetic) because the width
+            # mask clears the smeared sign bits
+            return F.expr(f"shiftright(simhash, {off})").bitwiseAND(
+                F.lit((1 << w) - 1)
+            )
+
+        keys = []
+        for combo in itertools.combinations(range(nb), nb - max_hamming):
+            k = F.lit(0).cast("long")
+            for j in combo:
+                off, w = layout[j]
+                k = F.shiftleft(k, w).bitwiseOR(block_val(off, w))
+            keys.append(k)
+        return sig.select(
+            "id",
+            "simhash",
+            F.posexplode(F.array(*keys)).alias("band", "band_val"),
+        )
+    if bands <= 0 or bits % bands != 0 or max_hamming > bands - 1:
+        raise ValueError(
+            f"need bits ({bits}) divisible by bands ({bands}) > 0 and "
+            f"max_hamming ({max_hamming}) <= bands-1 (pigeonhole coverage)"
+        )
+    r = bits // bands
+    mask = (1 << r) - 1
+    return sig.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.expr(f"shiftright(simhash, {b * r})").bitwiseAND(F.lit(mask))).cast(
+                        "long"
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -663,63 +731,13 @@ def simhash_hamming_pairs(
     relation.
     """
     sig = simhash(docs, bits=bits, text_col=text_col, id_col=id_col)
-    if combination_blocks is not None:
-        nb = combination_blocks
-        if nb <= max_hamming or nb > bits:
-            raise ValueError(
-                f"need max_hamming ({max_hamming}) < combination_blocks "
-                f"({nb}) <= bits ({bits})"
-            )
-        import itertools
-
-        layout = _block_layout(bits, nb)
-        if combination_key_bits(bits, nb, max_hamming) > 62:
-            raise ValueError(
-                "combination key exceeds 62 bits — use more blocks or a "
-                "narrower fingerprint"
-            )
-
-        def block_val(off: int, w: int):
-            # bit 63 survives shiftright (arithmetic) because the width
-            # mask clears the smeared sign bits
-            return F.expr(f"shiftright(simhash, {off})").bitwiseAND(
-                F.lit((1 << w) - 1)
-            )
-
-        keys = []
-        for combo in itertools.combinations(range(nb), nb - max_hamming):
-            k = F.lit(0).cast("long")
-            for j in combo:
-                off, w = layout[j]
-                k = F.shiftleft(k, w).bitwiseOR(block_val(off, w))
-            keys.append(k)
-        banded = sig.select(
-            "id",
-            "simhash",
-            F.posexplode(F.array(*keys)).alias("band", "band_val"),
-        )
-    else:
-        if bands <= 0 or bits % bands != 0 or max_hamming > bands - 1:
-            raise ValueError(
-                f"need bits ({bits}) divisible by bands ({bands}) > 0 and "
-                f"max_hamming ({max_hamming}) <= bands-1 (pigeonhole coverage)"
-            )
-        r = bits // bands
-        mask = (1 << r) - 1
-        banded = sig.select(
-            "id",
-            "simhash",
-            F.posexplode(
-                F.array(
-                    *[
-                        (F.expr(f"shiftright(simhash, {b * r})").bitwiseAND(F.lit(mask))).cast(
-                            "long"
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("band", "band_val"),
-        )
+    banded = simhash_band_relation(
+        sig,
+        max_hamming=max_hamming,
+        bands=bands,
+        bits=bits,
+        combination_blocks=combination_blocks,
+    )
     if max_band_bucket is not None:
         # skew cap for template-heavy corpora (recall trade-off documented
         # on cap_hot_bands; default off so answers stay exact)
