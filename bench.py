@@ -54,6 +54,7 @@ HEADLINE = [
     "sketch_bottomk_quantiles",
     "text_bpe_token_count",
     "mm_image_dims",
+    "mm_av_metadata",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

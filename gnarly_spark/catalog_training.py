@@ -1044,6 +1044,75 @@ def mm_image_dims(spark, sf_dir):
     return extract_image_dims(docs.withColumn("payload", payload))
 
 
+def _le_hex(col, nbytes: int):
+    """Little-endian hex of an int column (WAV headers are LE; JVM hex()
+    is big-endian, so emit bytes low-first)."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.pmod(F.expr(f"shiftright({col}, {8 * i})"), F.lit(256))), 2, "0")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def _be_hex(col, nbytes: int):
+    return F.lpad(F.hex(F.expr(col)), 2 * nbytes, "0")
+
+
+@register(
+    "mm_av_metadata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 30 + 1) * 1000
+                     ELSE (doc_id % 240 + 1) * 500 END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 END AS INT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 END AS INT) AS bit_depth
+    FROM documents
+    """,
+)
+def mm_av_metadata(spark, sf_dir):
+    """REAL audio/video container metadata, driver-checked: synthesize
+    valid WAV (RIFF fmt/data chunks, little-endian) and MP4 (ftyp +
+    moov/mvhd v0) headers JVM-side with durations derived from doc_id,
+    then recover them with the pure-Python chunk/box walkers over Arrow
+    batches (extract_av_metadata). The oracle recomputes the metadata
+    from doc_id directly — wrong endianness, chunk alignment, or mvhd
+    offsets break the hash."""
+    from gnarly_spark.operators.multimodal import extract_av_metadata
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # WAV (even ids, so channels = doc_id%2+1 = 1): 8kHz/16-bit;
+    # data_size = byte_rate * seconds -> duration_ms = (doc_id%30+1)*1000
+    wav_hex = F.concat(
+        F.lit("52494646"),  # RIFF
+        _le_hex("36", 4),  # container size (unused by the parser)
+        F.lit("57415645" "666D7420"),  # WAVE, 'fmt '
+        _le_hex("16", 4),
+        _le_hex("1", 2),  # PCM
+        _le_hex("doc_id % 2 + 1", 2),
+        _le_hex("8000", 4),
+        _le_hex(f"CAST(8000 * (doc_id % 2 + 1) * 2 AS BIGINT)", 4),
+        _le_hex("CAST((doc_id % 2 + 1) * 2 AS BIGINT)", 2),
+        _le_hex("16", 2),
+        F.lit("64617461"),  # 'data'
+        _le_hex("CAST(8000 * (doc_id % 2 + 1) * 2 * (doc_id % 30 + 1) AS BIGINT)", 4),
+    )
+    # MP4: 16-byte ftyp + 36-byte moov{mvhd v0, timescale 1000}
+    mp4_hex = F.concat(
+        F.lit("00000010" "66747970" "69736F6D" "00000000"),
+        F.lit("00000024" "6D6F6F76"),  # moov, size 36
+        F.lit("0000001C" "6D766864" "00000000" "00000000" "00000000"),
+        F.lit("000003E8"),  # timescale 1000
+        _be_hex("CAST((doc_id % 240 + 1) * 500 AS BIGINT)", 4),
+    )
+    payload = F.unhex(
+        F.when(F.col("doc_id") % 2 == 0, wav_hex).otherwise(mp4_hex)
+    )
+    return extract_av_metadata(docs.withColumn("payload", payload))
+
+
 # ---------------------------------------------------------------------------
 # C4-style line-level dedup / boilerplate removal
 # ---------------------------------------------------------------------------

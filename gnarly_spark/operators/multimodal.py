@@ -130,6 +130,70 @@ def _jpeg_header(b: bytes) -> tuple[int, int, int, int] | None:
     return None
 
 
+def _wav_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(duration_ms, channels, sample_rate, bits_per_sample) from a RIFF/
+    WAVE header, or None. Chunk walk: 'RIFF' size 'WAVE', then chunks of
+    (4-byte id, 4-byte LE size); 'fmt ' carries channels/rate/bits,
+    'data''s size + the byte rate give the duration (no sample decode)."""
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    channels = rate = bits = byte_rate = data_size = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_size = size
+        if channels is not None and data_size is not None:
+            break
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if not (channels and rate and byte_rate and bits) or data_size is None:
+        return None
+    return (data_size * 1000) // byte_rate, channels, rate, bits
+
+
+def _mp4_duration(b: bytes) -> tuple[int, int] | None:
+    """(duration_ms, timescale) from an ISO-BMFF moov/mvhd box, or None.
+    Box walk: (4-byte BE size, 4-byte type); recurse into 'moov'; 'mvhd'
+    v0 has 32-bit timescale/duration at +12, v1 64-bit duration at +20."""
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            if size == 1:  # 64-bit largesize
+                if i + 16 > hi:
+                    return None
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+            if size < 8 or i + size > hi:
+                return None
+            if typ == b"moov" and depth == 0:
+                return walk(i + 8, i + size, 1)
+            if typ == b"mvhd" and depth == 1:
+                v = b[i + 8]
+                if v == 1 and i + 40 <= hi:  # 8 hdr + 4 vf + 16 times + 4 ts + 8 dur
+                    ts = int.from_bytes(b[i + 28 : i + 32], "big")
+                    dur = int.from_bytes(b[i + 32 : i + 40], "big")
+                elif v == 0 and i + 8 + 16 + 4 <= hi:
+                    ts = int.from_bytes(b[i + 20 : i + 24], "big")
+                    dur = int.from_bytes(b[i + 24 : i + 28], "big")
+                else:
+                    return None
+                return ((dur * 1000) // ts, ts) if ts else None
+            i += size
+        return None
+
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    return walk(0, len(b))
+
+
 def decode_image_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
     """Pure-Python image dimension decode for the two formats that matter
     at corpus scale (JPEG + PNG ~ the whole web): (width, height,
@@ -161,9 +225,19 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
         if dims is None:
             raise ValueError(f"undecodable {media_type} payload")
         return [float(v) for v in dims] + sha_feats[4:]
+    if media_type == "audio/wav":
+        wav = _wav_header(payload or b"")
+        if wav is None:
+            raise ValueError("undecodable audio/wav payload")
+        return [float(v) for v in wav] + sha_feats[4:]
+    if media_type == "video/mp4":
+        mp4 = _mp4_duration(payload or b"")
+        if mp4 is None:
+            raise ValueError("undecodable video/mp4 payload")
+        return [float(mp4[0]), float(mp4[1])] + sha_feats[2:]
     raise NotImplementedError(
-        f"real decode of {media_type} needs ffmpeg/torchaudio — not in "
-        "this container (JPEG/PNG decode IS implemented)"
+        f"real decode of {media_type} needs ffmpeg/torchaudio — not in this "
+        "container (JPEG/PNG dims, WAV fmt, MP4 mvhd headers ARE implemented)"
     )
 
 
@@ -247,6 +321,53 @@ def extract_image_dims(
 
     return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
         run, schema=IMAGE_DIMS_DDL
+    )
+
+
+AV_META_DDL = (
+    "doc_id long, fmt string, duration_ms long, channels int, "
+    "sample_rate int, bit_depth int"
+)
+
+
+def extract_av_metadata(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Real audio/video CONTAINER metadata over Arrow mapInPandas batches:
+    WAV fmt/data chunk walk (duration/channels/rate/bits) and MP4 moov/
+    mvhd (duration/timescale) — pure struct parsing, no codec. NULLs for
+    payloads that are neither. Sample/frame decode still needs ffmpeg
+    (the only remaining stub)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, durs, chs, rates, bits = [], [], [], [], []
+            for p in pdf[binary_col]:
+                b = bytes(p) if p is not None else b""
+                fmt = dur = ch = rate = depth = None
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    wav = _wav_header(b)
+                    if wav:
+                        fmt, (dur, ch, rate, depth) = "wav", wav
+                elif b[4:8] == b"ftyp":
+                    mp4 = _mp4_duration(b)
+                    if mp4:
+                        fmt, dur = "mp4", mp4[0]
+                fmts.append(fmt), durs.append(dur), chs.append(ch)
+                rates.append(rate), bits.append(depth)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "fmt": fmts,
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "channels": pd.array(chs, dtype="Int32"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "bit_depth": pd.array(bits, dtype="Int32"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema=AV_META_DDL
     )
 
 

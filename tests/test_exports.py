@@ -56,7 +56,7 @@ def test_public_api_surface():
         multimodal: [
             "media_metadata", "extract_media_features",
             "media_repartition_by_bytes", "sample_frames",
-            "extract_image_dims", "decode_image_header",
+            "extract_image_dims", "decode_image_header", "extract_av_metadata",
         ],
         lake: [
             "ParquetLakeTable", "IcebergLakeTable", "bucket_of",

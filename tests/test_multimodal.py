@@ -53,16 +53,19 @@ def test_feature_extraction_shape_and_determinism(spark, media):
     assert got.loc[3, "n_bytes"] == len(MP4)
 
 
-def test_real_decode_still_stubbed_for_audio_video(spark, media):
+def test_real_decode_still_stubbed_for_sample_data(spark, media):
+    # formats with no header parser (sample/frame decode needs ffmpeg)
     with pytest.raises(Exception, match="NotImplementedError|needs ffmpeg"):
         extract_media_features(
-            media.where("media_type = 'audio/wav'"), decode_real=True
+            media.where("media_type = 'application/octet-stream'"),
+            decode_real=True,
         ).collect()
-    # a JPEG payload with no parseable SOF fails loudly, not silently
-    with pytest.raises(Exception, match="undecodable"):
-        extract_media_features(
-            media.where("media_type = 'image/jpeg'"), decode_real=True
-        ).collect()
+    # payloads with a sniffable magic but no parseable header fail loudly
+    for mt in ("image/jpeg", "audio/wav", "video/mp4"):
+        with pytest.raises(Exception, match="undecodable"):
+            extract_media_features(
+                media.where(f"media_type = '{mt}'"), decode_real=True
+            ).collect()
 
 
 def _png_bytes(w, h, color_type=6, depth=8):
@@ -135,6 +138,76 @@ def test_extract_image_dims_spark_path(spark):
     assert got.loc[0].tolist() == ["png", 12, 34, 4, 8]
     assert got.loc[1].tolist() == ["jpeg", 56, 78, 3, 8]
     assert got.loc[2].isna().all() and got.loc[3].isna().all()
+
+
+def _wav_bytes(seconds=2, channels=2, rate=44100, bits=24, pre_chunks=b""):
+    byte_rate = rate * channels * bits // 8
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    data = b"data" + (byte_rate * seconds).to_bytes(4, "little")
+    body = pre_chunks + fmt + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def _mp4_bytes(duration_ms=90_000, timescale=1000, v=0, pre_boxes=b""):
+    dur = duration_ms * timescale // 1000
+    if v == 0:
+        mvhd = b"\x00" * 4 + b"\x00" * 8 + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+    else:
+        mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 16 + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+    mvhd_box = (8 + len(mvhd)).to_bytes(4, "big") + b"mvhd" + mvhd
+    moov = (8 + len(mvhd_box)).to_bytes(4, "big") + b"moov" + mvhd_box
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00" * 4
+    return ftyp + pre_boxes + moov
+
+
+def test_av_container_metadata_decode():
+    """WAV chunk walk (word alignment, junk chunks before fmt) and MP4 box
+    walk (free boxes before moov, v0 AND v1 mvhd, non-1000 timescales) —
+    plus garbage rejection."""
+    from gnarly_spark.operators.multimodal import _mp4_duration, _wav_header
+
+    assert _wav_header(_wav_bytes()) == (2000, 2, 44100, 24)
+    # odd-sized junk chunk before fmt exercises word alignment
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    assert _wav_header(_wav_bytes(seconds=1, channels=1, rate=8000, bits=16,
+                                  pre_chunks=junk)) == (1000, 1, 8000, 16)
+    assert _wav_header(b"RIFF\x00\x00\x00\x00AVI " + b"x" * 40) is None
+    assert _wav_header(_wav_bytes()[:30]) is None
+
+    assert _mp4_duration(_mp4_bytes()) == (90_000, 1000)
+    assert _mp4_duration(_mp4_bytes(duration_ms=1500, timescale=600, v=1)) == (1500, 600)
+    free = (12).to_bytes(4, "big") + b"free" + b"\x00" * 4
+    assert _mp4_duration(_mp4_bytes(pre_boxes=free)) == (90_000, 1000)
+    assert _mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") is None  # no moov
+    assert _mp4_duration(b"not a video") is None
+
+
+def test_extract_av_metadata_spark_path(spark):
+    from gnarly_spark.operators.multimodal import extract_av_metadata
+
+    rows = [(0, _wav_bytes()), (1, _mp4_bytes(duration_ms=7500)), (2, b"junk"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = extract_av_metadata(df).toPandas().set_index("doc_id").sort_index()
+    assert got.loc[0].tolist() == ["wav", 2000, 2, 44100, 24]
+    assert got.loc[1].fmt == "mp4" and got.loc[1].duration_ms == 7500
+    assert got.loc[1][["channels", "sample_rate", "bit_depth"]].isna().all()
+    assert got.loc[2].isna().all() and got.loc[3].isna().all()
+    # decode_real features now real for wav/mp4 too
+    av = spark.createDataFrame(
+        [(0, "audio/wav", _wav_bytes()), (1, "video/mp4", _mp4_bytes(duration_ms=7500))],
+        "doc_id long, media_type string, payload binary",
+    )
+    feats = (
+        extract_media_features(av, decode_real=True)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert feats.loc[0, "feature"][:4].tolist() == [2000.0, 2.0, 44100.0, 24.0]
+    assert feats.loc[1, "feature"][:2].tolist() == [7500.0, 1000.0]
 
 
 def test_decode_real_features_carry_dims(spark):
