@@ -999,6 +999,54 @@ def _register_bpe_query() -> None:
 _register_bpe_query()
 
 
+def _register_bpe_tokenize_query() -> None:
+    from gnarly_spark.functions.text import bpe_tokenize_sql
+
+    @register("text_bpe_tokenize", bpe_tokenize_sql(_BPE_MERGES))
+    def text_bpe_tokenize(spark, sf_dir):
+        """The BPE token STREAM (one row per sub-word token, 1-based pos)
+        — what a tokenized-dataset writer materializes. Same single-
+        sourced merge table as text_bpe_token_count; the DuckDB twin
+        rebuilds the stream with chained replace() + zipped unnests, so
+        token boundaries AND order are hash-checked."""
+        from gnarly_spark.functions.text import bpe_tokenize
+
+        return bpe_tokenize(_t(spark, sf_dir, "documents"), _BPE_MERGES).select(
+            F.col("id").alias("doc_id"), "pos", "token"
+        )
+
+
+_register_bpe_tokenize_query()
+
+
+@register(
+    "dedup_repeated_spans",
+    """
+    WITH dw AS (SELECT doc_id AS id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+    sp AS (SELECT id,
+                  unnest(range(1, greatest(len(w) - 10 + 1, 0) + 1)) AS pos,
+                  unnest([md5(array_to_string(w[g : g + 9], ' '))
+                          for g in range(1, greatest(len(w) - 10 + 1, 0) + 1)]) AS span_hash
+           FROM dw),
+    rep AS (SELECT span_hash, COUNT(DISTINCT id) AS n_docs
+            FROM sp GROUP BY span_hash HAVING COUNT(DISTINCT id) >= 2)
+    SELECT sp.id AS doc_id, sp.pos, sp.span_hash, rep.n_docs
+    FROM sp JOIN rep USING (span_hash)
+    """,
+)
+def dedup_repeated_spans(spark, sf_dir):
+    """Exact repeated-substring detection (Lee et al. 2022 shape): every
+    (doc, position) whose 10-token span occurs verbatim in >= 2 distinct
+    docs. operators/dedup.repeated_spans — explode + lead-window span
+    build (one shuffle), md5 span hash, two-phase distinct-doc count, no
+    Expand, counts joined back shuffle_hash."""
+    from gnarly_spark.operators.dedup import repeated_spans
+
+    return repeated_spans(_t(spark, sf_dir, "documents"), span=10, min_docs=2)
+
+
 @register(
     "mm_image_dims",
     """

@@ -147,6 +147,82 @@ def bpe_count_column(spark, merges, text_col) -> "F.Column":
     return n_tok(normalize_text(text_col))
 
 
+def _bpe_word_pieces(word: str, patterns: list[tuple[str, str]]) -> tuple[str, ...]:
+    rep = "".join(f"{_BPE_MARK}{c} " for c in word)
+    for pat, sub in patterns:
+        if pat in rep:
+            rep = rep.replace(pat, sub)
+    return tuple(t[1:] for t in rep.split(" ") if t)
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, token) — the actual BPE token STREAM (not just counts):
+    one row per sub-word token, pos 1-based over the whole document. Same
+    merge semantics, broadcast and memoization as bpe_token_count; the
+    UDF returns the token array, posexplode flattens it JVM-side (scalar
+    rows — engine-portable for the oracle, no array-representation
+    hashing hazards)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = docs.sparkSession.sparkContext.broadcast(list(merges))
+    memo: dict[str, tuple[str, ...]] = {}
+
+    @pandas_udf("array<string>")
+    def toks(texts):
+        patterns = _bpe_patterns(bc.value)
+
+        def tokenize(t: str | None) -> list[str]:
+            if not t:
+                return []
+            out: list[str] = []
+            for w in t.split(" "):
+                pieces = memo.get(w)
+                if pieces is None:
+                    pieces = _bpe_word_pieces(w, patterns)
+                    memo[w] = pieces
+                out.extend(pieces)
+            return out
+
+        return texts.map(tokenize)
+
+    return docs.select(
+        F.col(id_col).alias("id"),
+        toks(normalize_text(F.col(text_col))).alias("_toks"),
+    ).select(
+        "id",
+        F.posexplode("_toks").alias("pos0", "token"),
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
+
+
+def bpe_tokenize_sql(merges: list[tuple[str, str]], text_sql: str = "text") -> str:
+    """DuckDB twin of bpe_tokenize (FROM documents), single-sourced from
+    the same merge table: per word, marker representation -> chained
+    replace() -> split back to tokens; parallel unnests zip (pos, token)."""
+    norm = rf"trim(regexp_replace(lower({text_sql}), '\s+', ' ', 'g'))"
+    rep = r"regexp_replace(w, '(.)', chr(1) || '\1' || ' ', 'g')"
+    for a, b in merges:
+        pat = f"chr(1) || {_sql_quote(a + ' ')} || chr(1) || {_sql_quote(b + ' ')}"
+        sub = f"chr(1) || {_sql_quote(a + b + ' ')}"
+        rep = f"replace({rep}, {pat}, {sub})"
+    word_toks = (
+        f"[replace(t, chr(1), '') for t in string_split(trim({rep}), ' ') if t <> '']"
+    )
+    return f"""
+    WITH d AS (SELECT doc_id AS id,
+                      flatten([{word_toks}
+                               for w in string_split({norm}, ' ')]) AS toks
+               FROM documents)
+    SELECT id AS doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+           unnest(toks) AS token
+    FROM d
+    """
+
+
 def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 64,

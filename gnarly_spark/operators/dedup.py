@@ -536,6 +536,70 @@ def winnow_fingerprints(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    span: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring detection at token granularity (the
+    operation behind Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": memorized spans repeat VERBATIM across
+    documents even when whole docs differ). A span = ``span`` consecutive
+    normalized tokens; output = every (doc, position) whose span text
+    occurs in >= ``min_docs`` DISTINCT docs:
+    (doc_id, pos, span_hash, n_docs), pos 1-based.
+
+    Shape: explode to one row per token (never slice per-position arrays —
+    that re-materializes the word array per row), build each span with
+    span-1 lead() calls over ONE (id, pos) window (codegen'd, single
+    shuffle), md5 the span text (engine-portable), then count distinct
+    docs per hash two-phase (distinct -> count, no Expand) and join the
+    (small, repeated-only) counts back shuffle_hash. Downstream span
+    removal/masking is a per-doc merge of the flagged intervals.
+    """
+    if span < 2:
+        raise ValueError("span must be >= 2 tokens")
+    toks = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    w = Window.partitionBy("id").orderBy("pos0")
+    last = F.lead("w", span - 1).over(w)
+    sp = (
+        toks.withColumn(
+            "_span",
+            F.concat_ws(
+                " ", F.col("w"), *[F.lead("w", i).over(w) for i in range(1, span)]
+            ),
+        )
+        .withColumn("_last", last)
+        .where(F.col("_last").isNotNull())  # full windows only
+        .select(
+            "id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.md5("_span").alias("span_hash"),
+        )
+    )
+    counts = (
+        sp.select("span_hash", "id")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    return sp.join(counts.hint("shuffle_hash"), "span_hash").select(
+        F.col("id").alias("doc_id"), "pos", "span_hash", "n_docs"
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash over distinct tokens (md5-derived token hashes so the
     oracle can reproduce it). Output: (id, simhash: bigint).

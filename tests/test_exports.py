@@ -28,6 +28,7 @@ def test_public_api_surface():
             "fingerprint", "scrub_pii", "collapse_repeat_tokens",
             "lm_quality", "pack_sequences",
             "bpe_token_count", "train_bpe_merges", "bpe_count_sql",
+            "bpe_tokenize", "bpe_tokenize_sql",
         ],
         paths: ["parse_path"],
         url: [
@@ -47,6 +48,7 @@ def test_public_api_surface():
             "incremental_lsh_dups",
             "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
             "duplicate_clusters", "simhash_hamming_pairs", "cap_hot_bands",
+            "repeated_spans",
             "combination_key_bits",
         ],
         similarity: [

@@ -468,6 +468,60 @@ def test_bpe_trainer_learns_corpus_merges(spark):
     assert n <= 2 * 5  # 'sparkly' (7 chars) compressed to <= 2 tokens
 
 
+def test_bpe_tokenize_stream_and_roundtrip(spark):
+    """bpe_tokenize emits the ordered sub-word stream; concatenating a
+    word's pieces reproduces the word exactly (lossless segmentation)."""
+    from gnarly_spark.functions.text import bpe_tokenize
+
+    merges = [("t", "h"), ("th", "e"), ("l", "l")]
+    df = spark.createDataFrame(
+        [(0, "the hello"), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = bpe_tokenize(df, merges).toPandas()
+    assert got[got.id == 0].sort_values("pos").token.tolist() == [
+        "the", "h", "e", "ll", "o",
+    ]
+    assert got[got.id == 0].pos.tolist() == [1, 2, 3, 4, 5]
+    assert (got.id != 1).all() and (got.id != 2).all()  # empty/null: no rows
+    # lossless: pieces rejoin to the normalized text
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    stream = bpe_tokenize(docs, merges)
+    rejoined = (
+        stream.orderBy("id", "pos")
+        .groupBy("id")
+        .agg(F.concat_ws("", F.collect_list("token")).alias("j"))
+    )
+    from gnarly_spark.operators.dedup import normalize_text
+
+    want = docs.select(
+        F.col("doc_id").alias("id"),
+        F.replace(normalize_text(F.col("text")), F.lit(" "), F.lit("")).alias("w"),
+    )
+    assert rejoined.join(want, "id").where("j <> w").count() == 0
+
+
+def test_repeated_spans_planted_run(spark):
+    """A 12-word run shared verbatim by two docs at DIFFERENT offsets is
+    flagged at exactly the 3 window starts inside the run in each doc
+    (span=10); a unique doc contributes nothing; an in-doc repeat does
+    not clear min_docs=2 (distinct docs, not occurrences)."""
+    from gnarly_spark.operators.dedup import repeated_spans
+
+    run = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(5)) + " " + run + " a5 a6 a7"),
+        (1, run + " " + " ".join(f"b{i}" for i in range(8))),
+        (2, " ".join(f"c{i}" for i in range(30))),
+        # doc 3 repeats ITS OWN 10-gram twice — only 1 distinct doc
+        (3, " ".join(f"d{i}" for i in range(10)) + " x " + " ".join(f"d{i}" for i in range(10))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = repeated_spans(df, span=10, min_docs=2).toPandas()
+    assert set(got.n_docs) == {2}
+    flagged = {(r.doc_id, r.pos) for r in got.itertuples()}
+    assert flagged == {(0, 6), (0, 7), (0, 8), (1, 1), (1, 2), (1, 3)}, flagged
+
+
 def test_pack_sequences_bpe_budget_mode(spark):
     """pack_sequences(merges=...) budgets on REAL BPE counts: same
     first-fit invariants as whitespace mode, and n_tok comes from the
