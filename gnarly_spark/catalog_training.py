@@ -1048,6 +1048,42 @@ def dedup_repeated_spans(spark, sf_dir):
 
 
 @register(
+    "dedup_strip_spans",
+    """
+    WITH dw AS (SELECT doc_id AS id,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+    sp AS (SELECT id,
+                  unnest(range(1, greatest(len(w) - 10 + 1, 0) + 1)) AS pos,
+                  unnest([md5(array_to_string(w[g : g + 9], ' '))
+                          for g in range(1, greatest(len(w) - 10 + 1, 0) + 1)]) AS span_hash
+           FROM dw),
+    rep AS (SELECT span_hash, MIN(id) AS keep
+            FROM sp GROUP BY span_hash HAVING COUNT(DISTINCT id) >= 2),
+    dr AS (SELECT DISTINCT sp.id, unnest(range(sp.pos, sp.pos + 10)) AS p
+           FROM sp JOIN rep USING (span_hash) WHERE sp.id <> rep.keep),
+    dl AS (SELECT id, list(p) AS drops FROM dr GROUP BY id)
+    SELECT dw.id AS doc_id,
+           coalesce(array_to_string([w[i] for i in range(1, len(w) + 1)
+                            if dl.drops IS NULL OR NOT list_contains(dl.drops, i)],
+                           ' '), '') AS clean_text,
+           CAST(coalesce(len(dl.drops), 0) AS BIGINT) AS n_removed
+    FROM dw LEFT JOIN dl USING (id)
+    """,
+)
+def dedup_strip_spans(spark, sf_dir):
+    """The removal step of exact substring dedup: flagged 10-token spans
+    are deleted from every doc except the smallest-id keeper per span
+    (overlapping intervals union). operators/dedup.strip_repeated_spans;
+    the oracle re-derives drop intervals and rebuilds clean text with
+    list comprehensions — token order, interval union, keeper choice and
+    removal counts are all hash-checked."""
+    from gnarly_spark.operators.dedup import strip_repeated_spans
+
+    return strip_repeated_spans(_t(spark, sf_dir, "documents"), span=10, min_docs=2)
+
+
+@register(
     "mm_image_dims",
     """
     SELECT doc_id,

@@ -600,6 +600,77 @@ def repeated_spans(
     )
 
 
+def strip_repeated_spans(
+    docs: DataFrame,
+    span: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL step of exact substring dedup (Lee et al. 2022): for
+    every span flagged by ``repeated_spans``, the doc with the SMALLEST
+    id keeps its text; every other doc has the span's token interval
+    [pos, pos+span-1] deleted (overlapping flagged intervals union).
+    Output: (doc_id, clean_text, n_removed) for EVERY input doc.
+
+    Shape: flagged rows (small) explode span-wide into drop positions,
+    distinct, anti-join the token relation on (id, pos), then one
+    groupBy(id) reassembles clean text via array_sort(collect_list(
+    struct(pos, w))) — the same one-shuffle-per-doc-rebuild cost class as
+    scrub_boilerplate. Keeper rule is per HASH (min doc id), so a span
+    shared by k docs survives exactly once in the smallest id.
+    """
+    flagged = repeated_spans(
+        docs, span=span, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    keeper = flagged.groupBy("span_hash").agg(F.min("doc_id").alias("_keep"))
+    drops = (
+        flagged.join(keeper.hint("shuffle_hash"), "span_hash")
+        .where(F.col("doc_id") != F.col("_keep"))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
+    )
+    kept = toks.join(drops.hint("shuffle_hash"), ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_n_all"))
+    base = docs.select(F.col(id_col).alias("id"))  # empty docs included
+    return (
+        base.join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.coalesce("_n_all", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc SimHash over distinct tokens (md5-derived token hashes so the
     oracle can reproduce it). Output: (id, simhash: bigint).

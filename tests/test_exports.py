@@ -48,7 +48,7 @@ def test_public_api_surface():
             "incremental_lsh_dups",
             "winnow_fingerprints", "normalize_text", "cap_hot_shingles",
             "duplicate_clusters", "simhash_hamming_pairs", "cap_hot_bands",
-            "repeated_spans",
+            "repeated_spans", "strip_repeated_spans",
             "combination_key_bits",
         ],
         similarity: [

@@ -522,6 +522,34 @@ def test_repeated_spans_planted_run(spark):
     assert flagged == {(0, 6), (0, 7), (0, 8), (1, 1), (1, 2), (1, 3)}, flagged
 
 
+def test_strip_repeated_spans_keeper_and_union(spark):
+    """Span REMOVAL: the smallest-id doc sharing a span keeps its text
+    verbatim; the other doc loses the UNION of its flagged intervals
+    (3 overlapping 10-token windows -> one 12-token cut, not 30);
+    unflagged docs and empty docs pass through with n_removed=0."""
+    from gnarly_spark.operators.dedup import normalize_text, strip_repeated_spans
+
+    run = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(5)) + " " + run + " a5 a6 a7"),
+        (1, run + " " + " ".join(f"b{i}" for i in range(8))),
+        (2, " ".join(f"c{i}" for i in range(30))),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = strip_repeated_spans(df, span=10, min_docs=2).toPandas().set_index("doc_id")
+    norm = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", normalize_text(F.col("text")).alias("n")).collect()
+    }
+    assert got.loc[0, "n_removed"] == 0 and got.loc[0, "clean_text"] == norm[0]
+    # doc 1: windows at pos 1,2,3 union to tokens 1..12 -> only the b-words stay
+    assert got.loc[1, "n_removed"] == 12
+    assert got.loc[1, "clean_text"] == " ".join(f"b{i}" for i in range(8))
+    assert got.loc[2, "n_removed"] == 0 and got.loc[2, "clean_text"] == norm[2]
+    assert got.loc[3, "n_removed"] == 0 and got.loc[3, "clean_text"] == ""
+
+
 def test_pack_sequences_bpe_budget_mode(spark):
     """pack_sequences(merges=...) budgets on REAL BPE counts: same
     first-fit invariants as whitespace mode, and n_tok comes from the
