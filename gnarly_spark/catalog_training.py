@@ -284,6 +284,54 @@ def sim_neardup_cosine(spark, sf_dir):
     return neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.35, max_id=200)
 
 
+def _lsh_neardup_sql(n_planes: int, bands: int, threshold: float, dim: int = 64) -> str:
+    """Oracle for neardup_pairs_lsh: the deterministic hyperplanes are
+    generated ONCE here (same _hyperplanes seed as the operator) and
+    embedded as DOUBLE[] literals, so DuckDB replays the identical banded
+    semantics — sign bits, band keys, candidate join, exact cosine verify."""
+    from gnarly_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    r = n_planes // bands
+    def lit(p):
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+    band_exprs = [
+        " + ".join(
+            f"(CASE WHEN list_dot_product(v, {lit(planes[b * r + j])}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+            for j in range(r)
+        )
+        for b in range(bands)
+    ]
+    bands_list = ", ".join(f"CAST({e} AS BIGINT)" for e in band_exprs)
+    band_idx = ", ".join(str(b) for b in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sk AS (SELECT id, unnest([{band_idx}]) AS band,
+                  unnest([{bands_list}]) AS band_key
+           FROM e),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM sk a JOIN sk b USING (band, band_key) WHERE a.id < b.id)
+    SELECT id_a, id_b, ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM cand JOIN e ea ON ea.id = cand.id_a JOIN e eb ON eb.id = cand.id_b
+    WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+@register("sim_neardup_lsh", _lsh_neardup_sql(n_planes=16, bands=4, threshold=0.35))
+def sim_neardup_lsh(spark, sf_dir):
+    """Scale path for sim_neardup_cosine: banded sign-LSH candidates (one
+    shuffle on (band, band_key), never all-pairs) + exact cosine verify on
+    candidates only. operators/similarity.neardup_pairs_lsh; the oracle
+    replays the same hyperplanes as literals, so precision AND the banded
+    recall semantics are hash-checked, not just row counts."""
+    from gnarly_spark.operators.similarity import neardup_pairs_lsh
+
+    return neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=16, bands=4
+    )
+
+
 # LSH-bucketed ANN: genuinely non-SQL-expressible oracle (deterministic
 # hyperplanes from SHA2 seed) -> rows-only driver check, full semantics
 # tested in tests/test_trainingdata.py against the brute-force baseline.

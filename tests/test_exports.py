@@ -52,7 +52,8 @@ def test_public_api_surface():
             "combination_key_bits",
         ],
         similarity: [
-            "cosine_topk", "neardup_pairs", "lsh_sketch", "lsh_ann_topk",
+            "cosine_topk", "neardup_pairs", "neardup_pairs_lsh", "lsh_sketch",
+            "lsh_ann_topk",
             "ivf_build", "ivf_ann_topk", "cosine", "quantize_vectors",
         ],
         multimodal: [

@@ -191,6 +191,20 @@ def test_simhash_combination_blocking_plan_and_keyspace(spark):
     assert plan.count("Generate") <= 4, plan.count("Generate")
 
 
+def test_neardup_lsh_is_banded_equi_join_corpus_never_broadcast(spark):
+    """Embedding near-dup at scale: candidates from ONE equi-join on
+    (band, band_key) — no cartesian/nested-loop, and the corpus relation
+    is never broadcast (it's the 10^10 side; only shuffle_hash joins)."""
+    from gnarly_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(neardup_pairs_lsh(emb, threshold=0.35, n_planes=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "band_key" in plan
+
+
 def test_url_canonicalize_cascade_no_expand(spark):
     """The url census must stay a no-Expand cascade: raw-spelling count
     first (regex once per DISTINCT spelling), then plain-sum rollups —

@@ -281,6 +281,36 @@ def test_ivf_ann_recall(spark):
     assert all(1 <= r.rank <= 3 for r in approx)
 
 
+def test_neardup_lsh_subset_of_bruteforce_and_finds_planted(spark):
+    """Banded LSH near-dup: exact precision (every pair is a true
+    >=threshold pair from the brute-force relation) and identical vectors
+    are ALWAYS found (they share every band). max_bucket caps degenerate
+    buckets without losing the planted pair."""
+    from gnarly_spark.operators.similarity import neardup_pairs, neardup_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # plant an exact duplicate of vec 0 under a fresh id
+    v0 = emb.where("vec_id = 0").select("embedding").first()[0]
+    planted = spark.createDataFrame(
+        [(9000, v0, 0)], schema="vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(planted)
+    brute = {
+        (r.id_a, r.id_b): r.cos
+        for r in neardup_pairs(corpus, threshold=0.35).collect()
+    }
+    lsh = neardup_pairs_lsh(corpus, threshold=0.35, n_planes=16, bands=4).collect()
+    assert lsh, "LSH near-dup found nothing"
+    for r in lsh:
+        assert (r.id_a, r.id_b) in brute, (r.id_a, r.id_b)
+        assert abs(brute[(r.id_a, r.id_b)] - r.cos) < 1e-9
+    assert (0, 9000) in {(r.id_a, r.id_b) for r in lsh}
+    capped = neardup_pairs_lsh(
+        corpus, threshold=0.35, n_planes=16, bands=4, max_bucket=50
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in capped} <= {(r.id_a, r.id_b) for r in lsh}
+
+
 def test_hot_shingle_cap_bounds_candidate_pairs(spark):
     """A stop-shingle shared by every doc makes the Jaccard self-join
     quadratic; cap_hot_shingles must collapse the candidate-pair relation
