@@ -55,6 +55,8 @@ HEADLINE = [
     "text_bpe_token_count",
     "mm_image_dims",
     "mm_av_metadata",
+    "dedup_strip_spans",
+    "sim_neardup_lsh",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

@@ -536,6 +536,43 @@ def winnow_fingerprints(
     )
 
 
+def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, pos0, w): one row per normalized token — the shared base
+    relation of the span detect/remove pair."""
+    return (
+        _spread(docs)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos0", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+
+
+def _span_hashes(toks: DataFrame, span: int) -> DataFrame:
+    """(id, pos, span_hash) for every full span window: the span text is
+    built with span-1 lead() calls over ONE (id, pos0) window (codegen'd,
+    single shuffle), never per-position array slices."""
+    w = Window.partitionBy("id").orderBy("pos0")
+    return (
+        toks.withColumn(
+            "_span",
+            F.concat_ws(
+                " ", F.col("w"), *[F.lead("w", i).over(w) for i in range(1, span)]
+            ),
+        )
+        .withColumn("_last", F.lead("w", span - 1).over(w))
+        .where(F.col("_last").isNotNull())  # full windows only
+        .select(
+            "id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.md5("_span").alias("span_hash"),
+        )
+    )
+
+
 def repeated_spans(
     docs: DataFrame,
     span: int = 10,
@@ -561,33 +598,8 @@ def repeated_spans(
     """
     if span < 2:
         raise ValueError("span must be >= 2 tokens")
-    toks = (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("pos0", "w"),
-        )
-        .where(F.col("w") != "")
-    )
-    w = Window.partitionBy("id").orderBy("pos0")
-    last = F.lead("w", span - 1).over(w)
-    sp = (
-        toks.withColumn(
-            "_span",
-            F.concat_ws(
-                " ", F.col("w"), *[F.lead("w", i).over(w) for i in range(1, span)]
-            ),
-        )
-        .withColumn("_last", last)
-        .where(F.col("_last").isNotNull())  # full windows only
-        .select(
-            "id",
-            (F.col("pos0") + 1).cast("long").alias("pos"),
-            F.md5("_span").alias("span_hash"),
-        )
-    )
+    toks = _doc_tokens(docs, text_col, id_col)
+    sp = _span_hashes(toks, span)
     counts = (
         sp.select("span_hash", "id")
         .distinct()
@@ -613,15 +625,27 @@ def strip_repeated_spans(
     [pos, pos+span-1] deleted (overlapping flagged intervals union).
     Output: (doc_id, clean_text, n_removed) for EVERY input doc.
 
-    Shape: flagged rows (small) explode span-wide into drop positions,
-    distinct, anti-join the token relation on (id, pos), then one
-    groupBy(id) reassembles clean text via array_sort(collect_list(
-    struct(pos, w))) — the same one-shuffle-per-doc-rebuild cost class as
-    scrub_boilerplate. Keeper rule is per HASH (min doc id), so a span
-    shared by k docs survives exactly once in the smallest id.
+    Shape: the corpus is tokenized ONCE (localCheckpoint — the span
+    relation, the keep/anti-join side, and the removal totals all reuse
+    it; without the cut the plan re-tokenizes the corpus ~4x). Flagged
+    rows (small) explode span-wide into drop positions, distinct,
+    anti-join the token relation on (id, pos), then one groupBy(id)
+    reassembles clean text via array_sort(collect_list(struct(pos, w))) —
+    the same one-shuffle-per-doc-rebuild cost class as scrub_boilerplate.
+    Keeper rule is per HASH (min doc id), so a span shared by k docs
+    survives exactly once in the smallest id.
     """
-    flagged = repeated_spans(
-        docs, span=span, min_docs=min_docs, text_col=text_col, id_col=id_col
+    toks0 = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
+    sp = _span_hashes(toks0, span)
+    counts = (
+        sp.select("span_hash", "id")
+        .distinct()
+        .groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+    flagged = sp.join(counts.hint("shuffle_hash"), "span_hash").select(
+        F.col("id").alias("doc_id"), "pos", "span_hash"
     )
     keeper = flagged.groupBy("span_hash").agg(F.min("doc_id").alias("_keep"))
     drops = (
@@ -635,17 +659,7 @@ def strip_repeated_spans(
         )
         .distinct()
     )
-    toks = (
-        _spread(docs)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("pos0", "w"),
-        )
-        .where(F.col("w") != "")
-        .select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
-    )
+    toks = toks0.select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "w")
     kept = toks.join(drops.hint("shuffle_hash"), ["id", "pos"], "left_anti")
     rebuilt = kept.groupBy("id").agg(
         F.array_join(
