@@ -521,6 +521,42 @@ def text_stratified_split(spark, sf_dir):
 
 
 @register(
+    "text_shuffle_shard",
+    """
+    WITH a AS (SELECT doc_id,
+                      CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) AS sort_key
+               FROM documents)
+    SELECT CAST(sort_key % 16 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           MIN(sort_key) AS first_key, MAX(sort_key) AS last_key,
+           CAST(CAST(SUM(sort_key) AS HUGEINT) AS VARCHAR) AS key_checksum
+    FROM a GROUP BY 1
+    """,
+)
+def text_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + shard census (the layout step a
+    training data loader consumes). functions/text.shard_assign; shard
+    and order derive from md5(salt:doc_id), so the oracle replays the
+    exact permutation — per-shard counts, boundary keys and the full
+    key checksum are all hash-checked."""
+    from gnarly_spark.functions.text import shard_assign
+
+    return (
+        shard_assign(_t(spark, sf_dir, "documents"), n_shards=16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+            F.sum(F.col("sort_key").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("key_checksum"),
+        )
+    )
+
+
+@register(
     "text_source_stats",
     """
     SELECT source, COUNT(*) AS n_docs,

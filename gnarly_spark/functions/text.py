@@ -845,3 +845,58 @@ def chunk_passages(
         F.size("_c").cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", "_c").alias("chunk_text"),
     )
+
+
+def shard_assign(
+    docs: DataFrame,
+    n_shards: int = 64,
+    salt: str = "42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last step of
+    a training-data pipeline (the data loader reads shard files
+    sequentially; the pseudo-random ORDER must be baked into the layout).
+
+    sort_key = the first 60 bits of md5(salt:id) (engine-portable, no RNG
+    state); shard = sort_key mod n_shards. Reading shards in (shard,
+    sort_key) order IS the global permutation; re-running, appending, or
+    changing engines never moves a doc (change `salt` for a fresh epoch
+    permutation). Map-only — the one shuffle happens in `write_shards`'
+    range repartition, never here.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return docs.withColumn("sort_key", h).withColumn(
+        "shard", F.pmod(F.col("sort_key"), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    salt: str = "42",
+    id_col: str = "doc_id",
+) -> int:
+    """Write the training-ready sharded corpus: parquet partitioned by
+    shard, rows within every file sorted by sort_key.
+
+    repartitionByRange(n_shards, shard, sort_key) — NOT repartition(shard):
+    range partitioning keeps each output partition a contiguous sorted
+    slice so every shard writes in parallel with no post-sort, while a
+    hash repartition on shard serializes whole shards through single
+    tasks (the COW-rewrite gotcha). Returns n_shards.
+    """
+    (
+        shard_assign(docs, n_shards=n_shards, salt=salt, id_col=id_col)
+        .repartitionByRange(n_shards, "shard", "sort_key")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .parquet(path)
+    )
+    return n_shards

@@ -26,7 +26,7 @@ def test_public_api_surface():
         text: [
             "lang_id", "token_count", "bpe_ish_token_count", "quality_features",
             "fingerprint", "scrub_pii", "collapse_repeat_tokens",
-            "lm_quality", "pack_sequences",
+            "lm_quality", "pack_sequences", "shard_assign", "write_shards",
             "bpe_token_count", "train_bpe_merges", "bpe_count_sql",
             "bpe_tokenize", "bpe_tokenize_sql",
         ],

@@ -598,6 +598,38 @@ def test_pack_sequences_bpe_budget_mode(spark):
         assert docs_in.n_tok.iloc[:-1].sum() <= 2048
 
 
+def test_write_shards_sorted_balanced_deterministic(spark, tmp_path):
+    """Sharded training export: every doc lands in exactly one shard,
+    rows inside every shard FILE are sorted by sort_key (the data loader
+    reads sequentially), shards are roughly balanced, and the permutation
+    is a pure function of (salt, doc_id) — same salt reproduces it, a new
+    salt moves docs."""
+    import pyarrow.parquet as pq
+
+    from gnarly_spark.functions.text import shard_assign, write_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    sizes = {r.shard: r.n for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert len(sizes) == 8
+    assert max(sizes.values()) <= 3 * min(sizes.values()), sizes
+    # per-file physical sort: the loader contract
+    import glob
+
+    for f in glob.glob(f"{out}/shard=*/*.parquet"):
+        keys = pq.read_table(f, columns=["sort_key"])["sort_key"].to_pylist()
+        assert keys == sorted(keys), f
+    a1 = {r.doc_id: (r.shard, r.sort_key) for r in shard_assign(docs, 8).collect()}
+    a2 = {r.doc_id: (r.shard, r.sort_key) for r in shard_assign(docs, 8).collect()}
+    assert a1 == a2
+    a3 = {r.doc_id: (r.shard, r.sort_key) for r in shard_assign(docs, 8, salt="7").collect()}
+    assert a3 != a1
+
+
 def test_incremental_lsh_flags_batch_dup_of_corpus(spark, docs):
     """An incoming batch doc that duplicates a corpus doc is flagged with
     est_jaccard 1.0; an unrelated batch doc produces no row; corpus-vs-
