@@ -45,15 +45,18 @@ def _checksum(df):
     ).collect()[0]
 
 
-def _drain(spark, changelog: str, files_per_trigger: int, cpus: int):
+def _drain(spark, changelog: str, files_per_trigger: int, cpus: int, mode: str = "cow"):
     from gnarly_spark.sinks.lake import ParquetLakeTable
     from gnarly_spark.streaming.pipeline import CdcIngestPipeline
 
     work = tempfile.mkdtemp(prefix="sustained_")
     target = ParquetLakeTable(
-        spark, os.path.join(work, "pages"), key="url", n_buckets=cpus
+        spark, os.path.join(work, "pages"), key="url", n_buckets=cpus, mode=mode
     )
-    p = CdcIngestPipeline(spark, work, target=target, retention_blocks=200)
+    p = CdcIngestPipeline(
+        spark, work, target=target, retention_blocks=200,
+        compact_every=(4 if mode == "mor" else None),
+    )
     t0 = time.monotonic()
     q = p.start(changelog, available_now=True, max_files_per_trigger=files_per_trigger)
     q.awaitTermination()
@@ -95,9 +98,10 @@ def main():
     _, _, w0 = _drain(spark, warm, 8, cpus)  # warm-up: JIT + worker pool
     shutil.rmtree(w0, ignore_errors=True)
 
-    wall, p, work = _drain(spark, changelog, 8, cpus)
+    mode = os.environ.get("SUSTAINED_MODE", "cow")
+    wall, p, work = _drain(spark, changelog, 8, cpus, mode=mode)
     batches = [
-        {k: m[k] for k in ("batch_id", "n_events", "wall_s", "events_per_s", "phase_s")}
+        {k: m[k] for k in ("batch_id", "n_events", "wall_s", "events_per_s", "phase_s") if k in m}
         for m in p.metrics()
     ]
     # flatness: throughput of the last THIRD of batches over the first
@@ -118,6 +122,7 @@ def main():
     print(
         json.dumps(
             {
+                "mode": mode,
                 "n_events": total,
                 "cpus": cpus,
                 "batches": batches,
