@@ -637,22 +637,21 @@ def strip_repeated_spans(
     """
     toks0 = _doc_tokens(docs, text_col, id_col).localCheckpoint(eager=True)
     sp = _span_hashes(toks0, span)
-    counts = (
+    # ONE distinct + ONE agg yields both the repeat filter and the keeper
+    # (min doc id over distinct (hash, id) == min over all occurrences)
+    flagged_keep = (
         sp.select("span_hash", "id")
         .distinct()
         .groupBy("span_hash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("_keep"))
         .where(F.col("n_docs") >= min_docs)
+        .select("span_hash", "_keep")
     )
-    flagged = sp.join(counts.hint("shuffle_hash"), "span_hash").select(
-        F.col("id").alias("doc_id"), "pos", "span_hash"
-    )
-    keeper = flagged.groupBy("span_hash").agg(F.min("doc_id").alias("_keep"))
     drops = (
-        flagged.join(keeper.hint("shuffle_hash"), "span_hash")
-        .where(F.col("doc_id") != F.col("_keep"))
+        sp.join(flagged_keep.hint("shuffle_hash"), "span_hash")
+        .where(F.col("id") != F.col("_keep"))
         .select(
-            F.col("doc_id").alias("id"),
+            "id",
             F.explode(
                 F.sequence(F.col("pos"), F.col("pos") + F.lit(span - 1))
             ).alias("pos"),
