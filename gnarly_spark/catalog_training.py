@@ -1171,26 +1171,31 @@ def dedup_strip_spans(spark, sf_dir):
     "mm_image_dims",
     """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'gif' ELSE 'webp' END AS fmt,
            CAST(16 + doc_id % 640 AS INT) AS width,
            CAST(16 + (doc_id * 7) % 480 AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
+           CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS INT) AS channels,
            CAST(8 AS INT) AS bit_depth
     FROM documents
     """,
 )
 def mm_image_dims(spark, sf_dir):
-    """REAL image decode, driver-checked: synthesize valid PNG (IHDR,
-    RGBA) and JPEG (APP0 + baseline SOF0, 3 components) byte streams
-    JVM-side with width/height derived from doc_id, then recover the
-    dimensions with the pure-Python header parsers over Arrow batches
-    (extract_image_dims). The oracle recomputes the dims from doc_id
-    directly — a wrong SOF/IHDR offset, endianness, or channel map breaks
-    the hash. (Header-building: unhex over lpad(hex(n)) stays entirely in
+    """REAL image decode, driver-checked, all four dominant web formats:
+    synthesize valid PNG (IHDR, RGBA), JPEG (APP0 + baseline SOF0, 3
+    components), GIF (89a logical screen descriptor) and WebP (VP8X
+    extended header) byte streams JVM-side with width/height derived from
+    doc_id, then recover the dimensions with the pure-Python header
+    parsers over Arrow batches (extract_image_dims). The oracle recomputes
+    the dims from doc_id directly — a wrong SOF/IHDR/LSD/VP8X offset,
+    endianness (PNG/JPEG are BE, GIF/WebP LE), or channel map breaks the
+    hash. (Header-building: unhex over lpad(hex(n)) stays entirely in
     whole-stage codegen until the one mapInPandas decode.)"""
     from gnarly_spark.operators.multimodal import extract_image_dims
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    wsql = "CAST(doc_id % 640 + 16 AS INT)"
+    hsql = "CAST((doc_id * 7) % 480 + 16 AS INT)"
     w16 = F.lpad(F.hex((F.col("doc_id") % 640 + 16).cast("int")), 4, "0")
     h16 = F.lpad(F.hex(((F.col("doc_id") * 7) % 480 + 16).cast("int")), 4, "0")
     png_hex = F.concat(
@@ -1206,8 +1211,24 @@ def mm_image_dims(spark, sf_dir):
         w16,
         F.lit("03" "011100" "021101" "031101" "FFD9"),  # 3 components + EOI
     )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        _le_hex(wsql, 2),
+        _le_hex(hsql, 2),
+        F.lit("700000"),  # packed: color resolution 8, no GCT; bg; aspect
+    )
+    webp_hex = F.concat(
+        # RIFF size 22 LE, WEBP, VP8X chunk size 10 LE, flags 0, reserved
+        F.lit("52494646" "16000000" "57454250" "56503858" "0A000000" "00" "000000"),
+        _le_hex(f"({wsql} - 1)", 3),
+        _le_hex(f"({hsql} - 1)", 3),
+    )
+    m = (F.col("doc_id") % 4).cast("int")
     payload = F.unhex(
-        F.when(F.col("doc_id") % 2 == 0, png_hex).otherwise(jpeg_hex)
+        F.when(m == 0, png_hex)
+        .when(m == 1, jpeg_hex)
+        .when(m == 2, gif_hex)
+        .otherwise(webp_hex)
     )
     return extract_image_dims(docs.withColumn("payload", payload))
 

@@ -54,6 +54,7 @@ def media_metadata(df: DataFrame, binary_col: str = "payload") -> DataFrame:
         "sniffed_type",
         F.when(hexhead.startswith("89504E47"), "image/png")
         .when(hexhead.startswith("FFD8"), "image/jpeg")
+        .when(hexhead.startswith("47494638"), "image/gif")
         .when(riff & (form == "57415645"), "audio/wav")
         .when(riff & (form == "41564920"), "video/avi")
         .when(riff & (form == "57454250"), "image/webp")
@@ -194,14 +195,65 @@ def _mp4_duration(b: bytes) -> tuple[int, int] | None:
     return walk(0, len(b))
 
 
+def _gif_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, bit_depth) from a GIF logical screen
+    descriptor, or None. Signature GIF87a/GIF89a, then width/height
+    (2-byte LE each) and a packed byte whose bits 4-6 are color
+    resolution - 1 (GIF89a spec §18). Channels reported as 3 (palette
+    RGB; per-frame transparency is not knowable from the header)."""
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    if not (w and h):
+        return None
+    depth = ((b[10] >> 4) & 0x07) + 1
+    return w, h, 3, depth
+
+
+def _webp_header(b: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, channels, bit_depth) from a WebP RIFF header, or
+    None. All three container flavors (RFC 9649): VP8X extended (24-bit
+    LE canvas minus one; alpha flag bit 4), VP8L lossless (14-bit packed
+    dims minus one after the 0x2F signature; alpha bit 28), VP8 lossy
+    (14-bit LE dims after the 9D 01 2A keyframe start code)."""
+    if len(b) < 25 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return None
+    chunk = b[12:16]
+    if chunk == b"VP8X":
+        if len(b) < 30:
+            return None
+        w = int.from_bytes(b[24:27], "little") + 1
+        h = int.from_bytes(b[27:30], "little") + 1
+        return w, h, (4 if b[20] & 0x10 else 3), 8
+    if chunk == b"VP8L":
+        if b[20] != 0x2F:
+            return None
+        bits = int.from_bytes(b[21:25], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        return w, h, (4 if (bits >> 28) & 1 else 3), 8
+    if chunk == b"VP8 ":
+        if len(b) < 30 or b[23:26] != b"\x9d\x01\x2a":
+            return None
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return (w, h, 3, 8) if w and h else None
+    return None
+
+
 def decode_image_header(payload: bytes | None) -> tuple[int, int, int, int] | None:
-    """Pure-Python image dimension decode for the two formats that matter
-    at corpus scale (JPEG + PNG ~ the whole web): (width, height,
-    channels, bit_depth), or None if the payload is neither."""
+    """Pure-Python image dimension decode for the web's dominant formats
+    (JPEG + PNG + GIF + WebP): (width, height, channels, bit_depth), or
+    None if the payload is none of them."""
     if not payload:
         return None
     if payload[:2] == b"\xff\xd8":
         return _jpeg_header(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_header(payload)
+    if payload[:4] == b"RIFF":
+        return _webp_header(payload)
     return _png_header(payload)
 
 
@@ -209,18 +261,19 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
     """Feature vector per media row.
 
     decode_real=False (default): deterministic sha256 fake — the plumbing
-    tester. decode_real=True: REAL header decode for image/jpeg and
-    image/png — feature[0:4] = (width, height, channels, bit_depth) as
+    tester. decode_real=True: REAL header decode for image/{jpeg,png,gif,
+    webp} — feature[0:4] = (width, height, channels, bit_depth) as
     floats, remaining slots the sha256 signature (so the payload-identity
-    property survives); other media types still raise loudly (audio/video
-    codecs genuinely need ffmpeg/torchaudio — not in this container)."""
+    property survives); other media types still raise loudly (full
+    audio/video decode genuinely needs ffmpeg/torchaudio — not in this
+    container)."""
     import hashlib
 
     h = hashlib.sha256(payload or b"").digest()
     sha_feats = [((h[i] / 255.0) - 0.5) for i in range(FEATURE_DIM)]
     if not decode_real:
         return sha_feats
-    if media_type in ("image/jpeg", "image/png"):
+    if media_type in ("image/jpeg", "image/png", "image/gif", "image/webp"):
         dims = decode_image_header(payload)
         if dims is None:
             raise ValueError(f"undecodable {media_type} payload")
@@ -237,7 +290,8 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
         return [float(mp4[0]), float(mp4[1])] + sha_feats[2:]
     raise NotImplementedError(
         f"real decode of {media_type} needs ffmpeg/torchaudio — not in this "
-        "container (JPEG/PNG dims, WAV fmt, MP4 mvhd headers ARE implemented)"
+        "container (JPEG/PNG/GIF/WebP dims, WAV fmt, MP4 mvhd headers ARE "
+        "implemented)"
     )
 
 
@@ -289,10 +343,11 @@ def extract_image_dims(
 ) -> DataFrame:
     """Real image dimension extraction over Arrow mapInPandas batches:
     (doc_id, fmt, width, height, channels, bit_depth), with NULL dims and
-    fmt for payloads that are neither JPEG nor PNG (no decode library —
-    the headers are ~20 lines of struct parsing each, see _jpeg_header /
-    _png_header). Column-pruned before the Python boundary; per-batch
-    vectorized loop, never a row-at-a-time UDF."""
+    fmt for payloads that are none of JPEG/PNG/GIF/WebP (no decode
+    library — each header is ~20 lines of struct parsing, see
+    _jpeg_header/_png_header/_gif_header/_webp_header). Column-pruned
+    before the Python boundary; per-batch vectorized loop, never a
+    row-at-a-time UDF."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -303,6 +358,10 @@ def extract_image_dims(
                     fmt, dims = "jpeg", _jpeg_header(b)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     fmt, dims = "png", _png_header(b)
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    fmt, dims = "gif", _gif_header(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+                    fmt, dims = "webp", _webp_header(b)
                 else:
                     fmt, dims = None, None
                 fmts.append(fmt)

@@ -115,11 +115,61 @@ def test_image_header_decode_real_formats():
     assert decode_image_header(_png_bytes(5, 7, color_type=2, depth=16)) == (
         5, 7, 3, 16,
     )
-    # rejects: garbage, truncation, DHT-only JPEG, empty
+    # rejects: zero-dim GIF, truncation, DHT-only JPEG, empty
     assert decode_image_header(b"GIF89a" + b"\x00" * 40) is None
     assert decode_image_header(_png_bytes(800, 600)[:20]) is None
     assert decode_image_header(b"\xff\xd8\xff\xc4\x00\x04\x00\x00\xff\xd9") is None
     assert decode_image_header(None) is None and decode_image_header(b"") is None
+
+
+def _webp_bytes(chunk: bytes, payload: bytes) -> bytes:
+    body = b"WEBP" + chunk + len(payload).to_bytes(4, "little") + payload
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_image_header_decode_gif_and_webp_variants():
+    """GIF LSD (LE dims, color-resolution bits) and all three WebP
+    container flavors: VP8X extended (24-bit LE minus-one dims, alpha
+    flag), VP8L lossless (14-bit packed minus-one dims, alpha bit 28),
+    VP8 lossy (keyframe start code, 14-bit LE dims)."""
+    from gnarly_spark.operators.multimodal import decode_image_header
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert decode_image_header(gif + bytes([0x70, 0, 0])) == (320, 200, 3, 8)
+    assert decode_image_header(gif + bytes([0x30, 0, 0])) == (320, 200, 3, 4)
+
+    vp8x = lambda flags, w, h: _webp_bytes(
+        b"VP8X",
+        bytes([flags]) + b"\x00" * 3
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"),
+    )
+    assert decode_image_header(vp8x(0x00, 1024, 768)) == (1024, 768, 3, 8)
+    assert decode_image_header(vp8x(0x10, 64, 64)) == (64, 64, 4, 8)
+
+    bits = (333 - 1) | ((77 - 1) << 14)  # no alpha (bit 28 clear)
+    assert decode_image_header(
+        _webp_bytes(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00")
+    ) == (333, 77, 3, 8)
+    bits_a = bits | (1 << 28)
+    assert decode_image_header(
+        _webp_bytes(b"VP8L", bytes([0x2F]) + bits_a.to_bytes(4, "little") + b"\x00")
+    ) == (333, 77, 4, 8)
+
+    vp8 = _webp_bytes(
+        b"VP8 ",
+        b"\x00\x00\x00"  # frame tag
+        + b"\x9d\x01\x2a"
+        + (480).to_bytes(2, "little") + (360).to_bytes(2, "little"),
+    )
+    assert decode_image_header(vp8) == (480, 360, 3, 8)
+    # rejects: bad VP8L signature byte, missing VP8 start code, alien chunk
+    assert decode_image_header(
+        _webp_bytes(b"VP8L", bytes([0x30]) + bits.to_bytes(4, "little") + b"\x00")
+    ) is None
+    assert decode_image_header(
+        _webp_bytes(b"VP8 ", b"\x00" * 10)
+    ) is None
+    assert decode_image_header(_webp_bytes(b"ANIM", b"\x00" * 10)) is None
 
 
 def test_extract_image_dims_spark_path(spark):
