@@ -332,15 +332,52 @@ def sim_neardup_lsh(spark, sf_dir):
     )
 
 
-# LSH-bucketed ANN: genuinely non-SQL-expressible oracle (deterministic
-# hyperplanes from SHA2 seed) -> rows-only driver check, full semantics
-# tested in tests/test_trainingdata.py against the brute-force baseline.
-# n_planes=6 / probe_radius=2 is the measured >=0.8-recall config on the
-# driver embeddings (sim_lsh_recall makes the number driver-visible).
+# LSH-bucketed ANN. n_planes=6 / probe_radius=2 is the measured
+# >=0.8-recall config on the driver embeddings (sim_lsh_recall makes the
+# number driver-visible). Round 3 upgraded both from rows-only to full
+# value-hash oracles: the deterministic hyperplanes embed as literals
+# (same trick as sim_neardup_lsh) and multi-probe is bit_count(xor) <=
+# radius in DuckDB — bucket bits, probe set, cosine, tie-break and the
+# recall arithmetic are all hash-checked now.
 _LSH_CFG = {"n_planes": 6, "probe_radius": 2}
 
 
-@register("sim_lsh_ann")
+def _lsh_bucket_sql(n_planes: int, dim: int = 64) -> str:
+    """DuckDB expression for lsh_sketch's bucket over literal planes."""
+    from gnarly_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _lsh_cand_sql(n_planes: int, radius: int) -> str:
+    """Shared CTE block: sketches, query probes, candidate pairs."""
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    return f"""
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+    sk AS (SELECT id, v, {_lsh_bucket_sql(n_planes)} AS bucket FROM e),
+    q AS (SELECT id AS query_id, v AS qv, bucket AS qb FROM sk
+          WHERE id IN ({ids})),
+    scored AS (SELECT q.query_id, s.id AS neighbor_id,
+                      ROUND(list_cosine_similarity(q.qv, s.v), 6) AS cos
+               FROM sk s JOIN q ON s.id <> q.query_id
+                AND bit_count(xor(s.bucket, q.qb)) <= {radius}),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)
+    """
+
+
+@register(
+    "sim_lsh_ann",
+    f"WITH {_lsh_cand_sql(6, 2)} "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3",
+)
 def sim_lsh_ann(spark, sf_dir):
     from gnarly_spark.operators.similarity import lsh_ann_topk
 
@@ -379,9 +416,27 @@ def _recall_vs_bruteforce(spark, sf_dir, ann) -> "DataFrame":
 
 
 # ANN quality made driver-visible: per-query recall@k of each approximate
-# path vs the exact brute force, as row VALUES (rows-only check — the ANN
-# configs themselves have no SQL oracle).
-@register("sim_lsh_recall")
+# path vs the exact brute force. The LSH recall is value-hash-checked
+# (literal-planes oracle replays probes AND the brute-force top-k); the
+# IVF one stays rows-only (iterative k-means build).
+@register(
+    "sim_lsh_recall",
+    f"""
+    WITH {_lsh_cand_sql(6, 2)},
+    ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+    bf_scored AS (SELECT q.query_id, s.id AS neighbor_id,
+                         ROUND(list_cosine_similarity(q.qv, s.v), 6) AS cos
+                  FROM e s JOIN q ON s.id <> q.query_id),
+    bf AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS r FROM bf_scored)
+           WHERE r <= 3),
+    hits AS (SELECT ann.query_id, COUNT(*) AS n
+             FROM ann JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT query_id, ROUND(coalesce(n, 0) / 3.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM q) qq LEFT JOIN hits USING (query_id)
+    """,
+)
 def sim_lsh_recall(spark, sf_dir):
     from gnarly_spark.operators.similarity import lsh_ann_topk
 
