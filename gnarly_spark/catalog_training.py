@@ -384,16 +384,100 @@ def sim_lsh_ann(spark, sf_dir):
     return lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_LSH_CFG)
 
 
-# IVF ANN: iterative k-means build -> non-SQL-expressible oracle (rows-only
-# driver check); recall vs the brute-force baseline tested in pytest.
-_IVF_CFG = {"n_centroids": 16, "n_probe": 6}
+# IVF ANN. Round-3 upgrade: the fixed-point k-means build
+# (operators/similarity.ivf_build_fixed — integer quantize, Knuth-hash init,
+# exact integer distances, floor-division means) is engine-exact, so DuckDB
+# replays the full Lloyd iteration chain in CTEs (the graph_pagerank trick)
+# and the IVF path gets a value-hash oracle instead of rows-only.
+_IVF_CFG = {"n_centroids": 16, "n_probe": 8, "iterations": 3}
 
 
-@register("sim_ivf_ann")
+def _ivf_cand_sql(
+    n_centroids: int, n_probe: int, iterations: int, dim: int = 64
+) -> str:
+    """CTE chain replaying ivf_build_fixed + probe + candidate scoring.
+
+    Every step is exact integer arithmetic except the final cosine (double,
+    rounded 6 dp — the same sequential-sum form both engines compute), so
+    the result value-hashes. Ends with `ranked(query_id, neighbor_id, cos,
+    rank)`; callers append the final SELECT."""
+    from gnarly_spark.operators.similarity import FIXED_POINT_SCALE
+
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+
+    def dist(q, c):
+        return (
+            f"list_sum([ ({q}[g]-{c}[g])*({q}[g]-{c}[g])"
+            f" for g in range(1, {dim + 1}) ])"
+        )
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 [CAST(FLOOR(x * {FIXED_POINT_SCALE} + 0.5) AS BIGINT)
+                  for x in embedding::DOUBLE[]] AS qi
+          FROM embeddings),
+    c0 AS (SELECT CAST(row_number() OVER (ORDER BY rk, id) - 1 AS INT) AS cluster,
+                  qi AS c
+           FROM (SELECT id, qi,
+                        ((id % 1000003) * 2654435761 + 1013904223) % 4294967296 AS rk
+                 FROM e ORDER BY rk, id LIMIT {n_centroids}))"""
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""
+    a{it} AS (SELECT id, qi, cluster FROM (
+            SELECT id, qi, cluster,
+                   row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+            FROM (SELECT e.id, e.qi, c.cluster, {dist('e.qi', 'c.c')} AS d
+                  FROM e CROSS JOIN {prev} c)) WHERE rn = 1),
+    m{it} AS (SELECT cluster, pos,
+                     CAST(FLOOR(SUM(qi[pos]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+              FROM a{it}, range(1, {dim + 1}) t(pos) GROUP BY cluster, pos),
+    c{it} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+              FROM {prev} p LEFT JOIN
+                   (SELECT cluster, list(m ORDER BY pos) AS c
+                    FROM m{it} GROUP BY cluster) n USING (cluster))"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""
+    af AS (SELECT id, cluster FROM (
+            SELECT id, cluster,
+                   row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+            FROM (SELECT e.id, c.cluster, {dist('e.qi', 'c.c')} AS d
+                  FROM e CROSS JOIN {prev} c)) WHERE rn = 1),
+    qs AS (SELECT id AS query_id, v AS qv, qi AS qq FROM e WHERE id IN ({ids})),
+    pr AS (SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+            FROM (SELECT q.query_id, c.cluster, {dist('q.qq', 'c.c')} AS d
+                  FROM qs q CROSS JOIN {prev} c)) WHERE rn <= {n_probe}),
+    scored AS (SELECT pr.query_id, a.id AS neighbor_id,
+                      ROUND(list_cosine_similarity(q.qv, e2.v), 6) AS cos
+               FROM pr JOIN af a USING (cluster)
+                       JOIN qs q ON q.query_id = pr.query_id
+                       JOIN e e2 ON e2.id = a.id
+               WHERE a.id <> pr.query_id),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM scored)"""
+    )
+    return ",".join(parts)
+
+
+@register(
+    "sim_ivf_ann",
+    f"WITH {_ivf_cand_sql(16, 8, 3)} "
+    "SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3",
+)
 def sim_ivf_ann(spark, sf_dir):
-    from gnarly_spark.operators.similarity import ivf_ann_topk
+    from gnarly_spark.operators.similarity import ivf_ann_topk_fixed
 
-    return ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG)
+    return ivf_ann_topk_fixed(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG
+    )
 
 
 def _recall_vs_bruteforce(spark, sf_dir, ann) -> "DataFrame":
@@ -416,9 +500,9 @@ def _recall_vs_bruteforce(spark, sf_dir, ann) -> "DataFrame":
 
 
 # ANN quality made driver-visible: per-query recall@k of each approximate
-# path vs the exact brute force. The LSH recall is value-hash-checked
-# (literal-planes oracle replays probes AND the brute-force top-k); the
-# IVF one stays rows-only (iterative k-means build).
+# path vs the exact brute force. Both are value-hash-checked: LSH via the
+# literal-planes oracle, IVF via the fixed-point Lloyd replay (so the
+# driver sees recall AND verifies the arithmetic that produced it).
 @register(
     "sim_lsh_recall",
     f"""
@@ -444,11 +528,30 @@ def sim_lsh_recall(spark, sf_dir):
     return _recall_vs_bruteforce(spark, sf_dir, ann)
 
 
-@register("sim_ivf_recall")
+@register(
+    "sim_ivf_recall",
+    f"""
+    WITH {_ivf_cand_sql(16, 8, 3)},
+    ann AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 3),
+    bf_scored AS (SELECT q.query_id, s.id AS neighbor_id,
+                         ROUND(list_cosine_similarity(q.qv, s.v), 6) AS cos
+                  FROM e s JOIN qs q ON s.id <> q.query_id),
+    bf AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS r FROM bf_scored)
+           WHERE r <= 3),
+    hits AS (SELECT ann.query_id, COUNT(*) AS n
+             FROM ann JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT query_id, ROUND(coalesce(n, 0) / 3.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM qs) qq LEFT JOIN hits USING (query_id)
+    """,
+)
 def sim_ivf_recall(spark, sf_dir):
-    from gnarly_spark.operators.similarity import ivf_ann_topk
+    from gnarly_spark.operators.similarity import ivf_ann_topk_fixed
 
-    ann = ivf_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG)
+    ann = ivf_ann_topk_fixed(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_IVF_CFG
+    )
     return _recall_vs_bruteforce(spark, sf_dir, ann)
 
 

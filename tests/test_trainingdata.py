@@ -281,6 +281,66 @@ def test_ivf_ann_recall(spark):
     assert all(1 <= r.rank <= 3 for r in approx)
 
 
+def test_ivf_fixed_build_matches_python_reference(spark):
+    """The fixed-point k-means build must be ENGINE-EXACT: an independent
+    pure-Python replay (same quantize / Knuth init / integer distance /
+    floor-division means) reproduces Spark's final assignment bit-for-bit.
+    This is the property the DuckDB oracle relies on."""
+    import math
+
+    from gnarly_spark.operators.similarity import (
+        FIXED_POINT_SCALE,
+        ivf_build_fixed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {
+        r.vec_id: [math.floor(float(x) * FIXED_POINT_SCALE + 0.5) for x in r.embedding]
+        for r in rows
+    }
+    n_c, iters = 8, 3
+    order = sorted(
+        vecs, key=lambda i: (((i % 1000003) * 2654435761 + 1013904223) % 4294967296, i)
+    )
+    cents = {c: list(vecs[i]) for c, i in enumerate(order[:n_c])}
+
+    def nearest(q):
+        return min(
+            cents, key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, cents[c])), c)
+        )
+
+    assign = {}
+    for _ in range(iters):
+        assign = {i: nearest(q) for i, q in vecs.items()}
+        for c in cents:
+            members = [vecs[i] for i, ci in assign.items() if ci == c]
+            if members:
+                cents[c] = [
+                    math.floor(sum(col) / len(members)) for col in zip(*members)
+                ]
+    expected = {i: nearest(q) for i, q in vecs.items()}
+
+    _, got_df = ivf_build_fixed(emb, n_centroids=n_c, iterations=iters)
+    got = {r.id: r.cluster for r in got_df.collect()}
+    assert got == expected
+
+
+def test_ivf_fixed_ann_recall(spark):
+    """The hash-checkable fixed-point IVF keeps useful recall vs exact
+    brute force (and returns well-formed ranks)."""
+    from gnarly_spark.operators.similarity import cosine_topk, ivf_ann_topk_fixed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=3).collect()
+    approx = ivf_ann_topk_fixed(emb, qids, k=3, n_centroids=8, n_probe=4).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    assert len(exact_set & approx_set) / len(exact_set) >= 0.5
+    assert all(1 <= r.rank <= 3 for r in approx)
+
+
 def test_neardup_lsh_subset_of_bruteforce_and_finds_planted(spark):
     """Banded LSH near-dup: exact precision (every pair is a true
     >=threshold pair from the brute-force relation) and identical vectors
