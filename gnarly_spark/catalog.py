@@ -488,6 +488,118 @@ def cdc_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_schema_evolution",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    bound AS (SELECT 2 * CAST(CEIL((MAX(op_seq) + 1) / 4.0) AS BIGINT) AS b
+              FROM changelog),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value,
+           CASE WHEN op_seq >= (SELECT b FROM bound)
+                THEN ROUND(value * 2, 4) END AS quality
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution THROUGH A CHECKPOINT RESTART, as a
+    driver-visible CORRECTNESS row (north_rule: added columns mid-stream +
+    resumable from checkpoint). Leg 1 drains the first half of the
+    changelog with the base schema; then the upstream adds a ``quality``
+    column, and leg 2 RESTARTS the pipeline on the SAME checkpoint with
+    the widened source DDL — offsets in the WAL skip the already-committed
+    files (exactly-once across the restart), the MERGE widens the target,
+    and rows whose winner predates the evolution stay NULL. Oracle = the
+    one-pass replay with quality gated on the evolution boundary. The
+    reference runs DDL only at setup (gnarly-reducer-erc20/src/stores/
+    sequelize.ts:18-21) — this is the live-pipeline version."""
+    import math
+    import os
+    import tempfile
+    import time
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    work = tempfile.mkdtemp(prefix="gnarly_cdc_evolve_")
+    cl_dir = os.path.join(work, "changelog")
+    log = _changelog_df(spark, sf_dir)
+    full = log.select(
+        "op_seq",
+        F.col("block_hash").cast("long").alias("block_id"),
+        "block_hash",
+        F.lit(None).cast("string").alias("parent_hash"),
+        "op",
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
+        "revert_of_block",
+        F.lit(None).cast("string").alias("reason"),
+        "value",
+    )
+    mx = full.agg(F.max("op_seq")).collect()[0][0]  # scalar only
+    step = math.ceil((mx + 1) / 4)
+    evolved = full.withColumn("quality", F.round(F.col("value") * 2, 4))
+    base = time.time() - 1000
+    for i in range(4):
+        chunk = (evolved if i >= 2 else full).where(
+            (F.col("op_seq") >= i * step) & (F.col("op_seq") < (i + 1) * step)
+        )
+        cdir = os.path.join(cl_dir, f"chunk={i:04d}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(cdir)
+        for fn in sorted(os.listdir(cdir)):  # mtime = trigger order
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(cdir, fn), (base + 2 * i, base + 2 * i))
+
+    def run_leg(ddl: str) -> CdcIngestPipeline:
+        pipe = CdcIngestPipeline(
+            spark,
+            os.path.join(work, "wd"),
+            with_text=False,
+            target=ParquetLakeTable(
+                spark, os.path.join(work, "wd", "pages"), key="url"
+            ),
+        )
+        pipe.start(
+            cl_dir, available_now=True, max_files_per_trigger=1, schema=ddl
+        ).awaitTermination()
+        return pipe
+
+    # leg 1: only the pre-evolution chunks exist on disk? No — all four are
+    # written; gate leg 1 to the base-schema files by hiding the evolved
+    # chunks behind a rename, so the restart genuinely discovers new files.
+    for i in (2, 3):
+        os.rename(
+            os.path.join(cl_dir, f"chunk={i:04d}"),
+            os.path.join(work, f"hidden={i:04d}"),
+        )
+    p1 = run_leg(CHANGELOG_DDL + ", value double")
+    n1 = len(p1.metrics())
+    assert n1 >= 2  # leg 1 really drained the pre-evolution backlog
+    for i in (2, 3):
+        os.rename(
+            os.path.join(work, f"hidden={i:04d}"),
+            os.path.join(cl_dir, f"chunk={i:04d}"),
+        )
+    p2 = run_leg(CHANGELOG_DDL + ", value double, quality double")
+    assert len(p2.metrics()) > n1  # resumed past leg 1's offsets, not refired
+    return p2.target.read().select(
+        "url",
+        F.col("_op_seq").alias("last_seq"),
+        F.round("value", 4).alias("last_value"),
+        F.col("quality"),
+    )
+
+
+@register(
     "cdc_change_feed",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),
