@@ -57,6 +57,7 @@ HEADLINE = [
     "mm_av_metadata",
     "dedup_strip_spans",
     "sim_neardup_lsh",
+    "sim_semdedup_pairs",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

@@ -392,24 +392,21 @@ def sim_lsh_ann(spark, sf_dir):
 _IVF_CFG = {"n_centroids": 16, "n_probe": 8, "iterations": 3}
 
 
-def _ivf_cand_sql(
-    n_centroids: int, n_probe: int, iterations: int, dim: int = 64
-) -> str:
-    """CTE chain replaying ivf_build_fixed + probe + candidate scoring.
+def _ivf_dist_sql(q: str, c: str, dim: int) -> str:
+    return (
+        f"list_sum([ ({q}[g]-{c}[g])*({q}[g]-{c}[g])"
+        f" for g in range(1, {dim + 1}) ])"
+    )
 
-    Every step is exact integer arithmetic except the final cosine (double,
-    rounded 6 dp — the same sequential-sum form both engines compute), so
-    the result value-hashes. Ends with `ranked(query_id, neighbor_id, cos,
-    rank)`; callers append the final SELECT."""
+
+def _ivf_assign_sql(n_centroids: int, iterations: int, dim: int = 64) -> str:
+    """CTE chain replaying ivf_build_fixed: every step exact integer
+    arithmetic, so any engine reproduces the identical clustering. Ends
+    with `af(id, cluster)` (plus `e(id, v, qi)`)."""
     from gnarly_spark.operators.similarity import FIXED_POINT_SCALE
 
-    ids = ", ".join(str(i) for i in _QUERY_IDS)
-
     def dist(q, c):
-        return (
-            f"list_sum([ ({q}[g]-{c}[g])*({q}[g]-{c}[g])"
-            f" for g in range(1, {dim + 1}) ])"
-        )
+        return _ivf_dist_sql(q, c, dim)
 
     parts = [
         f"""
@@ -447,13 +444,29 @@ def _ivf_cand_sql(
             SELECT id, cluster,
                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
             FROM (SELECT e.id, c.cluster, {dist('e.qi', 'c.c')} AS d
-                  FROM e CROSS JOIN {prev} c)) WHERE rn = 1),
+                  FROM e CROSS JOIN {prev} c)) WHERE rn = 1)"""
+    )
+    return ",".join(parts)
+
+
+def _ivf_cand_sql(
+    n_centroids: int, n_probe: int, iterations: int, dim: int = 64
+) -> str:
+    """_ivf_assign_sql + probe + candidate scoring. The final cosine is
+    double (rounded 6 dp — the same sequential-sum form both engines
+    compute), so the whole ANN result value-hashes. Ends with
+    `ranked(query_id, neighbor_id, cos, rank)`."""
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+    dist = _ivf_dist_sql
+    return (
+        _ivf_assign_sql(n_centroids, iterations, dim)
+        + f""",
     qs AS (SELECT id AS query_id, v AS qv, qi AS qq FROM e WHERE id IN ({ids})),
     pr AS (SELECT query_id, cluster FROM (
             SELECT query_id, cluster,
                    row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
-            FROM (SELECT q.query_id, c.cluster, {dist('q.qq', 'c.c')} AS d
-                  FROM qs q CROSS JOIN {prev} c)) WHERE rn <= {n_probe}),
+            FROM (SELECT q.query_id, c.cluster, {dist('q.qq', 'c.c', dim)} AS d
+                  FROM qs q CROSS JOIN c{iterations} c)) WHERE rn <= {n_probe}),
     scored AS (SELECT pr.query_id, a.id AS neighbor_id,
                       ROUND(list_cosine_similarity(q.qv, e2.v), 6) AS cos
                FROM pr JOIN af a USING (cluster)
@@ -464,7 +477,6 @@ def _ivf_cand_sql(
                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
                FROM scored)"""
     )
-    return ",".join(parts)
 
 
 @register(
@@ -526,6 +538,70 @@ def sim_lsh_recall(spark, sf_dir):
 
     ann = lsh_ann_topk(_t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_LSH_CFG)
     return _recall_vs_bruteforce(spark, sf_dir, ann)
+
+
+_SEMDEDUP_PAIRS_SQL = f"""
+    {_ivf_assign_sql(16, 3)},
+    pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                     ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+              FROM af a JOIN af b ON a.cluster = b.cluster AND a.id < b.id
+                   JOIN e ea ON ea.id = a.id JOIN e eb ON eb.id = b.id
+              WHERE ROUND(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35)"""
+
+
+@register(
+    "sim_semdedup_pairs",
+    f"WITH {_SEMDEDUP_PAIRS_SQL} SELECT id_a, id_b, cos FROM pairs",
+)
+def sim_semdedup_pairs(spark, sf_dir):
+    from gnarly_spark.operators.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, n_centroids=16, iterations=3
+    )
+
+
+@register(
+    "sim_semdedup_keep",
+    f"""
+    WITH RECURSIVE {_SEMDEDUP_PAIRS_SQL},
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e2.src, reach.r FROM edges e2 JOIN reach ON e2.dst = reach.id),
+    clusters AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT v.vec_id, COALESCE(c.cluster_id, v.vec_id) AS cluster_id,
+           (COALESCE(c.cluster_id, v.vec_id) = v.vec_id) AS keep
+    FROM embeddings v LEFT JOIN clusters c ON c.id = v.vec_id
+    """,
+)
+def sim_semdedup_keep(spark, sf_dir):
+    """The SemDeDup decision a pipeline consumes: every vector labeled
+    (cluster_id, keep) — within-cluster near-dup pairs -> connected
+    components (hash-min label propagation) -> keep the component's min
+    id; vectors in no pair keep themselves. Same consumption shape as
+    dedup_keep_list, but over semantic (embedding) duplicates."""
+    from gnarly_spark.operators.dedup import duplicate_clusters
+    from gnarly_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup_pairs(emb, threshold=0.35, n_centroids=16, iterations=3)
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        emb.select("vec_id")
+        .join(
+            clusters.withColumnRenamed("id", "vec_id").hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
 
 
 @register(

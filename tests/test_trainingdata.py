@@ -341,6 +341,49 @@ def test_ivf_fixed_ann_recall(spark):
     assert all(1 <= r.rank <= 3 for r in approx)
 
 
+def test_semantic_dedup_planted_dup_and_precision(spark):
+    """SemDeDup: an exact duplicate vector ALWAYS pairs with its original
+    (identical quantized vectors get identical cluster assignments), and
+    every emitted pair is a true >= threshold pair (exact precision —
+    clustering only limits recall, never correctness)."""
+    from gnarly_spark.operators.similarity import (
+        cosine,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v0 = emb.where("vec_id = 0").select("embedding").first()[0]
+    planted = spark.createDataFrame(
+        [(9000, v0, 0)], schema="vec_id long, embedding array<float>, label int"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = semantic_dedup_pairs(
+        corpus, threshold=0.35, n_centroids=4, iterations=2
+    ).collect()
+    assert (0, 9000) in {(r.id_a, r.id_b) for r in pairs}
+    assert all(r.cos >= 0.35 for r in pairs)
+    # precision vs brute force: every pair really scores >= threshold
+    brute = {
+        (r.id_a, r.id_b)
+        for r in corpus.alias("a")
+        .join(corpus.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine(
+                    F.transform("a.embedding", lambda x: x.cast("double")),
+                    F.transform("b.embedding", lambda x: x.cast("double")),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+        .collect()
+    }
+    assert {(r.id_a, r.id_b) for r in pairs} <= brute
+
+
 def test_neardup_lsh_subset_of_bruteforce_and_finds_planted(spark):
     """Banded LSH near-dup: exact precision (every pair is a true
     >=threshold pair from the brute-force relation) and identical vectors
