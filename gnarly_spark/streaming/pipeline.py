@@ -245,9 +245,13 @@ class CdcIngestPipeline:
 
         path = os.path.join(dirpath, f"batch={batch_id}")
         obs = Observation(f"stats-{batch_id}")
-        df.observe(obs, F.max(stat_col).alias("mx"), F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        stat_exprs = [F.max(stat_col).alias("mx"), F.count(F.lit(1)).alias("n")]
+        if "op_seq" in df.columns:  # seq-span lineage rides the same job
+            stat_exprs += [
+                F.min("op_seq").alias("mn_seq"),
+                F.max("op_seq").alias("mx_seq"),
+            ]
+        df.observe(obs, *stat_exprs).write.mode("overwrite").parquet(path)
         stats = obs.get
         with open(os.path.join(path, "_stats.json"), "w") as f:
             json.dump({"max_block": stats["mx"], "n": stats["n"]}, f)
@@ -782,6 +786,20 @@ class CdcIngestPipeline:
             "events_per_s": round(n_events / max(wall, 1e-9), 1),
             "target_version": self.target.current_version(),
             "phase_s": phases,
+            # per-partition lineage: exactly which source files this
+            # trigger consumed (from the file-source WAL — inputFiles()
+            # is empty on micro-batch frames), the contiguous op_seq span
+            # they covered, and how many tasks processed them. Together
+            # with the lake manifest (which records the files each commit
+            # added, per bucket) this gives source->sink lineage for every
+            # batch; disjointness/coverage asserted in test_pipeline.
+            "lineage": {
+                "files": self._trigger_files(batch_id),
+                "min_seq": log_stats.get("mn_seq"),
+                "max_seq": log_stats.get("mx_seq"),
+                "max_block": log_stats["mx"],
+                "n_partitions": batch_df.rdd.getNumPartitions(),
+            },
         }
         if quality_report is not None:
             metrics["quality"] = quality_report

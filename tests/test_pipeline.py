@@ -720,6 +720,40 @@ def test_metrics_are_trigger_ordered(spark, tmp_path):
     assert [m["batch_id"] for m in p.metrics()] == [0, 2, 10, 11]
 
 
+def test_metrics_lineage_covers_source_exactly_once(spark, tmp_path):
+    """Every batch's metrics carry per-partition lineage: the trigger's
+    source files (from the file-source WAL), the op_seq span, and the task
+    count. Across the drain the file sets are DISJOINT and their union is
+    exactly the changelog's files; seq spans are contiguous-ordered."""
+    log = gen_changelog(n_blocks=16, events_per_block=4)
+    src = str(tmp_path / "changelog")
+    write_changelog_files(spark, log, src, n_files=4)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    run_stream(p, src)
+    lin = [m["lineage"] for m in p.metrics()]
+    assert all(li["files"] for li in lin)
+    assert all(li["n_partitions"] >= 1 for li in lin)
+    seen: list[str] = []
+    for li in lin:
+        assert not (set(li["files"]) & set(seen)), "a file fed two batches"
+        seen += li["files"]
+    on_disk = {
+        os.path.join(dp, fn)
+        for dp, _, fns in os.walk(src)
+        for fn in fns
+        if fn.endswith(".parquet")
+    }
+    # WAL paths are URIs (file:///...) — normalize to plain absolute paths
+    assert {"/" + f.removeprefix("file:").lstrip("/") for f in seen} == on_disk
+    spans = [(li["min_seq"], li["max_seq"]) for li in lin]
+    assert spans == sorted(spans) and all(a <= b for a, b in spans)
+    # spans tile the changelog without overlap
+    for (_, hi), (lo2, _) in zip(spans, spans[1:]):
+        assert hi < lo2
+    assert spans[0][0] == int(log.op_seq.min())
+    assert spans[-1][1] == int(log.op_seq.max())
+
+
 def test_canonicalize_urls_collapses_messy_spellings(spark, tmp_path):
     """The same page arriving as ?utm_*, UPPERCASE scheme/host, and
     trailing-slash spellings merges into ONE canonical row — final state
