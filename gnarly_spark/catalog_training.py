@@ -399,10 +399,12 @@ def _ivf_dist_sql(q: str, c: str, dim: int) -> str:
     )
 
 
-def _ivf_assign_sql(n_centroids: int, iterations: int, dim: int = 64) -> str:
-    """CTE chain replaying ivf_build_fixed: every step exact integer
-    arithmetic, so any engine reproduces the identical clustering. Ends
-    with `af(id, cluster)` (plus `e(id, v, qi)`)."""
+def _ivf_assign_sql(
+    n_centroids: int, iterations: int, dim: int = 64, source: str = "embeddings"
+) -> str:
+    """CTE chain replaying ivf_build_fixed over ``source``: every step
+    exact integer arithmetic, so any engine reproduces the identical
+    clustering. Ends with `af(id, cluster)` (plus `e(id, v, qi)`)."""
     from gnarly_spark.operators.similarity import FIXED_POINT_SCALE
 
     def dist(q, c):
@@ -413,7 +415,7 @@ def _ivf_assign_sql(n_centroids: int, iterations: int, dim: int = 64) -> str:
     e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
                  [CAST(FLOOR(x * {FIXED_POINT_SCALE} + 0.5) AS BIGINT)
                   for x in embedding::DOUBLE[]] AS qi
-          FROM embeddings),
+          FROM {source}),
     c0 AS (SELECT CAST(row_number() OVER (ORDER BY rk, id) - 1 AS INT) AS cluster,
                   qi AS c
            FROM (SELECT id, qi,
@@ -601,6 +603,42 @@ def sim_semdedup_keep(spark, sf_dir):
             F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
             (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
         )
+    )
+
+
+@register(
+    "sim_semdedup_incremental",
+    f"""
+    WITH {_ivf_assign_sql(16, 3, source="(SELECT * FROM embeddings WHERE vec_id % 10 < 8)")},
+    nb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                  [CAST(FLOOR(x * 1024 + 0.5) AS BIGINT)
+                   for x in embedding::DOUBLE[]] AS qi
+           FROM embeddings WHERE vec_id % 10 >= 8),
+    nba AS (SELECT id, v, cluster FROM (
+             SELECT id, v, cluster,
+                    row_number() OVER (PARTITION BY id ORDER BY d, cluster) AS rn
+             FROM (SELECT nb.id, nb.v, c.cluster, {_ivf_dist_sql('nb.qi', 'c.c', 64)} AS d
+                   FROM nb CROSS JOIN c3 c)) WHERE rn = 1)
+    SELECT nba.id AS new_id, a.id AS dup_of,
+           ROUND(list_cosine_similarity(nba.v, e2.v), 6) AS cos
+    FROM nba JOIN af a USING (cluster) JOIN e e2 ON e2.id = a.id
+    WHERE ROUND(list_cosine_similarity(nba.v, e2.v), 6) >= 0.35
+    """,
+)
+def sim_semdedup_incremental(spark, sf_dir):
+    """Incremental semantic dedup: the 20% of vectors with vec_id % 10 >= 8
+    play the incoming micro-batch, flagged against the clustered 80%
+    corpus (same split as dedup_incremental_lsh). Corpus scanned, never
+    shuffled on the candidate join; batch broadcasts."""
+    from gnarly_spark.operators.similarity import semantic_dedup_incremental
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_incremental(
+        emb.where(F.col("vec_id") % 10 >= 8),
+        emb.where(F.col("vec_id") % 10 < 8),
+        threshold=0.35,
+        n_centroids=16,
+        iterations=3,
     )
 
 

@@ -304,6 +304,29 @@ def test_incremental_lsh_corpus_never_shuffle_joined(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_semdedup_incremental_candidate_join_broadcasts_batch(spark):
+    """semantic_dedup_incremental: the CANDIDATE join (batch assignments ⋈
+    corpus inverted file on cluster) must broadcast the batch side — the
+    corpus is scanned, never shuffled there (per-batch dedup cost O(batch),
+    the same contract as incremental LSH). The build itself may shuffle
+    (in deploy it's precomputed by ivf_write), so the assert targets the
+    candidate join: no sort-merge/shuffled-hash join anywhere, and the
+    broadcast feeding a join is the batch-assignment relation."""
+    from gnarly_spark.operators.similarity import semantic_dedup_incremental
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_dedup_incremental(
+        emb.where(F.col("vec_id") % 10 >= 8),
+        emb.where(F.col("vec_id") % 10 < 8),
+        threshold=0.35,
+        n_centroids=8,
+        iterations=1,
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Co-located join via native bucketing (the pre-shuffled layout the
     prompt calls out): two tables bucketBy(8, url) + sortBy(url) join on
