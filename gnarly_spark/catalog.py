@@ -1882,13 +1882,14 @@ def w_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "w_stream_sessionize",
     """
-    WITH l AS (SELECT user_id, ts,
+    WITH l AS (SELECT user_id, ts, event_id,
                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
                FROM events),
     f AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
                          THEN 1 ELSE 0 END AS new_s
           FROM l),
-    s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
                     AS session_idx
           FROM f)

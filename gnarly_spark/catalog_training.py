@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from gnarly_spark.catalog import _t, register
+from gnarly_spark.operators.similarity import FIXED_POINT_SCALE as _FP_SCALE
 
 # normalized text (lower + collapse whitespace) — DuckDB needs the 'g' flag
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -611,7 +612,7 @@ def sim_semdedup_keep(spark, sf_dir):
     f"""
     WITH {_ivf_assign_sql(16, 3, source="(SELECT * FROM embeddings WHERE vec_id % 10 < 8)")},
     nb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
-                  [CAST(FLOOR(x * 1024 + 0.5) AS BIGINT)
+                  [CAST(FLOOR(x * {_FP_SCALE} + 0.5) AS BIGINT)
                    for x in embedding::DOUBLE[]] AS qi
            FROM embeddings WHERE vec_id % 10 >= 8),
     nba AS (SELECT id, v, cluster FROM (

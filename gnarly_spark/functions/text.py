@@ -125,10 +125,14 @@ def bpe_count_column(spark, merges, text_col) -> "F.Column":
 
     bc = spark.sparkContext.broadcast(list(merges))
     memo: dict[str, int] = {}
+    _pat: list = []  # per-worker: the pattern table is built ONCE, not per
+    # Arrow batch (50k string formats per batch adds up on small batches)
 
     @pandas_udf("long")
     def n_tok(texts):
-        patterns = _bpe_patterns(bc.value)
+        if not _pat:
+            _pat.append(_bpe_patterns(bc.value))
+        patterns = _pat[0]
 
         def count_doc(t: str | None) -> int:
             if not t:
@@ -171,10 +175,13 @@ def bpe_tokenize(
 
     bc = docs.sparkSession.sparkContext.broadcast(list(merges))
     memo: dict[str, tuple[str, ...]] = {}
+    _pat: list = []  # built once per worker (see bpe_count_column)
 
     @pandas_udf("array<string>")
     def toks(texts):
-        patterns = _bpe_patterns(bc.value)
+        if not _pat:
+            _pat.append(_bpe_patterns(bc.value))
+        patterns = _pat[0]
 
         def tokenize(t: str | None) -> list[str]:
             if not t:

@@ -168,22 +168,25 @@ def _mp4_duration(b: bytes) -> tuple[int, int] | None:
         while i + 8 <= hi:
             size = int.from_bytes(b[i : i + 4], "big")
             typ = b[i + 4 : i + 8]
-            if size == 1:  # 64-bit largesize
+            hdr = 8
+            if size == 1:  # 64-bit largesize: header is 16 bytes
                 if i + 16 > hi:
                     return None
                 size = int.from_bytes(b[i + 8 : i + 16], "big")
-            if size < 8 or i + size > hi:
+                hdr = 16
+            if size < hdr or i + size > hi:
                 return None
+            h = i + hdr  # payload start (children / version byte)
             if typ == b"moov" and depth == 0:
-                return walk(i + 8, i + size, 1)
+                return walk(h, i + size, 1)
             if typ == b"mvhd" and depth == 1:
-                v = b[i + 8]
-                if v == 1 and i + 40 <= hi:  # 8 hdr + 4 vf + 16 times + 4 ts + 8 dur
-                    ts = int.from_bytes(b[i + 28 : i + 32], "big")
-                    dur = int.from_bytes(b[i + 32 : i + 40], "big")
-                elif v == 0 and i + 8 + 16 + 4 <= hi:
-                    ts = int.from_bytes(b[i + 20 : i + 24], "big")
-                    dur = int.from_bytes(b[i + 24 : i + 28], "big")
+                v = b[h]
+                if v == 1 and h + 32 <= hi:  # 4 vf + 16 times + 4 ts + 8 dur
+                    ts = int.from_bytes(b[h + 20 : h + 24], "big")
+                    dur = int.from_bytes(b[h + 24 : h + 32], "big")
+                elif v == 0 and h + 20 <= hi:
+                    ts = int.from_bytes(b[h + 12 : h + 16], "big")
+                    dur = int.from_bytes(b[h + 16 : h + 20], "big")
                 else:
                     return None
                 return ((dur * 1000) // ts, ts) if ts else None

@@ -233,6 +233,17 @@ def test_av_container_metadata_decode():
     assert _mp4_duration(_mp4_bytes(duration_ms=1500, timescale=600, v=1)) == (1500, 600)
     free = (12).to_bytes(4, "big") + b"free" + b"\x00" * 4
     assert _mp4_duration(_mp4_bytes(pre_boxes=free)) == (90_000, 1000)
+    # 64-bit largesize moov (size field == 1, real size in the next 8
+    # bytes; header is 16 bytes) — children start at +16, not +8
+    dur = 90_000
+    mvhd = b"\x00" * 4 + b"\x00" * 8 + (1000).to_bytes(4, "big") + dur.to_bytes(4, "big")
+    mvhd_box = (8 + len(mvhd)).to_bytes(4, "big") + b"mvhd" + mvhd
+    big_moov = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (16 + len(mvhd_box)).to_bytes(8, "big") + mvhd_box
+    )
+    ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00\x00\x00\x00"
+    assert _mp4_duration(ftyp + big_moov) == (90_000, 1000)
     assert _mp4_duration(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") is None  # no moov
     assert _mp4_duration(b"not a video") is None
 
