@@ -223,6 +223,25 @@ class CdcIngestPipeline:
             if d.startswith("batch=")
         )
 
+    def _normalize_batch(self, df: DataFrame) -> DataFrame:
+        """Key/column normalization applied to EVERY changelog read — the
+        arriving micro-batch AND the retain_log=False source re-read (the
+        raw source has the un-renamed columns and raw url spellings; if
+        the re-read skipped this, revert adjudication would key deletes on
+        raw urls that don't exist in the target — silent rollback loss)."""
+        for src, dst in self.rename_map.items():
+            if src in df.columns:
+                df = df.withColumnRenamed(src, dst)
+        if self.canonicalize_urls:
+            from gnarly_spark.functions.url import canonicalize_url
+
+            # coalesce: a non-URL key (canonical = NULL) keeps its raw
+            # string rather than null-keying the merge; map-side, codegen'd
+            df = df.withColumn(
+                "url", F.coalesce(canonicalize_url(F.col("url")), F.col("url"))
+            )
+        return df
+
     def _read_batched(self, dirpath: str, schema: str | None = None) -> DataFrame | None:
         batches = self._batches_in(dirpath)
         if not batches:
@@ -231,8 +250,27 @@ class CdcIngestPipeline:
         if schema is not None:
             return self.spark.read.schema(schema).parquet(*paths)
         # schema evolution: merge schemas across batches — a column added
-        # mid-stream appears null-filled in older batches
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # mid-stream appears null-filled in older batches. NOT parquet's
+        # mergeSchema option: it refuses a sanctioned type widening
+        # (CANNOT_MERGE_SCHEMAS for an int batch next to a bigint batch
+        # after a restart with widened source DDL), which would wedge the
+        # stream forever since pruning only runs after a successful batch.
+        # Instead derive the widened union schema the CLAUDE-documented
+        # way — unionByName over empty per-batch relations (coerces
+        # int+bigint -> bigint, adds missing columns) — then one explicit-
+        # schema read: Spark 4 upcasts int-under-bigint at scan and
+        # null-fills missing columns, no file rewrite.
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        widened = None
+        for p in paths:
+            rel = self.spark.read.parquet(p).limit(0)
+            widened = (
+                rel
+                if widened is None
+                else widened.unionByName(rel, allowMissingColumns=True)
+            )
+        return self.spark.read.schema(widened.schema).parquet(*paths)
 
     def _write_batched(
         self, dirpath: str, df: DataFrame, batch_id: int, stat_col: str
@@ -445,19 +483,7 @@ class CdcIngestPipeline:
     ) -> None:
         t0 = time.monotonic()
 
-        # normalize renamed columns (schema evolution, axis: renamed column)
-        for src, dst in self.rename_map.items():
-            if src in batch_df.columns:
-                batch_df = batch_df.withColumnRenamed(src, dst)
-
-        if self.canonicalize_urls:
-            from gnarly_spark.functions.url import canonicalize_url
-
-            # coalesce: a non-URL key (canonical = NULL) keeps its raw
-            # string rather than null-keying the merge; map-side, codegen'd
-            batch_df = batch_df.withColumn(
-                "url", F.coalesce(canonicalize_url(F.col("url")), F.col("url"))
-            )
+        batch_df = self._normalize_batch(batch_df)
 
         phases = {}
         # prespread: the caller already repartitioned AND persisted the
@@ -538,12 +564,11 @@ class CdcIngestPipeline:
             flists = [r.get("files") for r in ranges] + [batch_files]
             files = sorted({f for fl in flists for f in (fl or [])})
             bounded = bool(files) and all(fl for fl in flists)
-            log = (
+            log = self._normalize_batch(
                 self._read_source(files=files if bounded else None)
-                .where(
-                    (F.col("op_seq") <= F.lit(log_stats["mx_seq"]))
-                    & (F.col("op_seq") >= F.lit(lo))
-                )
+            ).where(
+                (F.col("op_seq") <= F.lit(log_stats["mx_seq"]))
+                & (F.col("op_seq") >= F.lit(lo))
             )
             # an all-dead-lettered trigger has no rows: its max_block=None
             # entry could never be proven outside the retention window, so
@@ -732,8 +757,10 @@ class CdcIngestPipeline:
         # ---- streaming near-dup detection (before the commit point, so a
         # refire after the target commit implies the sig table and flags
         # are already durable — the crash window is empty) ----
+        sig_v_before = None
         if self.dedup_minhash is not None:
             t_d = time.monotonic()
+            sig_v_before = self.sig_table.current_version()
             # upserts feeds two consumers now (sig path + MERGE) — cache so
             # candidates/LWW/extraction run once
             upserts = upserts.persist()
@@ -751,11 +778,40 @@ class CdcIngestPipeline:
                 upserts, delete_keys=deletes, batch_id=batch_id
             )
             if token is not None:  # None = refire/empty no-op, nothing new
-                # raises QualityGateError on a fail-mode breach: the stream
-                # halts with the stage parked for forensics (see __init__)
-                quality_report = gate_and_publish(
-                    self.target, token, self.quality_gate
-                )
+                try:
+                    # raises QualityGateError on a fail-mode breach: the
+                    # stream halts with the stage parked for forensics
+                    # (see __init__)
+                    quality_report = gate_and_publish(
+                        self.target, token, self.quality_gate
+                    )
+                except Exception:
+                    # the abandon/fix/redeliver path: the redelivered batch
+                    # carries DIFFERENT rows, so the signature corpus and
+                    # flags computed from the rejected rows must not
+                    # survive — with them in place the redelivered batch
+                    # would no-op on the sig batch-id guard and the dedup
+                    # corpus would permanently diverge from the published
+                    # table. Roll the sig table back to its pre-batch
+                    # snapshot (restore reverts batch_ids too) and drop the
+                    # batch's flag partition.
+                    if (
+                        sig_v_before is not None
+                        and self.sig_table.current_version() > sig_v_before
+                    ):
+                        if sig_v_before >= 0:
+                            self.sig_table.restore(sig_v_before)
+                        else:  # batch 0: no prior snapshot — wipe to empty
+                            path = self.sig_table.path
+                            shutil.rmtree(path, ignore_errors=True)
+                            self.sig_table = ParquetLakeTable(
+                                self.spark, path, key="url"
+                            )
+                        shutil.rmtree(
+                            os.path.join(self.dedup_dir, f"batch={batch_id}"),
+                            ignore_errors=True,
+                        )
+                    raise
         else:
             self.target.merge(upserts, delete_keys=deletes, batch_id=batch_id)
         phases["lww_merge"] = round(time.monotonic() - t_m, 3)

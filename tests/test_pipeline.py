@@ -674,6 +674,51 @@ def test_retain_log_off_handles_spaced_file_names(spark, tmp_path):
     assert not any("%20" in f for r in rng for f in r["files"])
 
 
+def test_retain_log_off_canonicalize_revert_rolls_back(spark, tmp_path):
+    """retain_log=False re-reads the RAW source for revert adjudication;
+    with canonicalize_urls=True the re-read must apply the same key
+    normalization as batch entry, or the revert's delete keys on the raw
+    spelling miss the canonically-keyed target row (silent rollback
+    loss)."""
+    from gnarly_spark.fixtures import CHANGELOG_COLUMNS, block_hash
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["op_seq", "block_id", "op", "url", "revert_of_block"]
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            pdf.op_seq, unit="s"
+        )
+        pdf["html"] = None
+        pdf["lang"] = "en"
+        pdf["reason"] = None
+        return pdf[CHANGELOG_COLUMNS]
+
+    src = str(tmp_path / "changelog")
+    os.makedirs(src)
+    b0 = mk([(1, 1, "insert", "https://x.com/?utm_source=mail", None),
+             (2, 1, "insert", "https://y.com/", None)])
+    b1 = mk([(3, 2, "insert", "https://z.com/", None),
+             (4, 2, "revert", None, block_hash(1))])
+    for i, pdf in enumerate((b0, b1)):
+        spark.createDataFrame(pdf, schema=CHANGELOG_DDL).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"chunk={i:04d}"))
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        retain_log=False,
+        canonicalize_urls=True,
+        with_text=False,
+    )
+    run_stream(p, src)
+    urls = {r.url for r in p.target.read().select("url").collect()}
+    # block 1 reverted: BOTH its rows must be gone, keyed canonically
+    assert urls == {"https://z.com/"}, urls
+
+
 def test_retained_ranges_keep_null_max_block(spark, tmp_path):
     """A batch whose events all carry NULL block_id records max_block=None;
     the pruner keeps such ranges forever, so the bounded adjudication read

@@ -219,6 +219,68 @@ def test_pipeline_quality_gate_halts_stream_with_stage_parked(spark, tmp_path):
     assert p.target.read_staged(tok).count() > 0
 
 
+def test_gate_failure_rolls_back_dedup_state_for_redelivery(spark, tmp_path):
+    """A gate-failed batch is abandoned, FIXED, and redelivered with
+    different rows — the dedup signature corpus and flags computed from
+    the rejected rows must not survive, or the redelivered batch would
+    no-op on the sig batch-id guard and the corpus would diverge from the
+    published table forever."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import (
+        CHANGELOG_COLUMNS,
+        CHANGELOG_DDL,
+        block_hash,
+        html_for,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["op_seq", "block_id", "op", "url", "html", "lang"]
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            pdf.op_seq, unit="s"
+        )
+        pdf["revert_of_block"] = None
+        pdf["reason"] = None
+        return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+    ha, hb = html_for("https://a", 1), html_for("https://b", 2)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        dedup_minhash={"min_est_jaccard": 0.5},
+        quality_gate=[Expectation("lang_known", "lang IS NULL OR lang != 'xx'")],
+    )
+    p.process_batch(
+        mk([(1, 0, "insert", "https://a", ha, "en"),
+            (2, 0, "insert", "https://b", hb, "en")]), 0)
+    sig_v = p.sig_table.current_version()
+
+    # batch 1 (bad): c duplicates a, and a row violates the gate
+    with pytest.raises(QualityGateError):
+        p.process_batch(mk([(3, 1, "insert", "https://c", ha, "xx")]), 1)
+    # rollback: batch 1 not durably applied to the sig table, its flags gone
+    assert 1 not in p.sig_table.applied_batch_ids()
+    assert p.dup_flags().count() == 0
+    # target stage parked; abandon to free the batch id (the operator flow)
+    staged = os.listdir(os.path.join(p.target.path, "_staged"))
+    p.target.abandon_staged(staged[0][: -len(".json")])
+
+    # redelivered batch 1 (fixed): c now duplicates B, lang corrected
+    p.process_batch(mk([(3, 1, "insert", "https://c", hb, "en")]), 1)
+    flags = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
+    assert flags == {("https://c", "https://b")}, flags
+    assert 1 in p.sig_table.applied_batch_ids()
+    assert p.sig_table.current_version() > sig_v
+    assert sorted(r.url for r in p.target.read().collect()) == [
+        "https://a", "https://b", "https://c",
+    ]
+
+
 def test_pipeline_quality_gate_requires_stageable_target(spark, tmp_path):
     from gnarly_spark.streaming.pipeline import CdcIngestPipeline
 

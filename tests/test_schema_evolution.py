@@ -44,6 +44,39 @@ def test_added_column_mid_stream(spark, tmp_path):
     assert_pdf_equal(got, want[["url", "warc_ts", "text", "lang"]])
 
 
+def test_widened_column_mid_stream_with_retained_log(spark, tmp_path):
+    """A sanctioned type widening (int -> bigint after a restart with
+    widened source DDL) must not wedge the retained-log read: batch 0
+    appends an int log partition, batch 1 a bigint one, and batch 1's
+    adjudication re-read spans both (parquet mergeSchema refuses INT vs
+    BIGINT — the read derives the widened union schema instead)."""
+    log = gen_changelog(n_blocks=10, events_per_block=5, seed=3)
+    half = len(log) // 2
+    old, new = log.iloc[:half].copy(), log.iloc[half:].copy()
+    old["score"] = pd.array([1] * len(old), dtype="int32")
+    new["score"] = pd.array([2**40] * len(new), dtype="int64")
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    p.process_batch(
+        spark.createDataFrame(old, schema=CHANGELOG_DDL + ", score int"), 0
+    )
+    p.process_batch(
+        spark.createDataFrame(new, schema=CHANGELOG_DDL + ", score bigint"), 1
+    )
+    tgt = p.target.read().toPandas()
+    assert str(tgt.score.dtype) == "int64"
+    # winners from the widened half carry the big value; page state intact
+    assert (tgt.score == 2**40).any()
+    got = (
+        p.pages()
+        .select("url", "warc_ts", "text", "lang")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert_pdf_equal(got, oracle_final_state(log)[["url", "warc_ts", "text", "lang"]])
+
+
 def test_renamed_column_mid_stream(spark, tmp_path):
     """`lang` renamed to `language` upstream; rename_map restores it."""
     log = gen_changelog(n_blocks=8, events_per_block=4, seed=4)
