@@ -553,6 +553,48 @@ class ParquetLakeTable:
             .select(*[F.col(f"_w.{c}").alias(c) for c in data_cols])
         )
 
+    def _key_type(self, m: dict) -> str:
+        """The merge key's data type per the manifest schema ('string' for
+        an empty table)."""
+        ddl = m.get("schema")
+        if not ddl:
+            return "string"
+        return (
+            self.spark.createDataFrame([], schema=ddl)
+            .schema[self.key]
+            .dataType.simpleString()
+        )
+
+    def _typed_keys(self, m: dict, keys, op: str) -> list:
+        """Coerce caller-supplied key literals to the TABLE's key type.
+
+        Point paths (lookup / purge_keys) hash and compare the literals;
+        on a non-string-keyed table a raw string hashes differently
+        (xxhash64('12345') != xxhash64(12345L)), routing to the wrong
+        buckets and silently matching nothing — for purge_keys that's a
+        compliance hard delete that reports success while purging nothing.
+        Uncastable keys raise instead of vanishing."""
+        ktype = self._key_type(m)
+        if ktype == "string":
+            return [k if isinstance(k, str) else str(k) for k in keys]
+        typed = [
+            r[0]
+            for r in self.spark.createDataFrame(
+                [(str(k),) for k in keys], schema=f"{self.key} string"
+            )
+            # try_cast: under ANSI mode a plain cast THROWS on a malformed
+            # literal; NULL + the explicit raise below names the bad keys
+            .select(F.expr(f"try_cast({self.key} AS {ktype})"))
+            .collect()
+        ]
+        bad = [k for k, t in zip(keys, typed) if t is None]
+        if bad:
+            raise ValueError(
+                f"{op}: key(s) {bad!r} not castable to the table's key type "
+                f"{ktype!r}"
+            )
+        return typed
+
     def lookup(self, *keys: str) -> DataFrame:
         """Point read on the serving table: route each key to its bucket
         via the same xxhash64 bucketing the writer used, scan ONLY those
@@ -576,7 +618,10 @@ class ParquetLakeTable:
             raise ValueError("lookup() needs at least one key")
         m = self._manifest()
         n = int(m.get("n_buckets", self.n_buckets)) if m["version"] >= 0 else self.n_buckets
-        kdf = self.spark.createDataFrame([(k,) for k in keys], schema=f"{self.key} string")
+        keys = self._typed_keys(m, keys, "lookup")
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], schema=f"{self.key} {self._key_type(m)}"
+        )
         buckets = [
             r.b
             for r in kdf.select(bucket_of(F.col(self.key), n).alias("b"))
@@ -608,7 +653,9 @@ class ParquetLakeTable:
             }
         df = self._read_snapshot(m, buckets)
         if df is None:
-            return self.spark.createDataFrame([], schema=f"{self.key} string")
+            return self.spark.createDataFrame(
+                [], schema=m.get("schema") or f"{self.key} string"
+            )
         return df.where(F.col(self.key).isin(list(keys)))
 
     def scan_range(self, col: str, lo=None, hi=None) -> DataFrame:
@@ -1044,18 +1091,14 @@ class ParquetLakeTable:
             "parent": m["version"],
             "mode": self.mode,
         }
-        # old-schema files are unreadable under a widened schema only if
-        # their buckets weren't rewritten — rewrite them too on evolution
-        if m["schema"] and schema_ddl != m["schema"]:
-            stale = [b for b, fl in bucket_map.items() if fl and int(b) not in set(buckets)]
-            if stale:
-                keep = self._read_snapshot(m, [int(b) for b in stale])
-                keep = self._align(keep, columns).withColumn(
-                    "_bucket", bucket_of(F.col(key), self.n_buckets)
-                )
-                extra = self._write_buckets(keep, version, n_write_buckets=len(stale))
-                for b in stale:
-                    bucket_map[b] = extra.get(b, [])
+        # Schema evolution does NOT rewrite untouched buckets: readers use
+        # an explicit manifest-schema read, where missing columns null-fill
+        # and Spark 4's parquet scan upcasts every sanctioned _WIDENINGS
+        # pair in place (byte/short/int under a wider int type, float under
+        # double — verified against the installed runtime). A 1-row merge
+        # that adds a column therefore stays O(batch), not O(table); the
+        # MOR path has always relied on the same property for its base
+        # files.
         (commit_fn or self._commit)(manifest)
         return True
 
@@ -1605,12 +1648,19 @@ class ParquetLakeTable:
 
         path_map: dict[str, str] = {}
         n_bytes = 0
+        seq = 0
         for section in ("buckets", "deltas"):
             for b, fl in m.get(section, {}).items():
                 d = os.path.join(dest, "data", f"{section}-{b}")
                 os.makedirs(d, exist_ok=True)
                 for f in fl:
-                    nf = os.path.join(d, os.path.basename(f))
+                    # a running sequence prefix, NOT the bare basename:
+                    # files from different source dirs can share a name
+                    # (two purge runs both emit purged-0.parquet into one
+                    # bucket) and a bare-basename copy would silently
+                    # overwrite one with the other in the clone
+                    nf = os.path.join(d, f"{seq:05d}-{os.path.basename(f)}")
+                    seq += 1
                     shutil.copy2(f, nf)
                     path_map[f] = nf
                     n_bytes += os.path.getsize(nf)
@@ -1669,18 +1719,39 @@ class ParquetLakeTable:
             # out of every kept manifest
             for fl in km.get("deltas", {}).values():
                 live.update(os.path.realpath(f) for f in fl)
+        # PARKED write-audit-publish stages are live too: a gate-halted
+        # stream keeps its stage on disk "for forensics" — once any later
+        # commit moves `cur` past the stage's data-dir version, the
+        # in-flight guard below no longer protects it, and without this
+        # the stage's files would be deleted out from under read_staged()
+        sdir = os.path.join(self.path, "_staged")
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(sdir, fn)) as f:
+                        sm = json.load(f)
+                except (OSError, ValueError):  # pragma: no cover - defensive
+                    continue
+                for section in ("buckets", "deltas"):
+                    for fl in sm.get(section, {}).values():
+                        live.update(os.path.realpath(f) for f in fl)
         deleted = 0
         data_dir = os.path.join(self.path, "data")
         for d in os.listdir(data_dir):
             # data dirs are named v{version}-{uuid}; a dir from a version
             # NEWER than the current manifest belongs to an in-flight,
             # not-yet-committed merge — never touch it (racing a concurrent
-            # ingest must not delete its files)
+            # ingest must not delete its files). A dir we can't attribute
+            # at all gets the same protection: never delete what we can't
+            # prove ours and committed (the conservative side of orphan
+            # cleanup).
             try:
                 dir_version = int(d.split("-", 1)[0].lstrip("v"))
             except ValueError:
                 dir_version = None
-            if dir_version is not None and dir_version > cur:
+            if dir_version is None or dir_version > cur:
                 continue
             full = os.path.join(data_dir, d)
             for root, _, files in os.walk(full):
@@ -1695,7 +1766,7 @@ class ParquetLakeTable:
                 dir_version = int(d.split("-", 1)[0].lstrip("v"))
             except ValueError:
                 dir_version = None
-            if dir_version is not None and dir_version > cur:
+            if dir_version is None or dir_version > cur:
                 continue
             full = os.path.join(data_dir, d)
             if not any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
@@ -1748,8 +1819,12 @@ class ParquetLakeTable:
         def attempt() -> dict:
             head = self._manifest(self._latest_committed())
             self._adopt_layout(head)
+            # coerce literals to the table's key type (see _typed_keys:
+            # hashing the raw string on a bigint-keyed table would route
+            # to the wrong buckets and "purge" nothing, silently)
+            typed = self._typed_keys(head, klist, "purge_keys")
             kdf = self.spark.createDataFrame(
-                [(k,) for k in klist], schema=f"{self.key} string"
+                [(k,) for k in typed], schema=f"{self.key} {self._key_type(head)}"
             )
             # Hash the keys ONCE (JVM xxhash64 — the same expression
             # bucket_of composes), then derive bucket ids per manifest from
@@ -1784,7 +1859,7 @@ class ParquetLakeTable:
                             kb = bounds.get(f)
                             try:
                                 if kb is not None and not any(
-                                    kb[0] <= k <= kb[1] for k in klist
+                                    kb[0] <= k <= kb[1] for k in typed
                                 ):
                                     continue  # zone map proves key absent
                             except TypeError:
@@ -1794,15 +1869,22 @@ class ParquetLakeTable:
             # rewrite each affected file without the keys' rows
             subst: dict[str, str | None] = {}
             rows_purged = 0
+            # dir named v{next_version}-... like every other writer: the
+            # version prefix is what expire_snapshots' in-flight guard
+            # parses — an unversioned dir would lose that protection and a
+            # concurrent expire could delete the rewrite mid-flight,
+            # before the manifests referencing it commit
             out_root = os.path.join(
-                self.path, "data", f"purge-{uuid.uuid4().hex[:8]}"
+                self.path,
+                "data",
+                f"v{head['version'] + 1}-purge-{uuid.uuid4().hex[:8]}",
             )
             for i, old in enumerate(sorted(affected)):
                 df = self.spark.read.parquet(old)
                 counts = df.agg(
                     F.count(F.lit(1)).alias("n"),
                     F.count(
-                        F.when(F.col(self.key).isin(klist), 1)
+                        F.when(F.col(self.key).isin(typed), 1)
                     ).alias("hit"),
                 ).collect()[0]
                 if counts.hit == 0:
@@ -1812,7 +1894,7 @@ class ParquetLakeTable:
                     # every row in the file belonged to the keys
                     subst[old] = None
                     continue
-                kept = df.where(~F.col(self.key).isin(klist))
+                kept = df.where(~F.col(self.key).isin(typed))
                 tmp = os.path.join(out_root, f"_tmp-{i}")
                 kept.coalesce(1).write.mode("overwrite").parquet(tmp)
                 parts = [

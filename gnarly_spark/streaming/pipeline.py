@@ -73,10 +73,6 @@ from gnarly_spark.sinks.lake import ParquetLakeTable
 # winning event — needed so a later revert can re-adjudicate the url)
 TARGET_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "_block_hash", "_block_id", "_op_seq"]
 
-# candidate-relation schema used by the per-batch LWW
-_CAND_COLS = ["url", "warc_ts", "op_seq", "op", "html", "lang", "_block_hash", "_block_id", "text", "_src"]
-
-
 
 class CdcIngestPipeline:
     def __init__(

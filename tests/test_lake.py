@@ -1276,3 +1276,112 @@ def test_maintenance_job_purge_flag(spark, tmp_path, capsys):
     t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
     assert t2.read().where("url = 'a'").count() == 0
     assert sorted(_pdf(t2.read()).url) == ["b", "c"]
+
+
+def test_purge_and_lookup_on_bigint_key_table(spark, tmp_path):
+    """A non-string merge key must not break the point paths: lookup and
+    purge_keys coerce key literals to the TABLE's key type before hashing
+    (xxhash64('12345') != xxhash64(12345L) — the raw string would route to
+    the wrong buckets and silently match nothing)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "ids"), key="doc_id", n_buckets=4)
+    t.merge(
+        mk(spark, [(i, i * 10) for i in range(8)], "doc_id bigint, v int"),
+        batch_id=0,
+    )
+    # lookup with int AND string spellings of the key
+    assert [r.v for r in t.lookup(3).collect()] == [30]
+    assert [r.v for r in t.lookup("3").collect()] == [30]
+    stats = t.purge_keys(5)
+    assert stats["rows_purged"] == 1
+    assert t.read().where("doc_id = 5").count() == 0
+    assert t.read().count() == 7
+    stats2 = t.purge_keys("6")  # string spelling purges too
+    assert stats2["rows_purged"] == 1
+    assert t.read().count() == 6
+    with pytest.raises(ValueError, match="not castable"):
+        t.purge_keys("not-a-number")
+
+
+def test_expire_snapshots_keeps_parked_stage_files(spark, tmp_path):
+    """A parked write-audit-publish stage must survive expire_snapshots
+    even after later commits move the current version past the stage's
+    data-dir version — read_staged() is the forensics contract."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1)]), batch_id=0)
+    tok = t.merge_staged(mk(spark, [("b", 2)]), batch_id=1)
+    # later maintenance/commits move cur past the stage's dir version
+    for i in range(2, 6):
+        t.merge(mk(spark, [("a", i)]), batch_id=i)
+    t.expire_snapshots(keep_last=2)
+    staged = _pdf(t.read_staged(tok))
+    assert staged.url.tolist() == ["a", "b"]
+
+
+def test_expire_snapshots_spares_inflight_purge_output(spark, tmp_path):
+    """purge_keys writes its rewritten files under a v{next}- prefixed dir
+    so expire's in-flight guard protects the rewrite window; after the
+    purge commits, every retained snapshot still reads (and an expire run
+    right after deletes only the replaced originals)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(mk(spark, [(f"u{i}", i) for i in range(6)]), batch_id=0)
+    v1 = t.current_version()
+    t.merge(mk(spark, [("u1", 111)]), batch_id=1)
+    t.purge_keys("u2")
+    t.expire_snapshots(keep_last=10)  # keeps all manifests; orphans only
+    assert t.read().where("url = 'u2'").count() == 0
+    assert t.read(v1).where("url = 'u2'").count() == 0
+    assert t.read(v1).count() == 5 and t.read().count() == 5
+
+
+def test_export_snapshot_same_basename_files_no_collision(spark, tmp_path):
+    """Two purge runs leave files with identical basenames in one bucket;
+    export must not let the copies collide (a bare-basename copy silently
+    dropped one file's rows from the clone)."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=1,
+                         files_per_bucket=2)
+    t.merge(mk(spark, [(f"u{i}", i) for i in range(8)]), batch_id=0)
+    t.purge_keys("u1")  # rewrites one of the bucket's two files
+    t.purge_keys("u5")  # rewrites the other -> same purged-N basename
+    names = {
+        f.rsplit("/", 1)[-1]
+        for fl in t._manifest()["buckets"].values()
+        for f in fl
+    }
+    clone = str(tmp_path / "clone")
+    t.export_snapshot(clone)
+    c = ParquetLakeTable(spark, clone, key="url", n_buckets=1)
+    assert sorted(r.url for r in c.read().collect()) == sorted(
+        r.url for r in t.read().collect()
+    )
+
+
+def test_schema_evolution_leaves_untouched_buckets_in_place(spark, tmp_path):
+    """An evolution commit (added column / int->bigint widening) must stay
+    O(batch): buckets the merge didn't touch keep their EXACT old files in
+    the new manifest (readers null-fill / scan-upcast them — no rewrite),
+    and those old-schema files still read correctly under the new DDL."""
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=8)
+    t.merge(mk(spark, [(f"u{i}", i) for i in range(32)]), batch_id=0)
+    before = t._manifest()["buckets"]
+    # one-row merge that BOTH widens v and adds a column
+    t.merge(
+        spark.createDataFrame(
+            [("u0", 2**40, "en")], schema="url string, v bigint, lang string"
+        ),
+        batch_id=1,
+    )
+    after = t._manifest()["buckets"]
+    from gnarly_spark.sinks.lake import bucket_of as _bo
+    touched = str(
+        spark.createDataFrame([("u0",)], "url string")
+        .select(_bo(F.col("url"), 8).alias("b")).collect()[0].b
+    )
+    unchanged = [b for b in before if b != touched and before[b]]
+    assert unchanged, "test needs untouched non-empty buckets"
+    for b in unchanged:
+        assert after[b] == before[b], f"bucket {b} was rewritten on evolution"
+    got = _pdf(t.read())
+    assert got.columns.tolist() == ["url", "v", "lang"]
+    assert got[got.url == "u0"].v.tolist() == [2**40]
+    assert got[got.url == "u5"].v.tolist() == [5]  # old int file, widened read
+    assert got[got.url == "u5"].lang.tolist() == [None]
