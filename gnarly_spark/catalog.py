@@ -822,14 +822,16 @@ def cdc_lake_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
     from gnarly_spark.sinks.lake import ParquetLakeTable
-    from gnarly_spark.streaming.replicate import replicate_feed
+    from gnarly_spark.streaming.replicate import drain_feed
 
     t, work = _phase_merged_mor(spark, sf_dir)
     mirror = ParquetLakeTable(
         spark, _os.path.join(work, "mirror"), key="url", n_buckets=4
     )
-    q = replicate_feed(spark, t.path, mirror, _os.path.join(work, "mirror_ck"))
-    q.awaitTermination(300)
+    # drain_feed, not one availableNow start: the Python Data Source
+    # stream falls back to single-batch execution, and only the loop
+    # guarantees "everything committed so far is in the mirror"
+    drain_feed(spark, t.path, mirror, _os.path.join(work, "mirror_ck"))
     return mirror.read().select(
         "url", "last_seq", F.round("value", 4).alias("value")
     )

@@ -48,9 +48,11 @@ JSON_OPTS = {
 }
 
 
-def _parse_schema(schema: str) -> tuple[StructType, list[str]]:
-    """DDL -> (from_json schema with binary fields as base64 strings +
-    _corrupt, names of the binary fields to restore)."""
+def _parse_schema(schema: str) -> tuple[StructType, StructType, list[str]]:
+    """DDL -> (parsed StructType, from_json schema with binary fields as
+    base64 strings + _corrupt, names of the binary fields to restore) —
+    ONE parse serves all three so the projection and the base64-restore
+    set can never disagree."""
     st = StructType.fromDDL(schema)
     binary_cols = [f.name for f in st.fields if isinstance(f.dataType, BinaryType)]
     wire = StructType(
@@ -60,7 +62,7 @@ def _parse_schema(schema: str) -> tuple[StructType, list[str]]:
         ]
     )
     wire = wire.add("_corrupt", StringType())
-    return wire, binary_cols
+    return st, wire, binary_cols
 
 
 def parse_changelog_jsonl(lines: DataFrame, schema: str = CHANGELOG_DDL) -> DataFrame:
@@ -69,7 +71,7 @@ def parse_changelog_jsonl(lines: DataFrame, schema: str = CHANGELOG_DDL) -> Data
     split into events / dead letters happens in the two projections below
     (pure filters, so a streaming plan can apply both inside one
     foreachBatch without a second source scan)."""
-    wire, _ = _parse_schema(schema)
+    _, wire, _ = _parse_schema(schema)
     return lines.select(
         F.col("value").alias("_raw"),
         F.from_json(
@@ -91,8 +93,7 @@ def jsonl_events(parsed: DataFrame, schema: str = CHANGELOG_DDL) -> DataFrame:
     """The good rows, typed exactly to ``schema`` (binary columns restored
     from base64). Column order matches the DDL so downstream unions and
     MERGEs see the same shape as the parquet source."""
-    st = StructType.fromDDL(schema)
-    _, binary_cols = _parse_schema(schema)
+    st, _, binary_cols = _parse_schema(schema)
     cols = [
         F.unbase64(F.col(f.name)).alias(f.name) if f.name in binary_cols else F.col(f.name)
         for f in st.fields

@@ -146,37 +146,64 @@ class LakeFeedStreamReader(DataSourceStreamReader):
     # suspended while None: capping relative to the stream's ORIGINAL
     # start could hold latestOffset below a resumed checkpoint's offset
     # forever (no batch -> no partitions() call -> never learn -> wedged).
-    # Cost of the suspension: the first micro-batch after a restart is
+    # Cost of the suspension: the first micro-batch after a cold start is
     # uncapped; every later one honors the cap.
     _consumed: int | None = None
+    # highest end version this reader has ever advertised or seen planned.
+    # latestOffset is clamped to never regress below it: Spark treats a
+    # smaller offset as new data and re-plans (start, end] ranges that
+    # were already delivered — duplicate rows in every append sink (the
+    # exactly-once contract of this module). All tracking is None-checked,
+    # never `x or y`: version 0 and the tail sentinel -1 are falsy.
+    _hwm: int | None = None
+
+    @staticmethod
+    def _bump(cur: int | None, v: int) -> int:
+        return v if cur is None else max(cur, v)
 
     def initialOffset(self) -> dict:
-        self._consumed = self.start
+        self._consumed = self._bump(self._consumed, self.start)
+        self._hwm = self._bump(self._hwm, self.start)
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
         cur = max(_published_version(self.path), self.start)
-        if self.max_versions is not None and self._consumed is not None:
-            cur = max(min(cur, self._consumed + self.max_versions), self._consumed)
+        # cap relative to what's consumed (or, failing that, the last end
+        # we advertised — Spark will plan a batch up to it)
+        base = self._consumed if self._consumed is not None else self._hwm
+        if self.max_versions is not None and base is not None:
+            cur = min(cur, base + self.max_versions)
+        if self._hwm is not None:
+            cur = max(cur, self._hwm)  # monotonic: never below a prior end
+        self._hwm = cur
         return {"version": cur}
 
     def commit(self, end: dict) -> None:
-        self._consumed = max(self._consumed or end["version"], end["version"])
+        self._consumed = self._bump(self._consumed, end["version"])
+        self._hwm = self._bump(self._hwm, end["version"])
 
     def partitions(self, start: dict, end: dict) -> list[_FeedPartition]:
         # start is consumed by definition (this batch covers (start, end])
-        self._consumed = max(self._consumed or start["version"], start["version"])
+        self._consumed = self._bump(self._consumed, start["version"])
+        self._hwm = self._bump(self._hwm, end["version"])
         parts: list[_FeedPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             man = _manifest(self.path, v)
-            if man.get("restored_from") is not None and not self.skip_restore:
-                raise RuntimeError(
-                    f"lakefeed: commit v{v} is a restore (rolled back to "
-                    f"v{man['restored_from']}) — state changed without delta "
-                    "files, so an incremental feed cannot represent it. "
-                    "Reprocess from the restored snapshot, or pass "
-                    "skipRestoreCommits=true to ignore restore commits."
-                )
+            if man.get("restored_from") is not None:
+                if not self.skip_restore:
+                    raise RuntimeError(
+                        f"lakefeed: commit v{v} is a restore (rolled back to "
+                        f"v{man['restored_from']}) — state changed without delta "
+                        "files, so an incremental feed cannot represent it. "
+                        "Reprocess from the restored snapshot, or pass "
+                        "skipRestoreCommits=true to ignore restore commits."
+                    )
+                # skip means SKIP: a restore manifest copies the restore
+                # TARGET's file lists and parent pointer, so diffing it
+                # against that stale parent would re-emit the target's
+                # whole delta backlog as duplicates. A restore adds no
+                # delta files — emit nothing for it.
+                continue
             parent = _manifest(self.path, man.get("parent", v - 1))
             parts.extend(
                 _FeedPartition(f, self.fields) for f in _new_delta_files(man, parent)

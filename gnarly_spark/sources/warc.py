@@ -97,26 +97,36 @@ def write_warc(
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}{ext}")
+        tmp = fname + ".inprogress"
         n = 0
-        buf = io.BytesIO()
-        for pdf in batches:
-            for url, ts, payload in zip(
-                pdf["url"], pdf["warc_ts"], pdf["payload"]
-            ):
-                buf.write(
-                    warc_record_bytes(
-                        url, ts.to_pydatetime(), bytes(payload or b"")
-                    )
-                )
-                n += 1
+        # records STREAM to the open file handle — never a whole-segment
+        # BytesIO (+ a second full copy in gzip.compress): a ~1 GB Common
+        # Crawl segment held O(record), not 2-3 GB, per concurrent task.
+        # mtime=0 keeps the gzip bytes deterministic. The .inprogress
+        # rename makes a crashed task's partial file invisible to readers.
+        with open(tmp, "wb") as raw:
+            sink = (
+                gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
+            )
+            try:
+                for pdf in batches:
+                    for url, ts, payload in zip(
+                        pdf["url"], pdf["warc_ts"], pdf["payload"]
+                    ):
+                        sink.write(
+                            warc_record_bytes(
+                                url, ts.to_pydatetime(), bytes(payload or b"")
+                            )
+                        )
+                        n += 1
+            finally:
+                if compress:
+                    sink.close()
         if n:
-            data = buf.getvalue()
-            if compress:
-                # mtime=0: deterministic bytes (gzip stamps mtime otherwise)
-                data = gzip.compress(data, mtime=0)
-            with open(fname, "wb") as f:
-                f.write(data)
+            os.replace(tmp, fname)
             yield pd.DataFrame({"file": [fname], "n_records": [n]})
+        else:
+            os.remove(tmp)
 
     manifest = sel.mapInPandas(write_part, "file string, n_records long").collect()
     return [(r["file"], r["n_records"]) for r in manifest]

@@ -62,11 +62,18 @@ def replicate_feed(
     processing_time: str | None = None,
     max_versions_per_trigger: int | None = None,
 ):
-    """Start the replication stream; returns the StreamingQuery. With
-    ``available_now`` the call drains everything committed so far and
-    stops; a live mirror uses ``processing_time`` instead. Restart with
-    the same checkpoint to resume — offsets come from the checkpoint and
-    refired batches are no-ops."""
+    """Start the replication stream; returns the StreamingQuery. A live
+    mirror uses ``processing_time``. Restart with the same checkpoint to
+    resume — offsets come from the checkpoint and refired batches are
+    no-ops.
+
+    ``available_now`` caveat: Python Data Source streams do not support
+    Trigger.AvailableNow — Spark logs a warning and falls back to
+    SINGLE-BATCH execution. On a fresh checkpoint that one batch covers
+    the whole backlog, but a restart with a pending uncommitted batch
+    replays just that batch and stops, leaving later commits undrained.
+    Use :func:`drain_feed` when the contract is "everything committed so
+    far is in the mirror when the call returns"."""
     spark.dataSource.register(LakeFeedDataSource)
     reader = (
         spark.readStream.format("lakefeed")
@@ -83,3 +90,43 @@ def replicate_feed(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def drain_feed(
+    spark: SparkSession,
+    source_path: str,
+    mirror: ParquetLakeTable,
+    checkpoint: str,
+    starting_version: int = 0,
+    max_versions_per_trigger: int | None = None,
+    max_runs: int = 10_000,
+) -> dict:
+    """Replicate until the mirror has EVERYTHING committed so far, then
+    return — the drain guarantee one availableNow start() cannot give for
+    a Python Data Source stream (Spark falls back to single-batch
+    execution; a restart with a pending uncommitted batch would replay
+    only that batch). Loops start -> terminate until a run processes zero
+    rows; with ``max_versions_per_trigger`` each run drains at most that
+    many commits, so the loop is also the backpressured backfill shape.
+    Returns {"runs", "rows"}."""
+    runs = rows = 0
+    while runs < max_runs:
+        q = replicate_feed(
+            spark,
+            source_path,
+            mirror,
+            checkpoint,
+            starting_version,
+            available_now=True,
+            max_versions_per_trigger=max_versions_per_trigger,
+        )
+        q.awaitTermination()
+        runs += 1
+        got = sum(int(p["numInputRows"]) for p in (q.recentProgress or []))
+        rows += got
+        if got == 0:
+            return {"runs": runs, "rows": rows}
+    raise RuntimeError(
+        f"drain_feed: still ingesting after {max_runs} runs — the source "
+        "is outpacing the drain; replicate live with processing_time"
+    )

@@ -30,6 +30,21 @@ STATE_SCHEMA = "n_events long, last_seq long, last_ts timestamp"
 OUTPUT_SCHEMA = "url string, n_events long, last_seq long, last_ts timestamp"
 
 
+def _newer(top, last_seq, last_ts) -> bool:
+    """(warc_ts, op_seq) total order with a null warc_ts as MINUS infinity
+    (the table path's ORDER BY warc_ts DESC puts nulls last). Plain tuple
+    comparison is unusable here: every comparison against NaT is False, so
+    a NaT on EITHER side would freeze the head — a null-ts event could
+    hijack the state and then no real event would ever beat it."""
+    lo = pd.Timestamp.min
+    new_key = (top.warc_ts if pd.notna(top.warc_ts) else lo, top.op_seq)
+    old_key = (
+        last_ts if last_ts is not None and pd.notna(last_ts) else lo,
+        last_seq,
+    )
+    return new_key > old_key
+
+
 def _track_head(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -38,9 +53,10 @@ def _track_head(
     n, last_seq, last_ts = state.get if state.exists else (0, -1, None)
     for pdf in pdfs:
         n += len(pdf)
-        # same total order as the table path: (warc_ts, op_seq)
-        top = pdf.sort_values(["warc_ts", "op_seq"]).iloc[-1]
-        if last_ts is None or (top.warc_ts, top.op_seq) > (last_ts, last_seq):
+        # same total order as the table path: (warc_ts, op_seq); nulls
+        # sort FIRST so a NaT row can't shadow the batch's real maximum
+        top = pdf.sort_values(["warc_ts", "op_seq"], na_position="first").iloc[-1]
+        if _newer(top, last_seq, last_ts):
             last_seq = int(top.op_seq)
             last_ts = top.warc_ts
     state.update((n, last_seq, last_ts))
@@ -85,11 +101,10 @@ def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = No
                 n, last_seq, last_ts = 0, -1, None
             for pdf in rows:
                 n += len(pdf)
-                top = pdf.sort_values(["warc_ts", "op_seq"]).iloc[-1]
-                if last_ts is None or (top.warc_ts, top.op_seq) > (
-                    last_ts,
-                    last_seq,
-                ):
+                top = pdf.sort_values(
+                    ["warc_ts", "op_seq"], na_position="first"
+                ).iloc[-1]
+                if _newer(top, last_seq, last_ts):
                     last_seq = int(top.op_seq)
                     last_ts = top.warc_ts
             self._head.update((n, last_seq, last_ts))

@@ -157,9 +157,11 @@ def test_feed_fails_on_restore_unless_skipped(registered, tmp_path):
         spark, t.path, os.path.join(tmp, "ck2"), os.path.join(tmp, "o2"),
         startingVersion=0, skipRestoreCommits="true",
     )
-    assert {(r.url, r._delta_seq) for r in got.collect()} == {
-        ("a", 0), ("a", 1), ("b", 3)
-    }
+    rows = sorted((r.url, r._delta_seq) for r in got.collect())
+    # multiset: a skipped restore emits NOTHING (diffing the restore
+    # manifest against its COPIED parent pointer used to re-emit the
+    # restore target's whole backlog as duplicates)
+    assert rows == [("a", 0), ("a", 1), ("b", 3)]
 
 
 def test_feed_rejects_cow_tables(registered, tmp_path):
@@ -252,3 +254,39 @@ def test_feed_max_versions_per_trigger_paces_offsets(registered, tmp_path):
         startingVersion=0, maxVersionsPerTrigger=1,
     )
     assert got.count() == 4
+
+
+def test_feed_offsets_never_regress_below_advertised_end(registered, tmp_path):
+    """Falsy version values (-1 tail sentinel, version 0) must not corrupt
+    consumed-tracking, and latestOffset must be MONOTONIC: Spark treats a
+    smaller offset as new data and re-plans delivered ranges — duplicate
+    rows in every append sink."""
+    from gnarly_spark.sources.lakefeed import LakeFeedStreamReader
+
+    spark, tmp = registered, str(tmp_path)
+    t = _mor(spark, tmp)
+    for i in range(3):
+        t.merge(_rows(spark, [(f"u{i}", float(i))]), batch_id=i)
+    fields = [("url", "string"), ("value", "double"),
+              ("_op", "string"), ("_delta_seq", "bigint")]
+    r = LakeFeedStreamReader(
+        {"path": t.path, "startingVersion": "0", "maxVersionsPerTrigger": "1"},
+        fields,
+    )
+    # cold serving reader: Spark may ask latestOffset BEFORE initialOffset
+    assert r.latestOffset() == {"version": 2}  # uncapped first call
+    r.partitions({"version": -1}, {"version": 2})  # start=-1 is falsy
+    assert r.latestOffset() == {"version": 2}  # was 0: regression re-plan
+    r.commit({"version": 2})
+    assert r.latestOffset() == {"version": 2}
+    t.merge(_rows(spark, [("u9", 9.0)]), batch_id=3)
+    assert r.latestOffset() == {"version": 3}
+
+    # end-to-end: capped drain delivers each row EXACTLY once (multiset,
+    # not set — duplicates were invisible to a set compare)
+    got = _drain(
+        spark, t.path, os.path.join(tmp, "ck"), os.path.join(tmp, "out"),
+        startingVersion=0, maxVersionsPerTrigger=1,
+    )
+    rows = [(r.url, r._delta_seq) for r in got.collect()]
+    assert sorted(rows) == [("u0", 0), ("u1", 1), ("u2", 2), ("u9", 3)]

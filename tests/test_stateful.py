@@ -188,3 +188,49 @@ def test_head_tracker_v2_ttl_evicts_idle_state(spark, tmp_path, rocksdb_state):
         .collect()
     )
     assert [(r.n_events, r.last_seq) for r in got] == [(1, 1), (1, 2)]
+
+
+def test_head_tracker_null_warc_ts_cannot_hijack_head(spark, tmp_path):
+    """A null-warc_ts event in the same micro-batch as a real newer event
+    must not shadow it (pandas sorts NaT LAST, and any tuple comparison
+    against NaT is False — the head would freeze). Null ts sorts LOWEST,
+    the table path's ORDER BY warc_ts DESC rule."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import CHANGELOG_COLUMNS, block_hash
+
+    rows = pd.DataFrame(
+        [
+            (1, 0, "insert", "https://a", pd.Timestamp("2024-01-01 09:00:00")),
+            (5, 1, "update", "https://a", pd.Timestamp("2024-01-01 10:00:00")),
+            (6, 1, "update", "https://a", pd.NaT),
+        ],
+        columns=["op_seq", "block_id", "op", "url", "warc_ts"],
+    )
+    rows["block_hash"] = rows.block_id.map(block_hash)
+    rows["parent_hash"] = None
+    rows["html"] = None
+    rows["lang"] = "en"
+    rows["revert_of_block"] = None
+    rows["reason"] = None
+    d = tmp_path / "cl"
+    d.mkdir()
+    spark.createDataFrame(rows[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "chunk"))
+    stream = spark.readStream.schema(CHANGELOG_DDL).parquet(str(d / "chunk"))
+    out = tmp_path / "out"
+    q = (
+        head_tracker(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out)).toPandas().set_index("url")
+    assert int(got.loc["https://a"].last_seq) == 5
+    assert got.loc["https://a"].last_ts == pd.Timestamp("2024-01-01 10:00:00")
+    assert int(got.loc["https://a"].n_events) == 3
