@@ -43,7 +43,7 @@ _JACCARD_SQL = f"""
     f"""
     SELECT md5({_NORM}) AS fingerprint, MIN(doc_id) AS keep_id,
            COUNT(*) AS n_copies
-    FROM documents GROUP BY 1
+    FROM documents WHERE {_NORM} IS NOT NULL GROUP BY 1
     """,
 )
 def dedup_exact(spark, sf_dir):
@@ -624,6 +624,7 @@ def sim_semdedup_keep(spark, sf_dir):
            ROUND(list_cosine_similarity(nba.v, e2.v), 6) AS cos
     FROM nba JOIN af a USING (cluster) JOIN e e2 ON e2.id = a.id
     WHERE ROUND(list_cosine_similarity(nba.v, e2.v), 6) >= 0.35
+      AND a.id != nba.id
     """,
 )
 def sim_semdedup_incremental(spark, sf_dir):
@@ -1227,7 +1228,8 @@ def sim_quantize_int8(spark, sf_dir):
     "text_pack_sequences",
     f"""
     WITH d AS (SELECT doc_id, source,
-                      len(string_split({_NORM}, ' ')) AS n_tok,
+                      CASE WHEN {_NORM} IS NULL OR {_NORM} = '' THEN 0
+                           ELSE len(string_split({_NORM}, ' ')) END AS n_tok,
                       doc_id // 1000 AS chunk
                FROM documents),
     c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source, chunk
@@ -1836,13 +1838,17 @@ def text_source_cap(spark, sf_dir):
 @register(
     "text_lm_quality",
     f"""
-    WITH toks AS (SELECT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS w
-                  FROM documents),
+    WITH toks AS (SELECT id, w FROM (
+                    SELECT doc_id AS id, unnest(string_split({_NORM}, ' ')) AS w
+                    FROM documents) WHERE w != ''),
     vocab AS (SELECT w, COUNT(*)::DOUBLE AS c FROM toks GROUP BY w),
-    tot AS (SELECT SUM(c) AS t FROM vocab)
-    SELECT id AS doc_id, ROUND(AVG(-ln(c / t)), 6) AS lm_score,
-           COUNT(*) AS n_tokens
-    FROM toks JOIN vocab USING (w), tot GROUP BY id
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    scored AS (SELECT id, ROUND(AVG(-ln(c / t)), 6) AS lm_score,
+                      COUNT(*) AS n_tokens
+               FROM toks JOIN vocab USING (w), tot GROUP BY id)
+    SELECT d.doc_id, s.lm_score,
+           CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents d LEFT JOIN scored s ON s.id = d.doc_id
     """,
 )
 def text_lm_quality(spark, sf_dir):
@@ -1963,9 +1969,10 @@ def text_mixture_sample(spark, sf_dir):
 @register(
     "text_inverted_index",
     f"""
-    WITH toks AS (SELECT DISTINCT doc_id AS id,
-                         unnest(string_split({_NORM}, ' ')) AS token
-                  FROM documents)
+    WITH toks AS (SELECT DISTINCT id, token FROM (
+                    SELECT doc_id AS id,
+                           unnest(string_split({_NORM}, ' ')) AS token
+                    FROM documents) WHERE token != '')
     SELECT token, COUNT(*) AS doc_freq,
            string_agg(CAST(id AS VARCHAR), ',' ORDER BY CAST(id AS VARCHAR))
              AS postings

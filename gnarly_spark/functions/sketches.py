@@ -194,7 +194,11 @@ def cms_estimate(
     probe side can be arbitrarily large (score every key in a corpus)
     without shuffling either relation. A missing cell means the key never
     hashed there (0)."""
-    probes = keys.select(
+    # NULL probe keys (common after an outer join) would hash as the bare
+    # salt string — concat_ws skips NULLs — and return whatever real keys
+    # collided with those cells; the build side drops NULLs, so estimates
+    # must too
+    probes = keys.where(F.col(key_col).isNotNull()).select(
         F.col(key_col),
         F.posexplode(F.array(*[cms_hash(key_col, i, w) for i in range(d)])).alias(
             "row", "col"

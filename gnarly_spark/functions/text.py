@@ -494,13 +494,19 @@ def lm_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     """
     from gnarly_spark.operators.dedup import _spread
 
-    toks = _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col))).select(
-        "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+    toks = (
+        _spread(docs.select(F.col(id_col).alias("id"), F.col(text_col)))
+        .select(
+            "id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        # split('') yields [''] — the empty pseudo-token must not enter the
+        # vocab or score empty docs
+        .where(F.col("w") != "")
     )
     tw = toks.groupBy("id", "w").agg(F.count("*").alias("n")).localCheckpoint()
     vocab = tw.groupBy("w").agg(F.sum("n").cast("double").alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
-    return (
+    scored = (
         tw.join(vocab, "w")
         .crossJoin(F.broadcast(total))
         .groupBy("id")
@@ -510,7 +516,18 @@ def lm_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
             ).alias("lm_score"),
             F.sum("n").alias("n_tokens"),
         )
-        .select(F.col("id").alias(id_col), "lm_score", "n_tokens")
+    )
+    # every input doc gets a row (NULL/empty text -> NULL score, 0 tokens) —
+    # same contract as unigram_surprisal/gopher_repetition; an inner shape
+    # would silently drop null-text pages from any pipeline joining on it
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "lm_score",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
     )
 
 
@@ -542,10 +559,20 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    from pyspark.sql.types import NumericType
+
+    if not isinstance(docs.schema[id_col].dataType, NumericType):
+        raise TypeError(
+            f"pack_sequences chunks on `{id_col} div {chunk_rows}`, which "
+            f"needs a numeric id; pass a numeric surrogate (e.g. "
+            f"xxhash64({id_col})) for string keys like urls"
+        )
     if merges is not None:
         n_tok = bpe_count_column(docs.sparkSession, merges, F.col(text_col))
     else:
-        n_tok = F.size(F.split(normalize_text(F.col(text_col)), " ")).cast("long")
+        # token_count's ''-guard: an empty/whitespace-only doc is 0 tokens,
+        # not the 1 that size(split('', ' ')) == size(['']) reports
+        n_tok = F.coalesce(token_count(F.col(text_col)), F.lit(0))
     d = docs.select(
         F.col(id_col),
         F.col(source_col),
@@ -597,6 +624,9 @@ def inverted_index(
             "id",
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
         )
+        # empty-text docs must not mint a '' token row (the MV census twin
+        # in operators/mv.py filters it too — keep them reconcilable)
+        .where(F.col("token") != "")
         .distinct()
     )
     idx = toks.groupBy("token").agg(

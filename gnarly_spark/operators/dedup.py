@@ -37,6 +37,11 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     """
     return (
         docs.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), id_col)
+        # NULL-text docs must not collapse into one NULL-fingerprint group
+        # (groupBy treats NULLs as equal): a page missing text is not an
+        # exact copy of every other such page — exclude them, like the
+        # sketch builders do with NULL keys
+        .where(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
     )

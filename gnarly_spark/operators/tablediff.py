@@ -44,7 +44,16 @@ _STATUS = ("only_left", "only_right", "differs")
 def _row_hash(key_col: str, cols: list[str]):
     # cast to decimal(38,0) BEFORE summing: ANSI mode overflows BIGINT on
     # summed 64-bit hashes (CLAUDE.md gotcha)
-    return F.xxhash64(F.col(key_col), *[F.col(c) for c in cols])
+    #
+    # Hash each column SEPARATELY first: xxhash64 skips NULL arguments, so
+    # a flat xxhash64(key, a, b) gives (a=NULL, b='x') and (a='x', b=NULL)
+    # the same digest — a value shifting into an adjacent nullable column
+    # was invisible to the diff. The inner per-column hash is never null
+    # (xxhash64 of an all-null argument list returns the seed), so every
+    # column occupies a fixed position in the outer hash.
+    return F.xxhash64(
+        F.col(key_col), *[F.xxhash64(F.col(c)) for c in cols]
+    )
 
 
 def bucket_checksums(
@@ -136,7 +145,12 @@ def table_diff(
     column OF THE LEFT SIDE's schema (order-normalized so projection order
     can't fake a diff).
     """
-    cols = compare_cols or sorted(c for c in left.columns if c != key_col)
+    # `is None`, not falsy: an explicit [] means a keys-only existence diff
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else sorted(c for c in left.columns if c != key_col)
+    )
     missing = [c for c in cols + [key_col] if c not in right.columns]
     if missing:
         raise ValueError(f"right side lacks columns {missing}")
@@ -159,7 +173,11 @@ def lake_table_diff(left, right, compare_cols: list[str] | None = None) -> DataF
         raise ValueError(f"merge keys differ: {left.key} vs {right.key}")
     key = left.key
     lv, rv = left.read(), right.read()
-    cols = compare_cols or sorted(c for c in lv.columns if c != key)
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else sorted(c for c in lv.columns if c != key)
+    )
     if left.n_buckets != right.n_buckets:
         return table_diff(lv, rv, key, compare_cols=cols)
     # physical-bucket alignment: bucket_of in sinks/lake.py is the same

@@ -63,3 +63,13 @@ def test_cms_build_partial_aggregates_before_shuffle(spark):
         .toString()
     )
     assert "partial_count" in plan  # shuffle carries <= d*w counters/partition
+
+
+def test_cms_estimate_drops_null_probe_keys(spark):
+    """NULL probe keys (outer-join residue) used to hash as the bare salt
+    string and report an arbitrary collision count — the build side drops
+    NULL keys, so estimates must exclude them too."""
+    df = _zipfish(spark)
+    probe = spark.createDataFrame([("k0",), (None,)], "k string")
+    est = cms_estimate(cms_build(df, "k", d=4, w=64), probe, "k", d=4, w=64).toPandas()
+    assert est.k.notna().all() and len(est) == 1

@@ -119,3 +119,32 @@ def test_lake_table_diff_key_mismatch_raises(spark, tmp_path):
     rt = ParquetLakeTable(spark, str(tmp_path / "r"), key="other")
     with pytest.raises(ValueError, match="merge keys differ"):
         lake_table_diff(lt, rt)
+
+
+def test_row_hash_detects_null_column_swap(spark):
+    """A value shifting into an adjacent nullable column must register as
+    'differs': a flat xxhash64(key, a, b) skips NULL args, so (a=NULL,
+    b='x') and (a='x', b=NULL) used to collide — the anti-entropy tool's
+    core purpose defeated. Per-column inner hashes pin every column to a
+    fixed position."""
+    schema = "k long, a string, b string"
+    left = spark.createDataFrame([(1, None, "x"), (2, "y", "z")], schema)
+    right = spark.createDataFrame([(1, "x", None), (2, "y", "z")], schema)
+    got = {(r.k, r.status) for r in table_diff(left, right, "k", n_buckets=4).collect()}
+    assert got == {(1, "differs")}
+
+
+def test_compare_cols_empty_is_keys_only_existence_diff(spark):
+    """compare_cols=[] means 'reconcile key sets only': value changes are
+    ignored, and the right side may lack the left's payload columns
+    entirely (it was previously treated as falsy and expanded to every
+    non-key column)."""
+    left = spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int")
+    right = spark.createDataFrame(
+        [("a", "ignored"), ("c", "new")], "url string, other string"
+    )
+    got = {
+        (r.url, r.status)
+        for r in table_diff(left, right, "url", n_buckets=4, compare_cols=[]).collect()
+    }
+    assert got == {("b", "only_left"), ("c", "only_right")}

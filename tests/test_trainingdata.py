@@ -969,3 +969,87 @@ def test_chunk_passages_windows_and_edges(spark):
     # every token of doc 1 appears in some chunk (coverage)
     covered = " ".join(got[(1, i)][1] for i in range(3)).split()
     assert set(covered) == {f"t{i}" for i in range(10)}
+
+
+def test_exact_dedup_null_texts_are_not_copies_of_each_other(spark):
+    """Distinct docs that merely LACK text (html-only pages whose extracted
+    text is NULL) must not collapse into one NULL-fingerprint duplicate
+    group — a keep-only-keep_id caller would silently delete all but one."""
+    from gnarly_spark.operators.dedup import exact_duplicates
+
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
+    )
+    got = exact_duplicates(d).toPandas()
+    assert got.fingerprint.notna().all()
+    assert got.n_copies.tolist() == [1]  # only the real-text group remains
+
+
+def test_lm_quality_keeps_null_and_empty_docs(spark):
+    """Every input doc gets a row (NULL score, 0 tokens for NULL/empty
+    text), and the '' pseudo-token from split('') must not enter the vocab
+    or score anything."""
+    from gnarly_spark.functions.text import lm_quality
+
+    d = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = lm_quality(d).toPandas().set_index("doc_id").sort_index()
+    assert got.index.tolist() == [1, 2, 3]
+    assert got.loc[1, "n_tokens"] == 2 and got.loc[1, "lm_score"] > 0
+    assert got.loc[2, "n_tokens"] == 0 and pd.isna(got.loc[2, "lm_score"])
+    assert got.loc[3, "n_tokens"] == 0 and pd.isna(got.loc[3, "lm_score"])
+
+
+def test_pack_sequences_empty_doc_is_zero_tokens(spark):
+    from gnarly_spark.functions.text import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "", "s"), (3, "   ", "s"), (4, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = pack_sequences(d).toPandas().set_index("doc_id").n_tok
+    assert got.loc[1] == 3
+    assert got.loc[2] == 0 and got.loc[3] == 0 and got.loc[4] == 0
+
+
+def test_pack_sequences_rejects_string_ids_loudly(spark):
+    from gnarly_spark.functions.text import pack_sequences
+
+    d = spark.createDataFrame(
+        [("http://a", "x y", "s")], "doc_id string, text string, source string"
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        pack_sequences(d)
+
+
+def test_inverted_index_no_empty_token_row(spark):
+    from gnarly_spark.functions.text import inverted_index
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "cat dog"), (4, "cat")], "doc_id long, text string"
+    )
+    idx = {r.token: (r.doc_freq, r.postings) for r in inverted_index(d).collect()}
+    assert "" not in idx
+    assert idx["cat"] == (2, "3,4")
+
+
+def test_semdedup_incremental_reingested_id_not_its_own_dup(spark):
+    """A re-crawled vector whose id already exists in the corpus must not
+    be flagged as a duplicate of itself (cos=1.0 against its own prior
+    version) — the same c.id != b.id guard incremental_lsh_dups applies."""
+    from gnarly_spark.operators.similarity import semantic_dedup_incremental
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, [0.99, 0.01, 0.0, 0.1]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    batch = corpus.where(F.col("vec_id") == 1)  # re-ingest of corpus id 1
+    got = semantic_dedup_incremental(
+        batch, corpus, threshold=0.9, n_centroids=2, iterations=1
+    ).toPandas()
+    assert not ((got.new_id == got.dup_of)).any()
+    assert set(map(tuple, got[["new_id", "dup_of"]].values.tolist())) == {(1, 2)}
