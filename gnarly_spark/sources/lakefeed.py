@@ -139,6 +139,14 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         # offset = last version already consumed; startingVersion=V means
         # "emit V and everything after"; omitted -> tail (changes from now)
         self.start = int(sv) - 1 if sv is not None else _published_version(self.path)
+        # consumedBase: the caller already knows the checkpoint's resumed
+        # offset (e.g. drain_feed reads it from the offset log between
+        # runs) — seed _consumed so the maxVersionsPerTrigger cap applies
+        # from the FIRST batch of a resumed run instead of being suspended
+        # until partitions()/commit() reveal the offset (see below)
+        cb = options.get("consumedBase")
+        if cb is not None:
+            self._consumed = self._hwm = int(cb)
 
     # last offset KNOWN consumed. None until Spark tells us (initialOffset
     # on a fresh stream; partitions()/commit() after a checkpoint resume,

@@ -95,9 +95,15 @@ def write_warc(
     )
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}{ext}")
-        tmp = fname + ".inprogress"
+        # attempt id in the temp name: a speculative or zombie retry of the
+        # same partition must not interleave writes into one .inprogress
+        # file (os.replace of the first finisher would promote a corrupt
+        # gzip stream); each attempt writes its own temp, the replace is
+        # atomic, and a loser's leftover temp stays invisible to readers
+        tmp = f"{fname}.{ctx.taskAttemptId()}.inprogress"
         n = 0
         # records STREAM to the open file handle — never a whole-segment
         # BytesIO (+ a second full copy in gzip.compress): a ~1 GB Common

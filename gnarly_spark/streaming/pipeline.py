@@ -66,7 +66,11 @@ from pyspark.sql import functions as F
 from gnarly_spark.fixtures import CHANGELOG_COLUMNS, CHANGELOG_DDL
 from gnarly_spark.functions.extraction import extract_text_udf
 from gnarly_spark.operators.audit import audit_rows
-from gnarly_spark.operators.replay import last_writer_wins, last_writer_wins_salted
+from gnarly_spark.operators.replay import (
+    last_writer_wins,
+    last_writer_wins_salted,
+    reverted_blocks as reverted_blocks_op,
+)
 from gnarly_spark.sinks.lake import ParquetLakeTable
 
 # target-table schema: page columns + lineage columns (block/op_seq of the
@@ -238,8 +242,10 @@ class CdcIngestPipeline:
             )
         return df
 
-    def _read_batched(self, dirpath: str, schema: str | None = None) -> DataFrame | None:
-        batches = self._batches_in(dirpath)
+    def _read_batched(
+        self, dirpath: str, schema: str | None = None, exclude: int | None = None
+    ) -> DataFrame | None:
+        batches = [b for b in self._batches_in(dirpath) if b != exclude]
         if not batches:
             return None
         paths = [os.path.join(dirpath, f"batch={b}") for b in batches]
@@ -433,22 +439,17 @@ class CdcIngestPipeline:
     # ----- reducer context helpers --------------------------------------
     def reverted_blocks(self) -> DataFrame:
         """All block hashes named by retained revert events."""
-        log = self._read_batched(self.log_dir)
-        return (
-            log.where(F.col("op") == "revert")
-            .where(F.col("revert_of_block").isNotNull())
-            .select(F.col("revert_of_block").alias("block_hash"))
-            .distinct()
-        )
+        from gnarly_spark.operators.replay import reverted_blocks
+
+        return reverted_blocks(self._read_batched(self.log_dir))
 
     def log_before(self, batch_id: int) -> DataFrame | None:
         """Retained events from batches before `batch_id` (fold reducers
-        negate these when their blocks get reverted)."""
-        batches = [b for b in self._batches_in(self.log_dir) if b != batch_id]
-        if not batches:
-            return None
-        paths = [os.path.join(self.log_dir, f"batch={b}") for b in batches]
-        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        negate these when their blocks get reverted). Uses _read_batched's
+        unionByName schema widening — parquet's mergeSchema option refuses
+        a sanctioned int→bigint widening (CANNOT_MERGE_SCHEMAS) and would
+        wedge reducer-attached streams after a widened-DDL restart."""
+        return self._read_batched(self.log_dir, exclude=batch_id)
 
     # ----- the per-micro-batch program ---------------------------------
     def process_batch(
@@ -479,6 +480,7 @@ class CdcIngestPipeline:
     ) -> None:
         t0 = time.monotonic()
 
+        self._resolve_quarantine(batch_id)
         batch_df = self._normalize_batch(batch_df)
 
         phases = {}
@@ -523,6 +525,11 @@ class CdcIngestPipeline:
         if batch_id in self.target.applied_batch_ids():
             return  # core already committed (refire)
 
+        # the trigger's source-file list feeds both the bounded
+        # retain_log=False re-read and the metrics lineage — parse the
+        # checkpoint source log (O(history) .compact files) ONCE per batch
+        trigger_files = self._trigger_files(batch_id)
+
         if self.retain_log:
             log = self._read_batched(self.log_dir)
         else:
@@ -556,7 +563,7 @@ class CdcIngestPipeline:
             # micro-batch frames); any gap falls back to the full dir
             # (correct, just unbounded), and the op_seq window filter below
             # keeps the semantics identical either way.
-            batch_files = self._trigger_files(batch_id)
+            batch_files = trigger_files
             flists = [r.get("files") for r in ranges] + [batch_files]
             files = sorted({f for fl in flists for f in (fl or [])})
             bounded = bool(files) and all(fl for fl in flists)
@@ -588,18 +595,10 @@ class CdcIngestPipeline:
                 for n, t in extras
             ]
 
-        # blocks reverted by ANY retained revert event (old + this batch)
-        reverted = (
-            log.where(F.col("op") == "revert")
-            .where(F.col("revert_of_block").isNotNull())
-            .select(F.col("revert_of_block").alias("block_hash"))
-            .distinct()
-        )
-        new_reverts = (
-            batch_df.where(F.col("op") == "revert")
-            .select(F.col("revert_of_block").alias("block_hash"))
-            .distinct()
-        )
+        # blocks reverted by ANY retained revert event (old + this batch) —
+        # the one definition in operators/replay.py, not an inlined copy
+        reverted = reverted_blocks_op(log)
+        new_reverts = reverted_blocks_op(batch_df)
 
         # urls touched by this batch's events, plus urls whose applied
         # events are being reverted by this batch (need re-adjudication)
@@ -782,30 +781,33 @@ class CdcIngestPipeline:
                         self.target, token, self.quality_gate
                     )
                 except Exception:
-                    # the abandon/fix/redeliver path: the redelivered batch
-                    # carries DIFFERENT rows, so the signature corpus and
-                    # flags computed from the rejected rows must not
-                    # survive — with them in place the redelivered batch
-                    # would no-op on the sig batch-id guard and the dedup
-                    # corpus would permanently diverge from the published
-                    # table. Roll the sig table back to its pre-batch
-                    # snapshot (restore reverts batch_ids too) and drop the
-                    # batch's flag partition.
+                    # The stream halts with the stage parked (see __init__).
+                    # The batch's signature merge and flags are already
+                    # durable, and whether they should SURVIVE depends on
+                    # which resolution the operator picks:
+                    #   publish_staged(token)  -> ships exactly the rows the
+                    #     sigs/flags were computed from: they must stay
+                    #     (an eager rollback here would silently blind every
+                    #     later batch to duplicates of the published pages);
+                    #   abandon_staged + redeliver -> the redelivered batch
+                    #     carries DIFFERENT rows: they must be rolled back,
+                    #     or the refired batch no-ops on the sig batch-id
+                    #     guard and the corpus diverges from the table.
+                    # Neither is knowable now — park a quarantine marker and
+                    # let the refire decide (_resolve_quarantine sees which
+                    # path was taken: the target either has the batch_id
+                    # applied, or it doesn't).
                     if (
                         sig_v_before is not None
                         and self.sig_table.current_version() > sig_v_before
                     ):
-                        if sig_v_before >= 0:
-                            self.sig_table.restore(sig_v_before)
-                        else:  # batch 0: no prior snapshot — wipe to empty
-                            path = self.sig_table.path
-                            shutil.rmtree(path, ignore_errors=True)
-                            self.sig_table = ParquetLakeTable(
-                                self.spark, path, key="url"
-                            )
-                        shutil.rmtree(
-                            os.path.join(self.dedup_dir, f"batch={batch_id}"),
-                            ignore_errors=True,
+                        qdir = os.path.join(self.work_dir, "_quarantine")
+                        os.makedirs(qdir, exist_ok=True)
+                        tmp = os.path.join(qdir, f"batch={batch_id}.json.tmp")
+                        with open(tmp, "w") as f:
+                            json.dump({"sig_v_before": sig_v_before}, f)
+                        os.replace(
+                            tmp, os.path.join(qdir, f"batch={batch_id}.json")
                         )
                     raise
         else:
@@ -846,7 +848,7 @@ class CdcIngestPipeline:
             # added, per bucket) this gives source->sink lineage for every
             # batch; disjointness/coverage asserted in test_pipeline.
             "lineage": {
-                "files": self._trigger_files(batch_id),
+                "files": trigger_files,
                 "min_seq": log_stats.get("mn_seq"),
                 "max_seq": log_stats.get("mx_seq"),
                 "max_block": log_stats["mx"],
@@ -887,6 +889,41 @@ class CdcIngestPipeline:
                     json.dump(kept, f)
                 os.replace(tmp, self._ranges_path)
 
+    def _resolve_quarantine(self, batch_id: int) -> None:
+        """Settle a parked quality-gate failure for this batch (see the
+        marker write in _process_batch). Runs at the refire of the SAME
+        batch_id — the only point where the operator's resolution is
+        visible:
+
+        - target has the batch_id applied -> publish_staged shipped the
+          exact rows the batch's signatures/flags were computed from; keep
+          them (the refire guard then returns as usual).
+        - target does NOT have it -> the stage was abandoned and this is
+          the redelivered (different) batch: roll the sig table back to
+          its pre-batch snapshot (restore reverts batch_ids too) and drop
+          the rejected flags so _apply_dedup recomputes from the new rows.
+        """
+        path = os.path.join(self.work_dir, "_quarantine", f"batch={batch_id}.json")
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            sig_v_before = json.load(f)["sig_v_before"]
+        if batch_id not in self.target.applied_batch_ids():
+            if self.dedup_minhash is not None and (
+                self.sig_table.current_version() > sig_v_before
+            ):
+                if sig_v_before >= 0:
+                    self.sig_table.restore(sig_v_before)
+                else:  # batch 0: no prior snapshot — wipe to empty
+                    p = self.sig_table.path
+                    shutil.rmtree(p, ignore_errors=True)
+                    self.sig_table = ParquetLakeTable(self.spark, p, key="url")
+                shutil.rmtree(
+                    os.path.join(self.dedup_dir, f"batch={batch_id}"),
+                    ignore_errors=True,
+                )
+        os.unlink(path)
+
     def _apply_dedup(self, upserts: DataFrame, deletes: DataFrame, batch_id: int) -> None:
         """Flag this batch's new page versions that near-duplicate the
         existing corpus, then fold their signatures into the persisted
@@ -910,11 +947,33 @@ class CdcIngestPipeline:
         new_docs = upserts.select("url", "text").where(F.col("text").isNotNull())
         # the batch's signatures feed TWO actions (the flags write below and
         # the sig-table merge at the end) — compute the shingle explode +
-        # k-column min groupBy once and materialize it (eager checkpoint;
-        # k bigints per url, tiny)
+        # k-column min groupBy once and cache it. persist()+pinned
+        # unpersist, NOT localCheckpoint: checkpoint blocks are only freed
+        # by the ContextCleaner after a JVM GC, so a long drain would
+        # accumulate every batch's signature blocks (the same leak
+        # process_batch's wrapper exists to prevent)
         sigs_raw = minhash_signatures(
             new_docs, k=p["k"], text_col="text", id_col="url"
-        ).localCheckpoint()
+        ).persist()
+        try:
+            self._apply_dedup_inner(sigs_raw, upserts, deletes, batch_id)
+        finally:
+            try:
+                sigs_raw.unpersist(blocking=False)
+            except Exception:
+                pass
+
+    def _apply_dedup_inner(
+        self,
+        sigs_raw: DataFrame,
+        upserts: DataFrame,
+        deletes: DataFrame,
+        batch_id: int,
+    ) -> None:
+        from gnarly_spark.operators.dedup import incremental_lsh_dups
+
+        p = self.dedup_params
+        new_docs = upserts.select("url", "text").where(F.col("text").isNotNull())
         flags = None
         if self.sig_table.current_version() >= 0:
             # every url this batch REPLACES or deletes leaves the corpus

@@ -24,11 +24,14 @@ feed's Arrow batches go straight into a JVM aggregate.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gnarly_spark.sinks.lake import ParquetLakeTable
-from gnarly_spark.sources.lakefeed import LakeFeedDataSource
+from gnarly_spark.sources.lakefeed import LakeFeedDataSource, _published_version
 
 
 def apply_feed_batch(batch: DataFrame, mirror: ParquetLakeTable, batch_id: int) -> bool:
@@ -61,11 +64,18 @@ def replicate_feed(
     available_now: bool = True,
     processing_time: str | None = None,
     max_versions_per_trigger: int | None = None,
+    consumed_base: int | None = None,
 ):
     """Start the replication stream; returns the StreamingQuery. A live
     mirror uses ``processing_time``. Restart with the same checkpoint to
     resume — offsets come from the checkpoint and refired batches are
     no-ops.
+
+    ``consumed_base``: seed the reader with the checkpoint's resumed
+    offset so ``max_versions_per_trigger`` caps the FIRST batch of a
+    resumed run too (on resume Spark bypasses initialOffset, so the
+    reader alone cannot know it and suspends the cap — drain_feed reads
+    the offset log between runs and passes it here).
 
     ``available_now`` caveat: Python Data Source streams do not support
     Trigger.AvailableNow — Spark logs a warning and falls back to
@@ -82,6 +92,8 @@ def replicate_feed(
     )
     if max_versions_per_trigger is not None:
         reader = reader.option("maxVersionsPerTrigger", max_versions_per_trigger)
+    if consumed_base is not None:
+        reader = reader.option("consumedBase", consumed_base)
     writer = reader.load().writeStream.foreachBatch(
         lambda df, epoch: apply_feed_batch(df, mirror, epoch)
     ).option("checkpointLocation", checkpoint)
@@ -105,12 +117,24 @@ def drain_feed(
     return — the drain guarantee one availableNow start() cannot give for
     a Python Data Source stream (Spark falls back to single-batch
     execution; a restart with a pending uncommitted batch would replay
-    only that batch). Loops start -> terminate until a run processes zero
-    rows; with ``max_versions_per_trigger`` each run drains at most that
-    many commits, so the loop is also the backpressured backfill shape.
-    Returns {"runs", "rows"}."""
+    only that batch). Loops start -> terminate until the checkpoint's
+    offset reaches the source's published head — NOT until a run reads
+    zero rows: a capped run covering only maintenance commits (compact /
+    rebucket / skipped restores) legitimately processes 0 rows with data
+    commits still beyond it. With ``max_versions_per_trigger`` each run
+    drains at most that many commits (the cap is re-seeded from the
+    offset log each run, so it holds on resumed checkpoints too) — the
+    backpressured backfill shape. Returns {"runs", "rows"}."""
+    head = _published_version(os.path.realpath(source_path))
     runs = rows = 0
     while runs < max_runs:
+        base = _checkpoint_offset(checkpoint)
+        if base is not None and base >= head:
+            return {"runs": runs, "rows": rows}  # already drained
+        # fresh checkpoint: seed the cap from startingVersion — reader
+        # instances don't share state across the offset-planning calls, so
+        # without a seed even a cold start's single batch is uncapped
+        seed = base if base is not None else starting_version - 1
         q = replicate_feed(
             spark,
             source_path,
@@ -119,14 +143,41 @@ def drain_feed(
             starting_version,
             available_now=True,
             max_versions_per_trigger=max_versions_per_trigger,
+            consumed_base=seed,
         )
         q.awaitTermination()
         runs += 1
         got = sum(int(p["numInputRows"]) for p in (q.recentProgress or []))
         rows += got
-        if got == 0:
+        done = _checkpoint_offset(checkpoint)
+        if done is not None and done >= head:
+            return {"runs": runs, "rows": rows}
+        if done == base and got == 0:
+            # nothing advanced and nothing read: the source has no
+            # feed-visible commits beyond the offset (e.g. empty table,
+            # or head <= startingVersion) — stop rather than spin
             return {"runs": runs, "rows": rows}
     raise RuntimeError(
         f"drain_feed: still ingesting after {max_runs} runs — the source "
         "is outpacing the drain; replicate live with processing_time"
     )
+
+
+def _checkpoint_offset(checkpoint: str) -> int | None:
+    """The last planned source offset in a streaming checkpoint's offset
+    log (the resumed position of the next run), or None before any batch.
+    Offset-log entries are line-oriented: a version header, a metadata
+    JSON line, then one offset JSON per source — ours is the single
+    lakefeed source, whose offset is {"version": N}."""
+    d = os.path.join(checkpoint, "offsets")
+    if not os.path.isdir(d):
+        return None
+    ids = [int(f) for f in os.listdir(d) if f.isdigit()]
+    if not ids:
+        return None
+    with open(os.path.join(d, str(max(ids)))) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    off = json.loads(lines[-1])
+    if isinstance(off, str):  # doubly-encoded JSON (serialized offset str)
+        off = json.loads(off)
+    return int(off["version"])

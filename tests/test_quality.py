@@ -263,15 +263,24 @@ def test_gate_failure_rolls_back_dedup_state_for_redelivery(spark, tmp_path):
     # batch 1 (bad): c duplicates a, and a row violates the gate
     with pytest.raises(QualityGateError):
         p.process_batch(mk([(3, 1, "insert", "https://c", ha, "xx")]), 1)
-    # rollback: batch 1 not durably applied to the sig table, its flags gone
-    assert 1 not in p.sig_table.applied_batch_ids()
-    assert p.dup_flags().count() == 0
+    # the rollback is DEFERRED: the sig merge stays durable with a parked
+    # quarantine marker, because the operator may still publish_staged the
+    # exact rows it was computed from (see the publish-override test)
+    assert 1 in p.sig_table.applied_batch_ids()
+    assert os.path.exists(
+        os.path.join(p.work_dir, "_quarantine", "batch=1.json")
+    )
     # target stage parked; abandon to free the batch id (the operator flow)
     staged = os.listdir(os.path.join(p.target.path, "_staged"))
     p.target.abandon_staged(staged[0][: -len(".json")])
 
-    # redelivered batch 1 (fixed): c now duplicates B, lang corrected
+    # redelivered batch 1 (fixed): c now duplicates B, lang corrected.
+    # The refire settles the quarantine first — target doesn't have batch
+    # 1, so the rejected rows' sigs/flags roll back and are recomputed.
     p.process_batch(mk([(3, 1, "insert", "https://c", hb, "en")]), 1)
+    assert not os.path.exists(
+        os.path.join(p.work_dir, "_quarantine", "batch=1.json")
+    )
     flags = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
     assert flags == {("https://c", "https://b")}, flags
     assert 1 in p.sig_table.applied_batch_ids()
@@ -279,6 +288,81 @@ def test_gate_failure_rolls_back_dedup_state_for_redelivery(spark, tmp_path):
     assert sorted(r.url for r in p.target.read().collect()) == [
         "https://a", "https://b", "https://c",
     ]
+
+
+def test_gate_failure_publish_override_keeps_dedup_state(spark, tmp_path):
+    """The OTHER resolution of a parked gate failure: the operator
+    publish_staged()s the quarantined batch (manual override). The batch's
+    signatures and flags were computed from exactly those rows, so they
+    must SURVIVE — an eager rollback at failure time would permanently
+    blind later batches to duplicates of the published pages."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import (
+        CHANGELOG_COLUMNS,
+        CHANGELOG_DDL,
+        block_hash,
+        html_for,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    def mk(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["op_seq", "block_id", "op", "url", "html", "lang"]
+        )
+        pdf["block_hash"] = pdf.block_id.map(block_hash)
+        pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+        pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            pdf.op_seq, unit="s"
+        )
+        pdf["revert_of_block"] = None
+        pdf["reason"] = None
+        return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+    ha, hb = html_for("https://a", 1), html_for("https://b", 2)
+    # ratio gate: the audit runs over the whole staged table, so an
+    # overridden violating row stays in later audits — a fractional budget
+    # is the realistic override shape (fails at 1/2 'xx', passes at 1/3)
+    p = CdcIngestPipeline(
+        spark,
+        str(tmp_path / "work"),
+        dedup_minhash={"min_est_jaccard": 0.5},
+        quality_gate=[
+            Expectation(
+                "lang_known",
+                "lang IS NULL OR lang != 'xx'",
+                max_violation_fraction=0.4,
+            )
+        ],
+    )
+    p.process_batch(mk([(1, 0, "insert", "https://a", ha, "en")]), 0)
+
+    # batch 1: c duplicates a, and the batch violates the gate
+    bad = mk([(2, 1, "insert", "https://c", ha, "xx")])
+    with pytest.raises(QualityGateError):
+        p.process_batch(bad, 1)
+    assert os.path.exists(os.path.join(p.work_dir, "_quarantine", "batch=1.json"))
+
+    # manual override: ship the audited rows exactly as staged
+    staged = os.listdir(os.path.join(p.target.path, "_staged"))
+    p.target.publish_staged(staged[0][: -len(".json")])
+
+    # stream restart refires batch 1 — the refire settles the quarantine
+    # (target has the batch: keep sigs/flags) and no-ops on the guard
+    p.process_batch(bad, 1)
+    assert not os.path.exists(
+        os.path.join(p.work_dir, "_quarantine", "batch=1.json")
+    )
+    assert 1 in p.sig_table.applied_batch_ids()
+    flags = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
+    assert flags == {("https://c", "https://a")}, flags
+
+    # the published page's signature is LIVE in the corpus: a later batch
+    # duplicating c's content gets flagged (the original bug silently
+    # missed every such dup forever)
+    p.process_batch(mk([(3, 2, "insert", "https://d", ha, "en")]), 2)
+    flags = {(r.url, r.dup_of) for r in p.dup_flags().collect()}
+    assert ("https://d", "https://c") in flags or ("https://d", "https://a") in flags
 
 
 def test_pipeline_quality_gate_requires_stageable_target(spark, tmp_path):

@@ -105,3 +105,28 @@ def test_fold_reducer_refire_and_revert(spark, tmp_path):
     ev = log[(log.op != "revert") & (~log.block_hash.isin(reverted))]
     want_total = sum(len(h) for h in ev.html if h is not None)
     assert got.total.tolist() == [float(want_total)]
+
+
+def test_log_before_widens_across_batch_schemas(spark, tmp_path):
+    """Reducer-attached streams must survive a widened-DDL restart: the
+    retained log then holds an int batch dir next to a bigint batch dir,
+    and parquet's mergeSchema option refuses that sanctioned widening
+    (CANNOT_MERGE_SCHEMAS) — log_before now reuses _read_batched's
+    unionByName widening."""
+    import os
+
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"))
+    spark.createDataFrame([(1,)], "v int").write.parquet(
+        os.path.join(p.log_dir, "batch=0")
+    )
+    spark.createDataFrame([(1 << 40,)], "v bigint").write.parquet(
+        os.path.join(p.log_dir, "batch=1")
+    )
+    spark.createDataFrame([(3,)], "v int").write.parquet(
+        os.path.join(p.log_dir, "batch=2")
+    )
+    out = p.log_before(2)  # current batch excluded
+    assert out.schema["v"].dataType.simpleString() == "bigint"
+    assert sorted(r.v for r in out.collect()) == [1, 1 << 40]

@@ -64,3 +64,34 @@ def test_replication_resumes_incrementally_and_refires_are_noops(spark, tmp_path
     replicate_feed(spark, src.path, mirror, ck).awaitTermination(180)
     assert _state(mirror) == _state(src) == {("b", 2.0)}
     assert mirror.current_version() == v_after_first + 1
+
+
+def test_drain_feed_capped_resume_and_zero_row_commits(spark, tmp_path):
+    """Two regressions in one scenario: (1) the maxVersionsPerTrigger cap
+    must hold on RESUMED runs (the reader suspends it when it can't learn
+    the checkpoint offset — drain_feed now seeds it from the offset log),
+    and (2) a capped run that covers only zero-row maintenance commits
+    must NOT terminate the drain (old predicate: numInputRows == 0)."""
+    from gnarly_spark.streaming.replicate import drain_feed
+
+    tmp = str(tmp_path)
+    src = _mor(spark, os.path.join(tmp, "src"))
+    src.merge(_rows(spark, [("a", 1.0)]), batch_id=0)            # v0 data
+    src.compact()                                                 # v1 zero-row
+    src.merge(_rows(spark, [("b", 2.0)]), batch_id=1)            # v2 data
+    src.compact()                                                 # v3 zero-row
+    src.merge(_rows(spark, [("c", 3.0)]), batch_id=2)            # v4 data
+
+    mirror = ParquetLakeTable(spark, os.path.join(tmp, "dst"), key="url", n_buckets=4)
+    out = drain_feed(
+        spark,
+        src.path,
+        mirror,
+        os.path.join(tmp, "ck"),
+        max_versions_per_trigger=1,
+    )
+    # every committed data row made it despite zero-row commits in between
+    assert _state(mirror) == _state(src) == {("a", 1.0), ("b", 2.0), ("c", 3.0)}
+    # cap=1 over 5 source versions: the drain needed one run per version
+    # (the resumed cap held — an uncapped resume would finish in ~2 runs)
+    assert out["runs"] >= 5, out
