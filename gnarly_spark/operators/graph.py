@@ -225,7 +225,11 @@ def link_census_reducer(name: str = "host_links"):
         )
         return host_graph(extract_links(pages, "url", "_html"))
 
-    return AppendReducer(name=name, project=project)
+    return AppendReducer(
+        name=name,
+        project=project,
+        schema="src_host string, dst_host string, n_links bigint",
+    )
 
 
 def link_census_read(reducer, ctx) -> DataFrame:

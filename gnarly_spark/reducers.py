@@ -45,6 +45,9 @@ class AppendReducer:
     name: str
     project: Callable[[DataFrame], DataFrame]
     head_only: bool = False
+    # output DDL, used only for the before-first-batch empty read; None
+    # keeps the old behavior (read raises until a batch has been applied)
+    schema: str | None = None
 
     def out_dir(self, work_dir: str) -> str:
         return os.path.join(work_dir, "reducers", self.name)
@@ -56,7 +59,20 @@ class AppendReducer:
         self.project(batch_df).write.mode("overwrite").parquet(path)
 
     def read(self, ctx) -> DataFrame:
-        return ctx.spark.read.parquet(os.path.join(self.out_dir(ctx.work_dir), "batch=*"))
+        d = self.out_dir(ctx.work_dir)
+        has_batches = os.path.isdir(d) and any(
+            b.startswith("batch=") for b in os.listdir(d)
+        )
+        if not has_batches:
+            # before the first micro-batch the glob read would crash with
+            # PATH_NOT_FOUND — an empty relation is the truthful answer
+            if self.schema is not None:
+                return ctx.spark.createDataFrame([], self.schema)
+            raise RuntimeError(
+                f"AppendReducer {self.name!r}: no batches applied yet "
+                "(pass schema=... for an empty read before the first batch)"
+            )
+        return ctx.spark.read.parquet(os.path.join(d, "batch=*"))
 
 
 @dataclass

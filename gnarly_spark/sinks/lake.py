@@ -441,7 +441,6 @@ class ParquetLakeTable:
         reclaimed by expire_snapshots. Concurrent WRITER support is for
         maintenance-vs-ingest races — steady-state ingest is still one
         streaming writer."""
-        import time as _time
 
         for i in range(attempts):
             try:
@@ -451,7 +450,7 @@ class ParquetLakeTable:
                     raise
                 # brief backoff: the winner may not have swapped _CURRENT
                 # yet, but _latest_committed() already sees its manifest
-                _time.sleep(0.05 * (i + 1))
+                time.sleep(0.05 * (i + 1))
         raise AssertionError("unreachable")
 
     def _adopt_layout(self, m: dict) -> None:
@@ -629,6 +628,14 @@ class ParquetLakeTable:
             .collect()
         ]
         bounds = m.get("bounds", {})
+        # bounds are stored _norm_stat-normalized (timestamps/dates/bytes
+        # as order-preserving strings) — normalize the typed keys the same
+        # way before comparing, or a timestamp-keyed lookup raises
+        # TypeError('<=' between str and datetime); a key _norm_stat can't
+        # represent disables pruning for the whole call (keep-all is safe)
+        norm_keys = [_norm_stat(k) for k in keys]
+        if any(nk is None for nk in norm_keys):
+            bounds = {}
         if bounds:
             # file-level zone-map pruning WITHIN the routed buckets: a file
             # whose recorded key range can't contain any requested key is
@@ -638,7 +645,12 @@ class ParquetLakeTable:
             # file per key instead of files_per_bucket.
             def _keep(f: str) -> bool:
                 b = bounds.get(f)
-                return b is None or any(b[0] <= k <= b[1] for k in keys)
+                if b is None:
+                    return True
+                try:
+                    return any(b[0] <= nk <= b[1] for nk in norm_keys)
+                except TypeError:
+                    return True  # mixed bound flavors: never prune on doubt
 
             m = {
                 **m,
@@ -1504,7 +1516,9 @@ class ParquetLakeTable:
                 b for b in set(deltas) | set(prev_deltas)
                 if deltas.get(b, []) != prev_deltas.get(b, [])
             }
-            new_ids = [i for i in m["batch_ids"] if i not in set(prev_ids)]
+            prev_set = set(prev_ids)  # hoisted: in the condition it would
+            # be rebuilt per element — O(|batch_ids|^2) at the 10k-id cap
+            new_ids = [i for i in m["batch_ids"] if i not in prev_set]
             out.append(
                 {
                     "version": v,
@@ -1611,6 +1625,11 @@ class ParquetLakeTable:
             self._adopt_layout(src)
             m = dict(src)
             m["version"] = base["version"] + 1
+            # parent = the PREVIOUS HEAD, not the restored snapshot's own
+            # parent (a stale copy would report the restore as a child of
+            # an ancient version in snapshots()/lineage() and break the
+            # linear-history contract this docstring promises)
+            m["parent"] = base["version"]
             m["restored_from"] = version
             return self._commit(m)
 
@@ -1635,8 +1654,6 @@ class ParquetLakeTable:
 
         Returns {"dest", "version_exported", "n_files", "n_bytes"}.
         """
-        import shutil
-
         m = self._manifest(version)
         if m["version"] < 0:
             raise ValueError("export_snapshot: table has no committed snapshot")
@@ -2097,6 +2114,12 @@ class IcebergLakeTable:
         return self.spark.read.table(self.table)
 
     def applied_batch_ids(self) -> set[int]:
+        # a fresh Iceberg table has no _batch_id column until the first
+        # stamped merge adds it (schema merge) — treat that as "no batch
+        # ever applied" instead of failing the very first merge() on an
+        # unresolved column
+        if "_batch_id" not in self.read().columns:
+            return set()
         rows = self.spark.sql(
             f"SELECT DISTINCT _batch_id FROM {self.table} WHERE _batch_id IS NOT NULL"
         ).collect()

@@ -207,10 +207,10 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                         "skipRestoreCommits=true to ignore restore commits."
                     )
                 # skip means SKIP: a restore manifest copies the restore
-                # TARGET's file lists and parent pointer, so diffing it
-                # against that stale parent would re-emit the target's
-                # whole delta backlog as duplicates. A restore adds no
-                # delta files — emit nothing for it.
+                # TARGET's file lists, so a parent diff would re-emit the
+                # target's whole delta backlog (already delivered when
+                # those commits first landed) as duplicates. A restore
+                # adds no delta files — emit nothing for it.
                 continue
             parent = _manifest(self.path, man.get("parent", v - 1))
             parts.extend(

@@ -1385,3 +1385,55 @@ def test_schema_evolution_leaves_untouched_buckets_in_place(spark, tmp_path):
     assert got[got.url == "u0"].v.tolist() == [2**40]
     assert got[got.url == "u5"].v.tolist() == [5]  # old int file, widened read
     assert got[got.url == "u5"].lang.tolist() == [None]
+
+
+def test_lookup_on_timestamp_key_uses_normalized_bounds(spark, tmp_path):
+    """Manifest bounds are _norm_stat strings; lookup must normalize its
+    typed keys the same way before comparing (a timestamp-keyed lookup
+    used to raise TypeError: '<=' between str and datetime)."""
+    import datetime
+
+    t = ParquetLakeTable(spark, str(tmp_path / "ts"), key="event_ts", n_buckets=2)
+    rows = [
+        (datetime.datetime(2026, 8, 19, 0, 0, i), f"v{i}") for i in range(6)
+    ]
+    t.merge(spark.createDataFrame(rows, "event_ts timestamp, v string"), batch_id=0)
+    got = t.lookup("2026-08-19 00:00:03").collect()
+    assert len(got) == 1 and got[0].v == "v3"
+
+
+def test_restore_parent_is_previous_head(spark, table):
+    """restore() is a forward commit: its manifest's parent must be the
+    version it supersedes, not the restored snapshot's ancient parent —
+    snapshots()/lineage() walk that chain."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)          # v0
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)          # v1
+    table.merge(mk(spark, [("a", 3)]), batch_id=2)          # v2
+    v = table.restore(0)                                     # v3
+    lin = {e["version"]: e for e in table.lineage()}
+    assert lin[v]["parent"] == 2, lin[v]
+
+
+def test_iceberg_applied_batch_ids_empty_before_first_stamp(spark):
+    """Fresh Iceberg table: no _batch_id column exists until the first
+    stamped merge adds it — applied_batch_ids() must report 'none applied'
+    instead of failing the very first merge on an unresolved column."""
+    from gnarly_spark.sinks.lake import IcebergLakeTable
+
+    t = object.__new__(IcebergLakeTable)
+    t.spark, t.table, t.key = spark, "cat.db.fresh", "url"
+    t.read = lambda: mk(spark, [("a", 1)])  # columns: url, v — no _batch_id
+    assert t.applied_batch_ids() == set()
+
+
+def test_append_reducer_read_before_first_batch(spark, tmp_path):
+    """link_census_read before any micro-batch: an empty census, not
+    PATH_NOT_FOUND."""
+    from gnarly_spark.operators.graph import link_census_read, link_census_reducer
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    red = link_census_reducer()
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[red])
+    out = link_census_read(red, p)
+    assert out.count() == 0
+    assert out.columns == ["src_host", "dst_host", "n_links"]
