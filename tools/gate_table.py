@@ -25,7 +25,9 @@ summary = f"{n_pass} pass, {n_ro} rows-only, {n_fail} fail."
 p = "BASELINE.md"
 s = open(p).read()
 start = s.index("| query | gate | rows |")
-end = re.search(r"^\d+ pass, \d+ rows-only, \d+ fail\.$", s[start:], re.M)
+# the summary line may carry a trailing annotation — replace only the
+# counts themselves, keep anything after the period
+end = re.search(r"^\d+ pass, \d+ rows-only, \d+ fail\.", s[start:], re.M)
 assert end, "summary line not found after table"
 stop = start + end.end()
 open(p, "w").write(s[:start] + table + "\n\n" + summary + s[stop:])
