@@ -87,11 +87,16 @@ def gen_changelog_spark(
         F.when(h % delete_every == 0, "PAGE_DELETED").otherwise("PAGE_CRAWLED").alias("reason"),
     )
     n_blocks = (n_events + events_per_block - 1) // events_per_block
-    if revert_every_blocks and n_blocks > revert_every_blocks:
+    # real blocks are 0..n_blocks-1 and revert k is emitted from block
+    # rb+1, so rb = k*reb must stay <= n_blocks-2 — one k beyond that
+    # emits a phantom revert of a block with no events, carried by a block
+    # id past the chain head (inflating the pipeline's block watermark)
+    n_rev = max(0, (n_blocks - 2) // revert_every_blocks) if revert_every_blocks else 0
+    if n_rev > 0:
         # one revert row per revert_every_blocks-th block, emitted from the
         # following block, undoing the block before it
         rev = (
-            spark.range(1, n_blocks // revert_every_blocks + 1)
+            spark.range(1, n_rev + 1)
             .select(
                 (F.col("id") * revert_every_blocks).alias("rb"),
                 F.col("id").alias("k"),

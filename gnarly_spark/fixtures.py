@@ -94,6 +94,10 @@ class ChainBuilder:
     op_seq: int = 0
     block_id: int = 0
     _live: set = field(default_factory=set)
+    # fork_id -> hash of that chain's last emitted block, so fork blocks
+    # chain off their ACTUAL predecessor (a canonical-hash parent on a
+    # depth>=2 fork names a block that was never emitted)
+    _tips: dict = field(default_factory=dict)
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -111,7 +115,8 @@ class ChainBuilder:
     def add_block(self, fork_id: int = 0, n_events: int | None = None) -> str:
         """Append one block of change events; returns its block_hash."""
         bh = block_hash(self.block_id, fork_id)
-        ph = block_hash(self.block_id - 1, 0) if self.block_id else "genesis"
+        # parent = this chain's own tip; a new fork branches off canonical
+        ph = self._tips.get(fork_id, self._tips.get(0, "genesis"))
         base_ts = EPOCH + pd.Timedelta(seconds=60 * self.block_id)
         for j in range(n_events if n_events is not None else self.events_per_block):
             url = self._pick_url()
@@ -140,6 +145,7 @@ class ChainBuilder:
                 "reason": reason,
             })
         self.block_id += 1
+        self._tips[fork_id] = bh
         return bh
 
     def revert_blocks(self, hashes: list[str]) -> None:
@@ -150,7 +156,9 @@ class ChainBuilder:
         data so replay and incremental processing share one code path.
         """
         bh = block_hash(self.block_id, 0)
-        ph = block_hash(self.block_id - 1, 0)
+        # the reverting block rejoins the CANONICAL chain: its parent is
+        # the canonical tip, never the dead fork blocks it undoes
+        ph = self._tips.get(0, "genesis")
         ts = EPOCH + pd.Timedelta(seconds=60 * self.block_id)
         for h in hashes:
             self.op_seq += 1
@@ -168,6 +176,7 @@ class ChainBuilder:
                 "reason": "ROLLBACK",
             })
         self.block_id += 1
+        self._tips = {0: bh}  # forks are dead past their revert
 
     def fork(self, depth: int, extra: int = 1) -> None:
         """Short-lived fork of ``depth`` blocks, then revert + replacement.

@@ -171,11 +171,20 @@ def last_writer_wins_fetch(events: DataFrame, key: str = "url") -> DataFrame:
         F.max(F.struct("warc_ts", "op_seq")).alias("_wk")
     )
     sel = wk.select(
-        key,
-        F.col("_wk.warc_ts").alias("warc_ts"),
-        F.col("_wk.op_seq").alias("op_seq"),
+        F.col(key).alias("_k"),
+        F.col("_wk.warc_ts").alias("_wts"),
+        F.col("_wk.op_seq").alias("_wseq"),
     )
-    return events.join(F.broadcast(sel), [key, "warc_ts", "op_seq"], "left_semi")
+    # eqNullSafe on warc_ts: a winner whose warc_ts is NULL (max(struct)
+    # still yields one) would never equi-join — the key silently vanished
+    # from strategy='fetch' while 'maxby' kept it
+    return events.join(
+        F.broadcast(sel),
+        (F.col(key) == F.col("_k"))
+        & F.col("warc_ts").eqNullSafe(F.col("_wts"))
+        & (F.col("op_seq") == F.col("_wseq")),
+        "left_semi",
+    )
 
 
 def last_writer_wins_window(events: DataFrame, key: str = "url") -> DataFrame:

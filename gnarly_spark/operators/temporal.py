@@ -55,7 +55,10 @@ def asof_join(
     if payload is None:
         payload = {"asof_seq": F.col(seq_col), "asof_value": F.col("value")}
     pay_names = list(payload)
-    v = versions.select(
+    # a malformed version with NULL version_ts would sort FIRST (ASC
+    # nulls-first) and serve its payload to every probe that precedes any
+    # real version — those probes must report 'never existed' instead
+    v = versions.where(F.col(version_ts).isNotNull()).select(
         F.col(key),
         F.col(version_ts).alias("_t"),
         F.lit(0).alias("_side"),

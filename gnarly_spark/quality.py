@@ -54,6 +54,12 @@ class UniqueKey:
     mode: str = "fail"
     max_violation_fraction: float = 0.0
 
+    def __post_init__(self):
+        # same guard as Expectation: a typo'd mode ('Fail') would silently
+        # degrade a blocking invariant to warn-only in gate_and_publish
+        if self.mode not in ("fail", "warn"):
+            raise ValueError(f"mode must be 'fail' or 'warn', got {self.mode!r}")
+
 
 def evaluate_expectations(
     df: DataFrame, checks: list[Expectation | UniqueKey]
@@ -92,7 +98,10 @@ def evaluate_expectations(
     # stack(n, name1, v1, allowed1, name2, v2, allowed2, ...) -> rows
     parts = []
     for i, c in enumerate(checks):
-        nm = c.name.replace("'", "''")
+        # Spark SQL string literals treat backslash as an escape — a name
+        # like r'col\time' would come back with a TAB (breaking the
+        # by-name report lookup) or fail to parse; escape it first
+        nm = c.name.replace("\\", "\\\\").replace("'", "''")
         parts.append(
             f"'{nm}', CAST(coalesce(_v{i}, 0) AS BIGINT), "
             f"CAST({c.max_violation_fraction!r} AS DOUBLE)"

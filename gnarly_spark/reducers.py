@@ -54,7 +54,12 @@ class AppendReducer:
 
     def apply(self, ctx, batch_df: DataFrame, batch_id: int) -> None:
         path = os.path.join(self.out_dir(ctx.work_dir), f"batch={batch_id}")
-        if os.path.exists(path):  # refire: append already happened
+        # refire guard keys on the _SUCCESS marker, not the directory: a
+        # write that crashed mid-job leaves the dir (with _temporary only),
+        # and a bare exists() check would skip the refire forever — silent
+        # loss of the batch's append rows. mode('overwrite') makes the
+        # re-write idempotent.
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
             return
         self.project(batch_df).write.mode("overwrite").parquet(path)
 
@@ -108,22 +113,27 @@ class FoldReducer:
         )
 
     def apply(self, ctx, batch_df: DataFrame, batch_id: int) -> None:
+        from gnarly_spark.operators.replay import reverted_blocks
+        from gnarly_spark.sinks.lake import bucket_of
+
         table = self.table(ctx)
         if batch_id in table.applied_batch_ids():
             return  # per-reducer refire guard
-        reverted_now = (
-            batch_df.where(F.col("op") == "revert")
-            .where(F.col("revert_of_block").isNotNull())
-            .select(F.col("revert_of_block").alias("block_hash"))
-            .distinct()
-        )
+        reverted_now = reverted_blocks(batch_df)
         all_reverted = ctx.reverted_blocks()
+        prior = ctx.log_before(batch_id)
+        if prior is not None:
+            # a re-delivered revert of an ALREADY-reverted block must not
+            # negate its contributions a second time: only blocks whose
+            # first retained revert is in THIS batch get negated
+            reverted_now = reverted_now.join(
+                F.broadcast(reverted_blocks(prior)), "block_hash", "left_anti"
+            )
         # adds: this batch's events whose block isn't (already) dead
         adds = self._contrib(
             batch_df.join(F.broadcast(all_reverted), "block_hash", "left_anti")
         )
         # negations: PRIOR batches' events in blocks this batch reverts
-        prior = ctx.log_before(batch_id)
         parts = [adds]
         if prior is not None:
             undone = prior.join(F.broadcast(reverted_now), "block_hash", "left_semi")
@@ -133,22 +143,41 @@ class FoldReducer:
         net = parts[0]
         for p in parts[1:]:
             net = net.unionByName(p)
-        net = net.groupBy("key").agg(F.sum("delta").alias("delta"))
-
-        # MERGE-add: total = coalesce(old,0) + delta  (read-modify-write on
-        # only the affected keys; bucket-targeted rewrite in the lake table)
-        current = table.read() if table.current_version() >= 0 else None
-        if current is not None and "total" in current.columns:
-            merged = (
-                net.join(current, "key", "left")
-                .select(
+        # feeds the bucket-id collect AND the merged projection — cache for
+        # the batch (released below) so the contrib aggregates run once
+        net = net.groupBy("key").agg(F.sum("delta").alias("delta")).persist()
+        try:
+            # MERGE-add: total = coalesce(old,0) + delta. The pre-read opens
+            # ONLY the buckets holding this batch's keys (<= n_buckets ids,
+            # a bounded control-plane collect — the same class as merge's
+            # own bucket routing): a full table.read() per micro-batch is
+            # O(table) per trigger no matter how few keys the batch touches.
+            current = None
+            if table.current_version() >= 0:
+                m = table._manifest()
+                n = int(m.get("n_buckets", table.n_buckets))
+                bids = [
+                    r.b
+                    for r in net.select(
+                        bucket_of(F.col("key"), n).alias("b")
+                    ).distinct().collect()
+                ]
+                current = table._read_snapshot(m, bids)
+            if current is not None and "total" in current.columns:
+                merged = net.join(current, "key", "left").select(
                     "key",
-                    (F.coalesce(F.col("total"), F.lit(0.0)) + F.col("delta")).alias("total"),
+                    (F.coalesce(F.col("total"), F.lit(0.0)) + F.col("delta")).alias(
+                        "total"
+                    ),
                 )
-            )
-        else:
-            merged = net.select("key", F.col("delta").alias("total"))
-        table.merge(merged, batch_id=batch_id)
+            else:
+                merged = net.select("key", F.col("delta").alias("total"))
+            table.merge(merged, batch_id=batch_id)
+        finally:
+            try:
+                net.unpersist(blocking=False)
+            except Exception:
+                pass
 
     def read(self, ctx) -> DataFrame:
         return self.table(ctx).read()

@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from gnarly_spark.fixtures import CHANGELOG_DDL, gen_changelog, oracle_final_state
@@ -830,3 +831,39 @@ def test_canonicalize_urls_collapses_messy_spellings(spark, tmp_path):
     p_off = CdcIngestPipeline(spark, str(tmp_path / "work_off"))
     run_stream(p_off, src)
     assert len(_got(p_off)) > len(_want(log))
+
+
+def test_datagen_reverts_target_only_real_blocks(spark):
+    """When revert_every_blocks divides n_blocks the generator used to emit
+    a phantom revert of a block with no events, carried by a block id past
+    the chain head — inflating the pipeline's block watermark by 2."""
+    from gnarly_spark.datagen import gen_changelog_spark
+
+    log = gen_changelog_spark(
+        spark, n_events=1000, events_per_block=100, revert_every_blocks=5
+    )  # n_blocks=10 divisible by 5: k=2 would target rb=10 (nonexistent)
+    ev_blocks = {
+        r.block_hash
+        for r in log.where(F.col("op") != "revert").select("block_hash").distinct().collect()
+    }
+    revs = log.where(F.col("op") == "revert").collect()
+    assert revs, "expected at least one revert"
+    assert all(r.revert_of_block in ev_blocks for r in revs)
+    assert all(r.block_hash in ev_blocks for r in revs)  # emitted from a real block
+
+
+def test_chain_builder_fork_parent_lineage_is_continuous(spark):
+    """Every non-genesis parent_hash names a block that was actually
+    emitted — depth>=2 forks used to chain fork blocks to canonical-hash
+    parents that never existed."""
+    from gnarly_spark.fixtures import ChainBuilder
+
+    cb = ChainBuilder(seed=5)
+    for _ in range(3):
+        cb.add_block()
+    cb.fork(depth=3)
+    cb.add_block()
+    pdf = cb.to_pandas()
+    emitted = set(pdf.block_hash)
+    parents = set(pdf.parent_hash) - {"genesis"}
+    assert parents <= emitted, parents - emitted

@@ -378,3 +378,18 @@ def test_pipeline_quality_gate_requires_stageable_target(spark, tmp_path):
             target=NoStage(),
             quality_gate=[Expectation("x", "1=1")],
         )
+
+
+def test_check_names_with_backslashes_survive(spark):
+    """Spark SQL string literals treat backslash as an escape — a name
+    like r'col\time' used to come back with a TAB and crash the by-name
+    report lookup in gate_and_publish."""
+    df = _mk(spark, [("a", 1)])
+    name = r"col\time not null"
+    rows = evaluate_expectations(df, [Expectation(name, "v IS NOT NULL")]).collect()
+    assert rows[0]["check_name"] == name
+
+
+def test_unique_key_rejects_bad_mode():
+    with pytest.raises(ValueError, match="mode"):
+        UniqueKey(name="pk", column="url", mode="Fail")

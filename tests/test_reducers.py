@@ -130,3 +130,66 @@ def test_log_before_widens_across_batch_schemas(spark, tmp_path):
     out = p.log_before(2)  # current batch excluded
     assert out.schema["v"].dataType.simpleString() == "bigint"
     assert sorted(r.v for r in out.collect()) == [1, 1 << 40]
+
+
+def _mk_log(spark, rows):
+    """rows: (op_seq, block_id, op, url, html, revert_of_block)"""
+    from gnarly_spark.fixtures import block_hash
+
+    pdf = pd.DataFrame(
+        rows, columns=["op_seq", "block_id", "op", "url", "html", "revert_of_block"]
+    )
+    pdf["block_hash"] = pdf.block_id.map(block_hash)
+    pdf["parent_hash"] = (pdf.block_id - 1).map(block_hash)
+    pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(pdf.op_seq, unit="s")
+    pdf["lang"] = "en"
+    pdf["reason"] = None
+    pdf["html"] = pdf["html"].map(lambda v: v.encode() if isinstance(v, str) else v)
+    from gnarly_spark.fixtures import CHANGELOG_COLUMNS
+
+    return spark.createDataFrame(pdf[CHANGELOG_COLUMNS], schema=CHANGELOG_DDL)
+
+
+def test_fold_duplicate_revert_not_double_negated(spark, tmp_path):
+    """A re-delivered revert of an ALREADY-reverted block (producer retry —
+    tolerated by the LWW core, whose reverted set is distinct) must not
+    negate the block's contributions a second time."""
+    from gnarly_spark.fixtures import block_hash
+
+    fold = FoldReducer(
+        name="len_by_url",
+        key=F.col("url"),
+        delta=F.when(F.col("op") != "delete", F.length("html")).otherwise(0),
+    )
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[fold])
+    b1 = block_hash(1)
+    # batch 0: 10 bytes for u in block 1
+    p.process_batch(
+        _mk_log(spark, [(1, 1, "insert", "https://u/", "x" * 10, None)]), 0
+    )
+    assert {(r.key, r.total) for r in fold.read(p).collect()} == {("https://u/", 10.0)}
+    # batch 1: revert block 1 -> total back to 0
+    p.process_batch(_mk_log(spark, [(2, 2, "revert", None, None, b1)]), 1)
+    assert {(r.key, r.total) for r in fold.read(p).collect()} == {("https://u/", 0.0)}
+    # batch 2: duplicate revert of block 1 -> total must STAY 0 (was -10)
+    p.process_batch(_mk_log(spark, [(3, 3, "revert", None, None, b1)]), 2)
+    assert {(r.key, r.total) for r in fold.read(p).collect()} == {("https://u/", 0.0)}
+
+
+def test_append_reducer_refires_after_crashed_write(spark, tmp_path):
+    """A write that crashed mid-job leaves the batch dir without _SUCCESS;
+    the refire must re-write it (the old exists() guard skipped forever)."""
+    import os
+
+    red = AppendReducer(
+        name="copy", project=lambda df: df.select("url"), schema="url string"
+    )
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[red])
+    path = os.path.join(red.out_dir(p.work_dir), "batch=0")
+    os.makedirs(os.path.join(path, "_temporary"))  # simulated crashed write
+    batch = _mk_log(spark, [(1, 1, "insert", "https://u/", "x", None)])
+    red.apply(p, batch, 0)
+    assert [r.url for r in red.read(p).collect()] == ["https://u/"]
+    # and a COMPLETED batch is still skipped on refire (no duplicate rows)
+    red.apply(p, batch, 0)
+    assert red.read(p).count() == 1

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from gnarly_spark.fixtures import gen_changelog, oracle_final_state
 from gnarly_spark.operators.replay import (
@@ -161,3 +162,21 @@ def test_lww_fetch_variant_agrees(spark, to_spark):
     fa = final_state(log).orderBy("url").toPandas()
     fb = final_state(log, strategy="fetch").orderBy("url").toPandas()
     assert_pdf_equal(fa, fb)
+
+
+def test_lww_fetch_keeps_null_warc_ts_winner(spark):
+    """strategy='fetch' must agree with 'maxby' when a key's winning row
+    has NULL warc_ts — the equi-join's NULL semantics used to drop the key
+    entirely (eqNullSafe fix)."""
+    from gnarly_spark.operators.replay import last_writer_wins, last_writer_wins_fetch
+
+    rows = [
+        ("u1", None, 5, "keep-me"),
+        ("u2", "2024-01-01 00:00:01", 1, "normal"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, op_seq long, v string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    a = {(r.url, r.v) for r in last_writer_wins(df).collect()}
+    b = {(r.url, r.v) for r in last_writer_wins_fetch(df).collect()}
+    assert a == b == {("u1", "keep-me"), ("u2", "normal")}

@@ -324,3 +324,26 @@ def test_recrawl_schedule_hand_computed(spark):
     assert u2.n_changes == 1
     assert u2.gap_s is None and u2.next_due is None and u2.overdue_score is None
     assert got["u4"].gap_s == 1  # zero span clamps, score defined
+
+
+def test_asof_join_ignores_null_version_ts(spark):
+    """A malformed version row with NULL warc_ts must not be served to
+    probes that precede every real version (it used to sort nulls-first
+    and win for them)."""
+    from gnarly_spark.operators.temporal import asof_join
+
+    versions = spark.createDataFrame(
+        [("u", None, 9, "bad"), ("u", "2024-01-02 00:00:00", 1, "good")],
+        "url string, warc_ts string, op_seq long, value string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    probes = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"), ("u", "2024-01-03 00:00:00")],
+        "url string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (str(r.ts), r.asof_value) for r in asof_join(probes, versions).collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", None),      # before any real version
+        ("2024-01-03 00:00:00", "good"),
+    }
