@@ -159,3 +159,109 @@ def test_incremental_equals_replay_property(spark, tmp_path_factory, seed, n_bat
     )
     want = oracle_final_state(log)[PAGE_COLS].reset_index(drop=True)
     assert_pdf_equal(got, want)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_lake_maintenance_history_model_property(spark, tmp_path_factory, data):
+    """History model: for ARBITRARY interleavings of merge, compact,
+    rebucket, cluster, restore, purge_keys and expire_snapshots, EVERY
+    retained snapshot (time travel read at each version, not just HEAD)
+    must match a driver-side dict-of-dicts model of history. Covers the
+    interactions directed tests can't enumerate — purge after a rebucket
+    changed the layout mid-history (the round-2 advisor's high-severity
+    class), restore of an already-purged snapshot, expire shrinking the
+    purge's rewrite set, cluster/compact preserving historical reads."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    keys = [f"k{i}" for i in range(8)]
+    mode = data.draw(st.sampled_from(["cow", "mor"]), label="mode")
+    n_steps = data.draw(st.integers(3, 5), label="n_steps")
+    work = str(tmp_path_factory.mktemp("lakehist"))
+    t = ParquetLakeTable(spark, work + "/t", key="url", n_buckets=4, mode=mode)
+
+    state: dict[str, int] = {}          # expected HEAD content
+    history: dict[int, dict[str, int]] = {}  # version -> expected content
+
+    def resync(prev: int) -> None:
+        """Record a snapshot for any new committed version (ops decide
+        commit-vs-noop internally — MOR tombstone rows make 'did purge
+        commit' unpredictable from resolved content alone, so observe)."""
+        cur = t.current_version()
+        assert cur in (prev, prev + 1), f"one op committed {prev}->{cur}"
+        if cur != prev:
+            history[cur] = dict(state)
+
+    for step in range(n_steps):
+        ups = data.draw(
+            st.lists(
+                st.tuples(st.sampled_from(keys), st.integers(0, 100)),
+                min_size=0, max_size=5, unique_by=lambda u: u[0],
+            ),
+            label="upserts",
+        )
+        dels = data.draw(
+            st.lists(st.sampled_from(keys), min_size=0, max_size=2, unique=True),
+            label="deletes",
+        )
+        if ups or dels:
+            prev = t.current_version()
+            t.merge(
+                spark.createDataFrame(ups, "url string, v int") if ups else None,
+                delete_keys=(
+                    spark.createDataFrame([(k,) for k in dels], "url string")
+                    if dels else None
+                ),
+                batch_id=step,
+            )
+            for k in dels:      # upsert wins over same-batch delete
+                state.pop(k, None)
+            for k, v in ups:
+                state[k] = v
+            resync(prev)
+
+        op = data.draw(
+            st.sampled_from(["none", "compact", "rebucket", "cluster",
+                             "restore", "purge"]),
+            label="maintenance",
+        )
+        prev = t.current_version()
+        if op == "compact":
+            t.compact()
+        elif op == "rebucket" and prev >= 0:
+            t.rebucket(data.draw(st.sampled_from([2, 3, 5, 8]), label="nb"))
+        elif op == "cluster" and state:
+            t.cluster(by=["v"], bits=4)
+        elif op == "restore" and history:
+            target = data.draw(
+                st.sampled_from(sorted(history)), label="restore_to"
+            )
+            t.restore(target)
+            state = dict(history[target])
+        elif op == "purge" and history:
+            victims = data.draw(
+                st.lists(st.sampled_from(keys), min_size=1, max_size=2,
+                         unique=True),
+                label="purge_keys",
+            )
+            t.purge_keys(*victims)
+            for snap in history.values():
+                for k in victims:
+                    snap.pop(k, None)
+            for k in victims:
+                state.pop(k, None)
+        resync(prev)
+
+        if data.draw(st.booleans(), label="expire"):
+            kept = t.expire_snapshots(
+                keep_last=data.draw(st.integers(2, 4), label="keep_last")
+            )["kept"]
+            history = {v: s for v, s in history.items() if v in set(kept)}
+
+    for v in sorted(history):
+        got = {r.url: r.v for r in t.read(v).collect()}
+        assert got == history[v], f"v{v} ({mode}) diverged from model"
