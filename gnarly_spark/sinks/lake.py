@@ -493,16 +493,22 @@ class ParquetLakeTable:
         return set(self._manifest(self._latest_committed())["batch_ids"])
 
     # ---- data plane ---------------------------------------------------
-    def read(self, version: int | None = None, as_of=None) -> DataFrame:
-        """Snapshot read (time travel when ``version`` or ``as_of`` given;
-        ``as_of`` is a datetime or epoch-seconds float resolved to the
-        last snapshot committed at or before it — Iceberg/Delta's
-        TIMESTAMP AS OF). On a MOR table with outstanding deltas this
-        resolves base ∪ deltas per key (one shuffle); after ``compact()``
-        — or always on a COW table — it is a plain pruned parquet scan."""
+    def read(
+        self, version: int | None = None, as_of=None, tag: str | None = None
+    ) -> DataFrame:
+        """Snapshot read (time travel when ``version``, ``as_of`` or
+        ``tag`` is given; ``as_of`` is a datetime or epoch-seconds float
+        resolved to the last snapshot committed at or before it —
+        Iceberg/Delta's TIMESTAMP AS OF; ``tag`` is a named ref created
+        with :meth:`tag` — Iceberg's VERSION AS OF 'tag'). On a MOR table
+        with outstanding deltas this resolves base ∪ deltas per key (one
+        shuffle); after ``compact()`` — or always on a COW table — it is
+        a plain pruned parquet scan."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("pass at most one of version / as_of / tag")
+        if tag is not None:
+            version = self._tag_version(tag)
         if as_of is not None:
-            if version is not None:
-                raise ValueError("pass version OR as_of, not both")
             version = self._version_as_of(as_of)
         m = self._manifest(version)
         df = self._read_snapshot(m, None)
@@ -1453,6 +1459,107 @@ class ParquetLakeTable:
             "mode string, n_buckets int",
         )
 
+    # ---- named snapshot refs (Iceberg tags) ----------------------------
+
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self.path, "_tags")
+
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._-]{0,127}", name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r}: use [A-Za-z0-9._-], start "
+                "alphanumeric, <=128 chars (tag names are manifest-dir "
+                "file names)"
+            )
+
+    def tag(self, name: str, version: int | None = None, replace: bool = False) -> int:
+        """Create (or with ``replace=True`` re-point) a named ref to a
+        snapshot — Iceberg's tags (``ALTER TABLE ... CREATE TAG``).
+        Defaults to the current version. Tagged snapshots are PINNED:
+        ``expire_snapshots`` keeps their manifests and data files however
+        old they get, so a tag is the durable form of "the audited
+        snapshot we trained run X on". Returns the tagged version.
+
+        Creation is atomic (os.link CAS, the same primitive as the commit
+        pointer): two writers racing the same new tag name — one wins,
+        the loser gets ValueError rather than a silent overwrite."""
+        self._check_tag_name(name)
+        v = self.current_version() if version is None else int(version)
+        if v < 0 or v not in self._retained_versions():
+            raise ValueError(f"version {v} is not a retained snapshot")
+        os.makedirs(self._tags_dir, exist_ok=True)
+        tpath = os.path.join(self._tags_dir, f"{name}.json")
+        payload = {"name": name, "version": v, "created_at": time.time()}
+        tmp = tpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            if replace:
+                os.replace(tmp, tpath)
+                tmp = None
+            else:
+                try:
+                    os.link(tmp, tpath)
+                except FileExistsError:
+                    raise ValueError(
+                        f"tag {name!r} already exists (pass replace=True to re-point)"
+                    )
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                os.unlink(tmp)
+        return v
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a named ref. The snapshot itself stays until
+        ``expire_snapshots`` next runs without the pin. Returns whether
+        the tag existed."""
+        self._check_tag_name(name)
+        try:
+            os.remove(os.path.join(self._tags_dir, f"{name}.json"))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _tag_entries(self) -> list[dict]:
+        try:
+            names = os.listdir(self._tags_dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for fn in sorted(names):
+            if not fn.endswith(".json") or ".tmp-" in fn:
+                continue
+            try:
+                with open(os.path.join(self._tags_dir, fn)) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):  # pragma: no cover - defensive
+                continue
+        return out
+
+    def _tag_version(self, name: str) -> int:
+        self._check_tag_name(name)
+        try:
+            with open(os.path.join(self._tags_dir, f"{name}.json")) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}")
+
+    def tags(self) -> DataFrame:
+        """Metadata table (Iceberg's ``table.refs`` analog): one row per
+        named snapshot ref — name, pinned version, creation stamp.
+        Control plane only."""
+        rows = [
+            (t["name"], int(t["version"]), float(t["created_at"]))
+            for t in self._tag_entries()
+        ]
+        return self.spark.createDataFrame(
+            rows, schema="name string, version int, created_at double"
+        )
+
     def data_files(self, version: int | None = None) -> DataFrame:
         """Metadata table (Iceberg's ``table.files`` analog): one row per
         live data file of a snapshot — bucket, base/delta kind, on-disk
@@ -1726,7 +1833,11 @@ class ParquetLakeTable:
         if cur < 0:
             return {"kept": [], "dropped_manifests": 0, "deleted_files": 0}
         versions = self._retained_versions()
-        keep = [v for v in versions if v > cur - keep_last]
+        # tagged snapshots are pinned (Iceberg ref-retention): their
+        # manifests AND data files survive however far behind head they
+        # fall, until drop_tag releases them
+        pinned = {int(t["version"]) for t in self._tag_entries()}
+        keep = [v for v in versions if v > cur - keep_last or v in pinned]
         live: set[str] = set()
         for v in keep:
             km = self._manifest(v)
@@ -2174,3 +2285,26 @@ class IcebergLakeTable:
             build_merge_sql(self.table, self.key, src.columns)
         )
         return True
+
+    # ---- named snapshot refs (interface parity with ParquetLakeTable) --
+
+    def tag(self, name, version=None, replace=False):  # pragma: no cover
+        """Iceberg-native tag (ALTER TABLE ... CREATE TAG); pins the
+        snapshot against expire_snapshots exactly like the parquet table's
+        pin (Iceberg ref retention)."""
+        ParquetLakeTable._check_tag_name(name)
+        verb = "CREATE OR REPLACE TAG" if replace else "CREATE TAG"
+        asof = f" AS OF VERSION {int(version)}" if version is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.table} {verb} `{name}`{asof}")
+        return version if version is not None else self.current_version()
+
+    def drop_tag(self, name) -> bool:  # pragma: no cover
+        ParquetLakeTable._check_tag_name(name)
+        self.spark.sql(f"ALTER TABLE {self.table} DROP TAG IF EXISTS `{name}`")
+        return True
+
+    def tags(self) -> DataFrame:  # pragma: no cover
+        return self.spark.sql(
+            f"SELECT name, snapshot_id AS version, NULL AS created_at "
+            f"FROM {self.table}.refs WHERE type = 'TAG'"
+        )

@@ -1437,3 +1437,56 @@ def test_append_reducer_read_before_first_batch(spark, tmp_path):
     out = link_census_read(red, p)
     assert out.count() == 0
     assert out.columns == ["src_host", "dst_host", "n_links"]
+
+
+def test_tags_pin_snapshots_and_read_by_name(spark, table):
+    """Iceberg tags analog: named refs resolve in read(), pin their
+    snapshot's manifest AND data files through expire_snapshots, and
+    release on drop_tag."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    v0 = table.tag("golden")  # defaults to current version
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)
+    table.merge(mk(spark, [("a", 3)]), batch_id=2)
+    table.merge(mk(spark, [("a", 4)]), batch_id=3)
+
+    assert v0 == 0
+    assert _pdf(table.read(tag="golden")).v.tolist() == [1]
+    tags = table.tags().toPandas()
+    assert tags.name.tolist() == ["golden"] and tags.version.tolist() == [v0]
+
+    # expiry would normally drop v0 (keep_last=2 of 4) — the tag pins it
+    res = table.expire_snapshots(keep_last=2)
+    assert v0 in res["kept"]
+    assert _pdf(table.read(tag="golden")).v.tolist() == [1]
+    assert _pdf(table.read(version=v0)).v.tolist() == [1]
+
+    # re-point requires replace=True; bad names rejected
+    with pytest.raises(ValueError, match="already exists"):
+        table.tag("golden")
+    table.tag("golden", version=table.current_version(), replace=True)
+    assert _pdf(table.read(tag="golden")).v.tolist() == [4]
+    with pytest.raises(ValueError, match="invalid tag name"):
+        table.tag("../escape")
+    with pytest.raises(ValueError, match="unknown tag"):
+        table.read(tag="nope")
+    with pytest.raises(ValueError, match="at most one"):
+        table.read(version=0, tag="golden")
+
+    # dropping the pin releases the snapshot to the next expiry
+    assert table.drop_tag("golden") is True
+    assert table.drop_tag("golden") is False
+    res = table.expire_snapshots(keep_last=2)
+    assert 0 not in res["kept"]
+    with pytest.raises(FileNotFoundError):
+        table.read(version=0)
+
+
+def test_tag_of_expired_or_unknown_version_rejected(spark, table):
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    with pytest.raises(ValueError, match="not a retained snapshot"):
+        table.tag("t", version=99)
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)
+    table.merge(mk(spark, [("a", 3)]), batch_id=2)
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError, match="not a retained snapshot"):
+        table.tag("t", version=0)
