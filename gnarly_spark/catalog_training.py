@@ -2338,3 +2338,50 @@ def _register_bottomk_query() -> None:
 
 
 _register_bottomk_query()
+
+
+@register(
+    "text_bigram_surprisal",
+    f"""
+    WITH dn AS (SELECT doc_id AS id,
+                       list_filter(string_split({_NORM}, ' '),
+                                   x -> x != '') AS w
+                FROM documents),
+    tok AS (SELECT id, unnest(w) AS t FROM dn),
+    vocab AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY t),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM vocab),
+    pc AS (SELECT id, u.p AS p, u.c AS c FROM (
+             SELECT id, unnest([struct_pack(p := w[g], c := w[g+1])
+                                for g in range(1, len(w))]) AS u
+             FROM dn WHERE len(w) >= 2)),
+    cb AS (SELECT p, c, COUNT(*) AS cb FROM pc
+           GROUP BY p, c HAVING COUNT(*) >= 2),
+    seen AS (SELECT cb.p, cb.c,
+                    CAST(length(bin(v.cu // cb.cb)) - 1 AS BIGINT) AS s_seen
+             FROM cb JOIN vocab v ON v.t = cb.p),
+    back AS (SELECT t AS c, CAST(length(bin(n // cu)) AS BIGINT) AS s_back
+             FROM vocab, tot),
+    scored AS (SELECT id, COALESCE(s_seen, s_back) AS s,
+                      CASE WHEN s_seen IS NULL THEN 1 ELSE 0 END AS backed
+               FROM pc LEFT JOIN seen ON seen.p = pc.p AND seen.c = pc.c
+                       JOIN back ON back.c = pc.c),
+    per AS (SELECT id, COUNT(*) AS n_trans,
+                   CAST(SUM(s) AS BIGINT) AS ssum,
+                   CAST(SUM(backed) AS BIGINT) AS nback
+            FROM scored GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(n_trans, 0) AS n_transitions,
+           COALESCE(ROUND(ssum / n_trans, 6), 0.0) AS surprisal,
+           COALESCE(ROUND(nback / n_trans, 6), 0.0) AS backoff_frac
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Bigram Stupid-Backoff LM quality score (integer log2 buckets,
+    engine-exact — functions/text.py bigram_surprisal): flags word-salad
+    docs whose common words appear in implausible ORDER, the failure mode
+    the unigram gate can't see; backoff_frac doubles as a gibberish
+    signal."""
+    from gnarly_spark.functions.text import bigram_surprisal
+
+    return bigram_surprisal(_t(spark, sf_dir, "documents"))

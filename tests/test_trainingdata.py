@@ -943,6 +943,45 @@ def test_unigram_surprisal_hand_computed(spark):
     assert (got[4].n_tokens, got[4].surprisal) == (0, 0.0)
 
 
+def test_bigram_surprisal_hand_computed(spark):
+    """Corpus 'a b a b c' + 'a b x' + 'z': N=9, cu(a)=cu(b)=3, cu(c/x/z)=1.
+    Only bigram (a,b) reaches min_count=2 (count 3) -> seen score
+    floor(log2(cu(a) div 3)) = 0; every other transition backs off to
+    floor(log2(N div cu(cur))) + 1: cur=a/b -> 2, cur=c/x -> 4. Doc1's
+    transitions (a,b)(b,a)(a,b)(b,c) score 0+2+0+4 = 6/4; doc2's
+    (a,b)(b,x) = 0+4 = 4/2; single-token/empty/null docs -> 0."""
+    from gnarly_spark.functions.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "A  b a b c"), (2, "a b x"), (3, "z"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    assert (got[1].n_transitions, got[1].surprisal, got[1].backoff_frac) == (
+        4, 1.5, 0.5,
+    )
+    assert (got[2].n_transitions, got[2].surprisal, got[2].backoff_frac) == (
+        2, 2.0, 0.5,
+    )
+    for d in (3, 4, 5):
+        assert (got[d].n_transitions, got[d].surprisal, got[d].backoff_frac) == (
+            0, 0.0, 0.0,
+        )
+
+
+def test_bigram_surprisal_min_count_one_never_backs_off(spark):
+    """Self-scoring with min_count=1: every doc bigram exists in the
+    corpus at least once, so backoff can never fire (the degenerate case
+    the default min_count=2 exists to avoid)."""
+    from gnarly_spark.functions.text import bigram_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "q r s")], "doc_id long, text string"
+    )
+    out = bigram_surprisal(df, min_count=1).collect()
+    assert all(r.backoff_frac == 0.0 for r in out)
+
+
 def test_chunk_passages_windows_and_edges(spark):
     """10 tokens, chunk 4, stride 3 -> starts 0,3,6 cover all tokens with
     1-token overlap; last chunk full here, short tail when n=9; short doc
