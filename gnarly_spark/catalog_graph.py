@@ -377,3 +377,84 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_raw").alias("n_raw_forms"),
         F.count("host").alias("n_hosts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registrable-domain census (functions/url.py registrable_domain)
+# ---------------------------------------------------------------------------
+
+#: synthetic crawl hosts spanning the suffix classes, single-sourced between
+#: the Spark build and the oracle. Tokens: S = 'site' || event_id%37,
+#: B = 'b' || event_id%11; variant = event_id % 6.
+_HOST_VARIANTS: list[list[str]] = [
+    ["www.", "S", ".co.uk"],          # 2-label ccTLD registry suffix
+    ["S", ".github.io"],              # private hosting suffix, host == site
+    ["B", ".s3.amazonaws.com"],       # 3-label suffix
+    ["deep.x.", "S", ".com.au"],      # deep subdomain under 2-label suffix
+    ["co.uk"],                        # IS a public suffix -> NULL domain
+    ["S", ".org"],                    # plain gTLD -> last 2 labels
+]
+
+
+def _crawl_host_col() -> F.Column:
+    eid = F.col("event_id")
+    tok = {
+        "S": F.concat(F.lit("site"), (eid % 37).cast("string")),
+        "B": F.concat(F.lit("b"), (eid % 11).cast("string")),
+    }
+    expr = None
+    for i, parts in enumerate(_HOST_VARIANTS):
+        built = F.concat(*[tok.get(p, F.lit(p)) for p in parts])
+        expr = F.when(eid % 6 == i, built) if expr is None else expr.when(
+            eid % 6 == i, built
+        )
+    return expr
+
+
+def _crawl_host_sql() -> str:
+    tok = {
+        "S": "'site' || CAST(event_id % 37 AS VARCHAR)",
+        "B": "'b' || CAST(event_id % 11 AS VARCHAR)",
+    }
+    arms = []
+    for i, parts in enumerate(_HOST_VARIANTS):
+        built = " || ".join(tok.get(p, f"'{p}'") for p in parts)
+        arms.append(f"WHEN {i} THEN {built}")
+    return f"CASE event_id % 6 {' '.join(arms)} END"
+
+
+def _domain_oracle() -> str:
+    from gnarly_spark.functions.url import registrable_domain_sql
+
+    return f"""
+    WITH raw AS (SELECT {_crawl_host_sql()} AS host FROM events),
+    hc AS (SELECT host, COUNT(*) AS n FROM raw GROUP BY host),
+    d AS (SELECT host, n, {registrable_domain_sql("host")} AS domain FROM hc)
+    SELECT domain,
+           CAST(SUM(n) AS BIGINT) AS n_pages,
+           COUNT(host) AS n_hosts
+    FROM d GROUP BY domain
+    """
+
+
+@register("web_registrable_domain", _domain_oracle())
+def web_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain ("site") census: hosts collapse to their eTLD+1
+    under the embedded public-suffix subset (functions/url.py
+    registrable_domain) — the grouping key per-site dedup budgets and
+    domain caps need; plain last-2-labels would merge every .co.uk site.
+
+    Same no-Expand cascade as web_url_canonicalize: count DISTINCT host
+    spellings first (event-sized shuffle of narrow count rows), run the
+    regexp+InSet suffix resolution once per distinct host, then roll
+    (domain, host) -> domain with plain sums. Hosts that ARE a public
+    suffix land in the NULL-domain group (both engines group NULLs)."""
+    from gnarly_spark.functions.url import registrable_domain
+
+    raw = _t(spark, sf_dir, "events").select(_crawl_host_col().alias("host"))
+    hc = raw.groupBy("host").agg(F.count("*").alias("n"))
+    d = hc.select("host", "n", registrable_domain(F.col("host")).alias("domain"))
+    return d.groupBy("domain").agg(
+        F.sum("n").cast("bigint").alias("n_pages"),
+        F.count("host").alias("n_hosts"),
+    )

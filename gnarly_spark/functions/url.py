@@ -176,3 +176,137 @@ def canonicalize_url_dropquery(col: Column) -> Column:
     u = F.regexp_replace(u, r"^(https://[^/:]*):443(/|$)", r"$1$2")
     u = F.regexp_replace(u, r"(.)/$", r"$1")
     return u
+
+
+# ---------------------------------------------------------------------------
+# Registrable domain (public-suffix grouping)
+# ---------------------------------------------------------------------------
+
+#: Curated SUBSET of the Public Suffix List (publicsuffix.org — public
+#: data; the full list is ~10k rules and updated continuously, so embedding
+#: it verbatim would rot: load the current file in production and pass it
+#: via ``extra_2label``/``extra_3label``). Two groups, single-sourced into
+#: both the Spark expression and the DuckDB oracle twin:
+#: ICANN country second-level registries (grouping "x.co.uk" at "co.uk"
+#: would merge every UK site into one "domain")...
+PSL_2LABEL: tuple[str, ...] = (
+    # UK / IE / commonwealth
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    # Japan / Korea / Taiwan / HK / SG / MY / ID / TH / VN / PH / IN
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "my.id", "sch.id",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "nic.in",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "co.ve", "com.cl", "gob.cl", "com.ec", "com.uy", "com.py",
+    "com.bo", "com.do", "com.gt", "com.sv", "com.ni", "com.pa", "com.cr",
+    # Europe / MEA
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.sa", "org.sa", "net.sa", "edu.sa", "gov.sa", "med.sa", "sch.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "com.gh", "com.et", "com.tz", "co.tz", "co.ug", "com.bd", "net.bd",
+    "org.bd", "edu.bd", "gov.bd", "com.pk", "net.pk", "org.pk", "edu.pk",
+    "gov.pk", "com.np", "com.lk", "com.kh", "com.mm", "com.cn", "net.cn",
+    "org.cn", "gov.cn", "edu.cn", "ac.cn", "com.ru",
+    # ...and the private-section hosting suffixes a crawl actually hits
+    # (user1.github.io and user2.github.io are DIFFERENT sites; grouping
+    # them at github.io would let one platform eat a whole domain cap):
+    "github.io", "gitlab.io", "bitbucket.io", "sourceforge.io",
+    "blogspot.com", "wordpress.com", "tumblr.com", "weebly.com",
+    "wixsite.com", "netlify.app", "vercel.app", "herokuapp.com",
+    "appspot.com", "web.app", "firebaseapp.com", "pages.dev",
+    "readthedocs.io", "neocities.org", "glitch.me", "repl.co",
+    "fastly-edge.com", "azurewebsites.net", "cloudfront.net",
+)
+
+#: 3-label suffixes (same sourcing note)
+PSL_3LABEL: tuple[str, ...] = (
+    "s3.amazonaws.com", "s3-website.amazonaws.com", "pvt.k12.ma.us",
+    "cdn.cloudflare.net", "r2.cloudflarestorage.com", "website.yandexcloud.net",
+)
+
+#: last-k-labels extractors, shared shape across both engines
+#: (regexp_extract returns '' on no-match in both)
+_LAST2_RE = r"([^.]+\.[^.]+)$"
+_LAST3_RE = r"([^.]+\.[^.]+\.[^.]+)$"
+_LAST4_RE = r"([^.]+\.[^.]+\.[^.]+\.[^.]+)$"
+
+
+def registrable_domain(
+    host: Column,
+    extra_2label: tuple[str, ...] = (),
+    extra_3label: tuple[str, ...] = (),
+) -> Column:
+    """The registrable domain ("site") of a lowercased host — the eTLD+1
+    grouping key that domain caps, per-site dedup budgets and host-graph
+    collapse should key on (plain "last two labels" merges every .co.uk
+    site into one; the reference has no notion of this at all, it keys raw
+    url strings).
+
+    Resolution (longest-match, like the PSL algorithm restricted to our
+    embedded subset): if the last 3 labels are a known 3-label suffix the
+    domain is the last 4 labels; else if the last 2 labels are a known
+    2-label suffix, the last 3; else the last 2. A host that IS a public
+    suffix, or a single label, has no registrable domain -> NULL.
+
+    All JVM-side (regexp_extract + IN over a literal set -> codegen'd
+    InSet); compose with url_host() for raw URLs. ``extra_*`` extend the
+    embedded subset with e.g. the full downloaded PSL.
+    """
+    s2 = tuple(PSL_2LABEL) + tuple(extra_2label)
+    s3 = tuple(PSL_3LABEL) + tuple(extra_3label)
+    l2 = F.regexp_extract(host, _LAST2_RE, 1)
+    l3 = F.regexp_extract(host, _LAST3_RE, 1)
+    l4 = F.regexp_extract(host, _LAST4_RE, 1)
+    return (
+        F.when(host.isNull() | (l2 == ""), F.lit(None).cast("string"))
+        .when(l3.isin(*s3), F.when(l4 != "", l4))
+        .when(l2.isin(*s2), F.when(l3 != "", l3))
+        .otherwise(l2)
+    )
+
+
+def registrable_domain_sql(
+    h: str,
+    extra_2label: tuple[str, ...] = (),
+    extra_3label: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of registrable_domain, same constants (oracle side)."""
+    s2 = ", ".join(
+        "'" + s + "'" for s in tuple(PSL_2LABEL) + tuple(extra_2label)
+    )
+    s3 = ", ".join(
+        "'" + s + "'" for s in tuple(PSL_3LABEL) + tuple(extra_3label)
+    )
+    l2 = f"regexp_extract({h}, '{_LAST2_RE}', 1)"
+    l3 = f"regexp_extract({h}, '{_LAST3_RE}', 1)"
+    l4 = f"regexp_extract({h}, '{_LAST4_RE}', 1)"
+    return f"""CASE
+        WHEN {h} IS NULL OR {l2} = '' THEN NULL
+        WHEN {l3} IN ({s3}) THEN (CASE WHEN {l4} != '' THEN {l4} END)
+        WHEN {l2} IN ({s2}) THEN (CASE WHEN {l3} != '' THEN {l3} END)
+        ELSE {l2} END"""

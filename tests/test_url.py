@@ -92,3 +92,77 @@ def test_canonicalize_plan_stays_jvm(spark):
     out = df.select(canonicalize_url(F.col("raw")).alias("c"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# (host, registrable domain) — each exercises one resolution branch of
+# functions/url.py registrable_domain
+DOMAIN_CASES = [
+    # plain gTLD: last 2 labels
+    ("www.example.org", "example.org"),
+    ("example.org", "example.org"),
+    ("a.b.c.example.com", "example.com"),
+    # 2-label public suffix: last 3 labels
+    ("www.site.co.uk", "site.co.uk"),
+    ("deep.x.site.com.au", "site.com.au"),
+    ("site.github.io", "site.github.io"),
+    ("user.blogspot.com", "user.blogspot.com"),
+    # 3-label public suffix: last 4 labels
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    ("x.bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    # host IS a suffix, or too short -> NULL
+    ("co.uk", None),
+    ("github.io", None),
+    ("s3.amazonaws.com", None),
+    ("localhost", None),
+    ("", None),
+    (None, None),
+]
+
+
+def test_registrable_domain_hand_computed(spark):
+    from gnarly_spark.functions.url import registrable_domain
+
+    df = spark.createDataFrame([(h,) for h, _ in DOMAIN_CASES], "host string")
+    got = dict(
+        df.select("host", registrable_domain(F.col("host")).alias("d"))
+        .collect()
+    )
+    for host, want in DOMAIN_CASES:
+        assert got[host] == want, host
+
+
+def test_registrable_domain_sql_twin():
+    from gnarly_spark.functions.url import registrable_domain_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(host VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?)", [(h,) for h, _ in DOMAIN_CASES]
+    )
+    rows = con.execute(
+        f"SELECT host, {registrable_domain_sql('host')} FROM t"
+    ).fetchall()
+    for host, want in rows:
+        assert dict(DOMAIN_CASES)[host] == want, host
+
+
+def test_registrable_domain_extra_suffixes(spark):
+    """extra_2label extends the embedded subset (production loads the full
+    PSL file and passes it here)."""
+    from gnarly_spark.functions.url import registrable_domain
+
+    df = spark.createDataFrame([("a.b.example.zz",)], "host string")
+    base = df.select(registrable_domain(F.col("host")).alias("d")).first()["d"]
+    ext = df.select(
+        registrable_domain(F.col("host"), extra_2label=("example.zz",)).alias("d")
+    ).first()["d"]
+    assert base == "example.zz" and ext == "b.example.zz"
+
+
+def test_registrable_domain_plan_stays_jvm(spark):
+    from gnarly_spark.functions.url import registrable_domain
+
+    df = spark.createDataFrame([("www.site.co.uk",)], "host string")
+    out = df.select(registrable_domain(F.col("host")).alias("d"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
