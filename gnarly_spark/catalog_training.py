@@ -2385,3 +2385,56 @@ def text_bigram_surprisal(spark, sf_dir):
     from gnarly_spark.functions.text import bigram_surprisal
 
     return bigram_surprisal(_t(spark, sf_dir, "documents"))
+
+
+_DSIR_TARGET = "('src0', 'src1', 'src2', 'src3')"
+
+
+@register(
+    "text_dsir_weights",
+    f"""
+    WITH dn AS (SELECT doc_id AS id,
+                       CAST(source IN {_DSIR_TARGET} AS BIGINT) AS tgt,
+                       list_filter(string_split({_NORM}, ' '),
+                                   x -> x != '') AS w
+                FROM documents),
+    g AS (SELECT id, tgt,
+                 CAST(('0x' || substring(md5(u.p || ' ' || u.c), 1, 8))
+                      AS BIGINT) % 1024 AS k
+          FROM (SELECT id, tgt,
+                       unnest([struct_pack(p := w[i], c := w[i+1])
+                               for i in range(1, len(w))]) AS u
+                FROM dn WHERE len(w) >= 2)),
+    st AS (SELECT k, COUNT(*) AS cnt_r,
+                  CAST(SUM(tgt) AS BIGINT) AS cnt_t
+           FROM g GROUP BY k),
+    tot AS (SELECT CAST(SUM(cnt_r) AS BIGINT) AS r_tot,
+                   CAST(SUM(cnt_t) AS BIGINT) AS t_tot FROM st),
+    lam AS (SELECT k,
+                   CAST(length(bin(greatest(
+                       ((cnt_t + 1) * (((r_tot + 1024) * 1048576)
+                                       // (t_tot + 1024))) // (cnt_r + 1),
+                       1))) - 1 - 20 AS BIGINT) AS lam
+            FROM st, tot),
+    per AS (SELECT id, COUNT(*) AS n_grams,
+                   CAST(SUM(lam) AS BIGINT) AS logw
+            FROM g JOIN lam USING (k) GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           COALESCE(logw, 0) AS dsir_logw
+    FROM documents d LEFT JOIN per ON per.id = d.doc_id
+    """,
+)
+def text_dsir_weights(spark, sf_dir):
+    """DSIR domain-matching importance weights (functions/text.py
+    dsir_weights — hashed-bigram bag, integer log2 ratio buckets,
+    engine-exact): target exemplars = the four 'src0'-'src3' sources,
+    raw = the whole corpus. The selection step between quality gates and
+    mixture sampling; threshold on dsir_logw downstream (no global sort
+    here)."""
+    from gnarly_spark.functions.text import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, F.col("source").isin("src0", "src1", "src2", "src3")
+    )

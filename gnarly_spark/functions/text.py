@@ -1045,3 +1045,131 @@ def write_shards(
         .parquet(path)
     )
     return n_shards
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 1024,
+    scale_bits: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-bigram distribution is, the standard
+    domain-matching selection step between quality gates and mixture
+    sampling (select by weight, then `mixture_sample` the survivors).
+
+    Bag-of-hashed-bigrams with ``n_buckets`` buckets (md5-derived, the
+    repo's engine-portable hash); per-bucket integer log2 importance
+
+        lam(k) = floor(log2( p_t(k) / p_r(k) ))   (add-1 smoothed)
+
+    computed exactly as
+
+        C   = ((R + m) << scale_bits) div (T + m)     -- corpus scalar
+        lam = len(bin(max((cnt_t+1) * C div (cnt_r+1), 1))) - 1 - scale_bits
+
+    so, like unigram_surprisal's bin-length trick, every op is integer
+    and the score is bit-identical across engines; a doc's log-weight is
+    the sum of its bigrams' lam values. True float log-ratios differ in
+    the last ULP across engines and are not oracle-checkable; integer
+    log2 buckets preserve the ranking DSIR actually thresholds on.
+
+    ``is_target`` is a boolean Column marking the target-domain exemplar
+    docs (they stay in the raw estimate too — DSIR fits q on the full
+    crawl). Docs with <2 tokens get (0, 0).
+
+    Integer-range bound: (R + m) << scale_bits must fit int64, so with
+    scale_bits=20 the corpus may hold up to 2^43 ≈ 8.8e12 bigrams; at
+    100 TB (~10^13 tokens) drop scale_bits to 16 (precision is still
+    1/65536 of a log2) or compute C once driver-side in Python ints.
+
+    Scale shape: bigrams are map-only (split + slice + arrays_zip, the
+    bigram_surprisal shape); bucket stats are ONE partial-agg groupBy
+    collapsing to n_buckets rows; the lam table is tiny and broadcast,
+    so the corpus stream pays a broadcast join plus the one real shuffle,
+    groupBy(id). No Python anywhere.
+
+    Output: (id_col, n_grams, dsir_logw) — select via a logw threshold
+    (or Gumbel top-k on md5 noise) downstream; this operator never sorts
+    globally.
+    """
+    from gnarly_spark.operators.dedup import normalize_text
+
+    m, sb = int(n_buckets), int(scale_bits)
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.cast("bigint").alias("tgt"),
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = (
+        w.where(F.size("w") >= 2)
+        .select(
+            "id",
+            "tgt",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(w, 1, size(w) - 1)").alias("p"),
+                    F.expr("slice(w, 2, size(w) - 1)").alias("c"),
+                )
+            ).alias("u"),
+        )
+        .select(
+            "id",
+            "tgt",
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(" ", "u.p", "u.c")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % m
+            ).alias("k"),
+        )
+    )
+    stats = grams.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum("tgt").cast("bigint").alias("cnt_t"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_r").cast("bigint").alias("r_tot"),
+        F.sum("cnt_t").cast("bigint").alias("t_tot"),
+    )
+    lam = stats.crossJoin(F.broadcast(totals)).select(
+        "k",
+        (
+            F.length(
+                F.bin(
+                    F.expr(
+                        f"greatest(((cnt_t + 1) * (((r_tot + {m}) * {1 << sb})"
+                        f" div (t_tot + {m}))) div (cnt_r + 1), 1)"
+                    )
+                )
+            )
+            - 1
+            - sb
+        )
+        .cast("bigint")
+        .alias("lam"),
+    )
+    per = (
+        grams.join(F.broadcast(lam), "k")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lam").cast("bigint").alias("logw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("logw", F.lit(0).cast("bigint")).alias("dsir_logw"),
+        )
+    )

@@ -1092,3 +1092,75 @@ def test_semdedup_incremental_reingested_id_not_its_own_dup(spark):
     ).toPandas()
     assert not ((got.new_id == got.dup_of)).any()
     assert set(map(tuple, got[["new_id", "dup_of"]].values.tolist())) == {(1, 2)}
+
+
+def test_dsir_weights_match_python_reference_and_rank_target(spark):
+    """dsir_weights is bit-identical to a direct Python evaluation of the
+    integer formula, and a raw doc written in the target domain's
+    vocabulary outweighs an off-domain one."""
+    import hashlib
+    from collections import Counter
+
+    from gnarly_spark.functions.text import dsir_weights
+
+    rows = [
+        # target exemplars: "science" vocabulary
+        (0, "the cell divides and the protein folds in the cell", True),
+        (1, "the protein folds and the cell divides again", True),
+        # raw, target-like
+        (2, "the cell divides while the protein folds", False),
+        # raw, off-domain
+        (3, "buy cheap pills now click here buy now", False),
+        # degenerate
+        (4, "one", False),
+        (5, "", False),
+    ]
+    m, sb = 1024, 20
+    grams = []
+    for i, text, tgt in rows:
+        w = [x for x in text.split(" ") if x]
+        for a, b in zip(w, w[1:]):
+            k = int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % m
+            grams.append((i, tgt, k))
+    cnt_r = Counter(k for _, _, k in grams)
+    cnt_t = Counter(k for _, g, k in grams if g)
+    big_r, big_t = len(grams), sum(1 for _, g, _ in grams if g)
+    c = ((big_r + m) << sb) // (big_t + m)
+    lam = {
+        k: max(((cnt_t.get(k, 0) + 1) * c) // (cnt_r[k] + 1), 1).bit_length()
+        - 1
+        - sb
+        for k in cnt_r
+    }
+    want = {}
+    for i, text, tgt in rows:
+        w = [x for x in text.split(" ") if x]
+        ks = [
+            int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % m
+            for a, b in zip(w, w[1:])
+        ]
+        want[i] = (len(ks), sum(lam[k] for k in ks))
+
+    df = spark.createDataFrame(
+        [(i, t, g) for i, t, g in rows], "doc_id long, text string, tgt boolean"
+    )
+    out = dsir_weights(df, F.col("tgt"), n_buckets=m, scale_bits=sb)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logw"]) for r in out.collect()
+    }
+    assert got == want
+    assert got[4] == (0, 0) and got[5] == (0, 0)
+    assert got[2][1] > got[3][1], "target-like doc must outweigh off-domain"
+
+
+def test_dsir_plan_broadcasts_lambda_no_python(spark):
+    from gnarly_spark.functions.text import dsir_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "c d e", False)],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = dsir_weights(df, F.col("tgt"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
