@@ -458,3 +458,103 @@ def web_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_pages"),
         F.count("host").alias("n_hosts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text census (operators/graph.py anchor_text_census)
+# ---------------------------------------------------------------------------
+
+_ANCHOR_PAGES_SQL = """
+    SELECT '<p>x</p>'
+             || '<a href="https://h' || CAST(event_id % 23 AS VARCHAR)
+                || '.example/p/' || CAST(event_id % 101 AS VARCHAR)
+                || '">w' || CAST(event_id % 13 AS VARCHAR)
+                || ' w' || CAST((event_id * 3) % 17 AS VARCHAR) || '</a>'
+             || CASE WHEN event_id % 3 = 0
+                     THEN '<a href=''https://h'
+                          || CAST((event_id * 7) % 23 AS VARCHAR)
+                          || '.example/q'' rel=nofollow>Page  '
+                          || CAST(event_id % 5 AS VARCHAR) || '</a>'
+                     ELSE '' END
+             || CASE WHEN event_id % 5 = 0
+                     THEN '<a href="/rel/skip">skip</a>' ELSE '' END
+             || CASE WHEN event_id % 7 = 0
+                     THEN '<a href="https://h' || CAST(event_id % 23 AS VARCHAR)
+                          || '.example/e"></a>' ELSE '' END AS html
+    FROM events
+"""
+
+
+def _anchor_pages_col() -> F.Column:
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    main = F.concat(
+        F.lit('<a href="https://h'), s(eid % 23), F.lit(".example/p/"),
+        s(eid % 101), F.lit('">w'), s(eid % 13), F.lit(" w"),
+        s((eid * 3) % 17), F.lit("</a>"),
+    )
+    second = F.when(
+        eid % 3 == 0,
+        F.concat(
+            F.lit("<a href='https://h"), s((eid * 7) % 23),
+            F.lit(".example/q' rel=nofollow>Page  "), s(eid % 5),
+            F.lit("</a>"),
+        ),
+    ).otherwise(F.lit(""))
+    rel = F.when(eid % 5 == 0, F.lit('<a href="/rel/skip">skip</a>')).otherwise(
+        F.lit("")
+    )
+    empty = F.when(
+        eid % 7 == 0,
+        F.concat(
+            F.lit('<a href="https://h'), s(eid % 23), F.lit('.example/e"></a>')
+        ),
+    ).otherwise(F.lit(""))
+    return F.concat(F.lit("<p>x</p>"), main, second, rel, empty)
+
+
+def _anchor_oracle() -> str:
+    from gnarly_spark.operators.graph import ATAG_RE, ATEXT_RE, HREF_RE, HOST_RE
+
+    tag_re = ATAG_RE.replace("'", "''")
+    href_re = HREF_RE.replace("'", "''")
+    return f"""
+    WITH pages AS ({_ANCHOR_PAGES_SQL}),
+    tags AS (SELECT unnest(regexp_extract_all(html, '{tag_re}', 0)) AS tag
+             FROM pages),
+    pairs AS (SELECT dst_url, anchor FROM (
+                SELECT regexp_extract(tag, '{href_re}', 1) AS dst_url,
+                       trim(regexp_replace(lower(
+                           regexp_extract(tag, '{ATEXT_RE}', 1)),
+                           '\\s+', ' ', 'g')) AS anchor
+                FROM tags)
+              WHERE regexp_extract(dst_url, '{HOST_RE}', 1) != ''
+                AND anchor != ''),
+    pa AS (SELECT dst_url, anchor, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    r AS (SELECT dst_url, anchor, n,
+                 row_number() OVER (PARTITION BY dst_url
+                                    ORDER BY n DESC, anchor DESC) AS rn,
+                 CAST(SUM(n) OVER (PARTITION BY dst_url) AS BIGINT)
+                     AS n_mentions,
+                 COUNT(*) OVER (PARTITION BY dst_url) AS n_anchor_forms
+          FROM pa)
+    SELECT dst_url, n_mentions, n_anchor_forms, anchor AS top_anchor,
+           n AS top_n
+    FROM r WHERE rn = 1
+    """
+
+
+@register("web_anchor_text", _anchor_oracle())
+def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text census over synthesized crawl pages (operators/graph.py
+    anchor_text_census): per link target, mention count, distinct
+    normalized phrasings, and the dominant phrasing — the web's own
+    description of each page. Relative hrefs and empty anchors drop;
+    anchor text is whitespace-normalized + lowercased; the dominant
+    phrasing is a max(struct) partial aggregate, not a corpus window."""
+    from gnarly_spark.operators.graph import anchor_text_census
+
+    pages = _t(spark, sf_dir, "events").select(
+        _anchor_pages_col().alias("html")
+    )
+    return anchor_text_census(pages, html_col="html")

@@ -241,3 +241,56 @@ def link_census_read(reducer, ctx) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.sum("n_links").alias("n_links"))
     )
+
+
+# a whole anchor tag (href + text) — shared with catalog_graph.py's oracle
+ATAG_RE = """<a href=["'][^"']+["'][^>]*>[^<]*</a>"""
+ATEXT_RE = ">([^<]*)</a>"
+
+
+def anchor_text_census(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-target anchor-text aggregation — the classic search/crawl
+    signal (how the WEB describes a page, vs how the page describes
+    itself): for every absolute link target, the mention count, the number
+    of distinct normalized anchor phrasings, and the dominant phrasing.
+    Training-data uses: query-document pairs for retrieval corpora, weak
+    labels/titles for pages whose own text is boilerplate, and link-farm
+    detection (thousands of mentions, one phrasing).
+
+    Scale shape: tag extraction is map-only JVM (regexp_extract_all +
+    explode, same as extract_links — no Python touches HTML); the one
+    corpus-sized shuffle is groupBy(dst, anchor) with map-side partial
+    aggregation; the per-target rollup then runs on the collapsed
+    relation. The dominant phrasing is max(struct(n, anchor)) — a partial
+    aggregate, never a window over the corpus. Relative hrefs and empty
+    anchor texts are dropped (same absolute-URL rule as extract_links).
+
+    Output: (dst_url, n_mentions, n_anchor_forms, top_anchor, top_n);
+    ties on count break to the lexicographically LAST phrasing (max of
+    the (n, anchor) struct) — deterministic in any engine.
+    """
+    from gnarly_spark.operators.dedup import normalize_text
+
+    tags = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ATAG_RE), 0)
+        ).alias("tag")
+    )
+    pairs = tags.select(
+        F.regexp_extract("tag", HREF_RE, 1).alias("dst_url"),
+        normalize_text(F.regexp_extract("tag", ATEXT_RE, 1)).alias("anchor"),
+    ).where((host_of(F.col("dst_url")) != "") & (F.col("anchor") != ""))
+    pa = pairs.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return pa.groupBy("dst_url").agg(
+        F.sum("n").cast("bigint").alias("n_mentions"),
+        F.count(F.lit(1)).alias("n_anchor_forms"),
+        F.max(F.struct("n", "anchor")).alias("_t"),
+    ).select(
+        "dst_url",
+        "n_mentions",
+        "n_anchor_forms",
+        F.col("_t.anchor").alias("top_anchor"),
+        F.col("_t.n").alias("top_n"),
+    )

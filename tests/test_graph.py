@@ -220,3 +220,45 @@ def test_link_census_reducer_incremental_matches_batch(spark, tmp_path):
         ("s2.example", "a.x"): 1,
         ("s4.example", "b.x"): 3,
     }
+
+
+def test_anchor_text_census_hand_computed(spark):
+    """Normalization collapses phrasings, ties break to the lexicographic
+    max, relative hrefs and empty anchors drop."""
+    from gnarly_spark.operators.graph import anchor_text_census
+
+    pages = spark.createDataFrame(
+        [
+            ('<a href="https://t.example/a">Good  Page</a>',),
+            ("<a href='https://t.example/a'>good page</a>",),
+            ('<a href="https://t.example/a">other</a>',),
+            ('<a href="https://t.example/b">x</a>'
+             '<a href="https://t.example/b">y</a>',),
+            ('<a href="/rel">skip</a><a href="https://t.example/c"></a>',),
+        ],
+        "html string",
+    )
+    got = {
+        r["dst_url"]: (
+            r["n_mentions"], r["n_anchor_forms"], r["top_anchor"], r["top_n"]
+        )
+        for r in anchor_text_census(pages).collect()
+    }
+    assert got == {
+        "https://t.example/a": (3, 2, "good page", 2),
+        "https://t.example/b": (2, 2, "y", 1),  # tie -> lexicographic max
+    }
+
+
+def test_anchor_text_census_plan_no_python_no_window(spark):
+    from gnarly_spark.operators.graph import anchor_text_census
+
+    pages = spark.createDataFrame(
+        [('<a href="https://t.example/a">x</a>',)], "html string"
+    )
+    plan = (
+        anchor_text_census(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, "dominant phrasing must be a partial agg"
