@@ -558,3 +558,106 @@ def web_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _anchor_pages_col().alias("html")
     )
     return anchor_text_census(pages, html_col="html")
+
+
+# ---------------------------------------------------------------------------
+# Robots-policy gate (functions/url.py robots_filter)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_URLS_SQL = """
+    SELECT DISTINCT 'https://h' || CAST(event_id % 23 AS VARCHAR)
+        || '.example'
+        || CASE event_id % 4
+             WHEN 0 THEN '/p/' || CAST(event_id % 101 AS VARCHAR)
+             WHEN 1 THEN '/admin/x' || CAST(event_id % 7 AS VARCHAR)
+             WHEN 2 THEN '/admin/pub/y'
+             ELSE '/q' END AS url
+    FROM events
+"""
+
+_ROBOTS_RULES_SQL = """
+    SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+           '/admin' AS prefix, FALSE AS allow
+    FROM nation WHERE n_nationkey < 23
+    UNION ALL
+    SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example',
+           '/admin/pub', TRUE
+    FROM nation WHERE n_nationkey < 23 AND n_nationkey % 3 = 0
+    UNION ALL
+    SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example', '/', FALSE
+    FROM nation WHERE n_nationkey < 23 AND n_nationkey % 5 = 0
+"""
+
+
+def _robots_urls_col() -> F.Column:
+    eid = F.col("event_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    path = (
+        F.when(eid % 4 == 0, F.concat(F.lit("/p/"), s(eid % 101)))
+        .when(eid % 4 == 1, F.concat(F.lit("/admin/x"), s(eid % 7)))
+        .when(eid % 4 == 2, F.lit("/admin/pub/y"))
+        .otherwise(F.lit("/q"))
+    )
+    return F.concat(F.lit("https://h"), s(eid % 23), F.lit(".example"), path)
+
+
+def _robots_rules_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select(
+        F.concat(
+            F.lit("h"), F.col("n_nationkey").cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.col("n_nationkey").alias("k"),
+    ).where(F.col("k") < 23)
+    deny_admin = n.select("host", F.lit("/admin").alias("prefix"),
+                          F.lit(False).alias("allow"))
+    allow_pub = n.where(F.col("k") % 3 == 0).select(
+        "host", F.lit("/admin/pub").alias("prefix"), F.lit(True).alias("allow")
+    )
+    deny_all = n.where(F.col("k") % 5 == 0).select(
+        "host", F.lit("/").alias("prefix"), F.lit(False).alias("allow")
+    )
+    return deny_admin.unionByName(allow_pub).unionByName(deny_all)
+
+
+@register(
+    "web_robots_filter",
+    f"""
+    WITH urls AS ({_ROBOTS_URLS_SQL}),
+    u AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+          FROM urls),
+    rules AS ({_ROBOTS_RULES_SQL}),
+    cand AS (SELECT u.url, r.prefix, r.allow,
+                    CASE WHEN r.prefix IS NULL THEN NULL
+                         ELSE length(r.prefix) END AS l
+             FROM u LEFT JOIN rules r
+               ON r.host = u.host AND starts_with(u.path, r.prefix)),
+    best AS (SELECT url, prefix, allow,
+                    row_number() OVER (PARTITION BY url
+                        ORDER BY l DESC NULLS LAST,
+                                 CAST(allow AS INT) DESC,
+                                 prefix DESC) AS rn
+             FROM cand)
+    SELECT url, COALESCE(allow, TRUE) AS allowed,
+           prefix AS matched_prefix
+    FROM best WHERE rn = 1
+    """,
+)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-policy verdicts (functions/url.py robots_filter — RFC 9309
+    longest-prefix-match, allow wins ties, no rule = allowed) over
+    synthesized crawl URLs with a nation-derived per-host rules corpus:
+    /admin denied everywhere, /admin/pub re-allowed on every third host,
+    every fifth host denied outright. The Spark side is map-only (per-host
+    rule arrays broadcast, array_max verdict — zero corpus shuffles); the
+    oracle takes the join+window shape (same answer, test-scale only)."""
+    from gnarly_spark.functions.url import robots_filter
+
+    urls = (
+        _t(spark, sf_dir, "events")
+        .select(_robots_urls_col().alias("url"))
+        .distinct()
+    )
+    return robots_filter(urls, _robots_rules_df(spark, sf_dir)).select(
+        "url", "allowed", "matched_prefix"
+    )

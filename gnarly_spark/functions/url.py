@@ -310,3 +310,67 @@ def registrable_domain_sql(
         WHEN {l3} IN ({s3}) THEN (CASE WHEN {l4} != '' THEN {l4} END)
         WHEN {l2} IN ({s2}) THEN (CASE WHEN {l3} != '' THEN {l3} END)
         ELSE {l2} END"""
+
+
+# ---------------------------------------------------------------------------
+# Robots-policy filter (longest-prefix-match allow/deny)
+# ---------------------------------------------------------------------------
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Crawl-policy gate: annotate every URL with the robots.txt-style
+    verdict of its host's rules — the compliance step a training-data
+    pipeline runs before a page may enter the corpus (REP, RFC 9309:
+    the LONGEST matching path prefix wins; on a length tie, allow wins;
+    no matching rule means allowed).
+
+    ``rules``: (host, prefix, allow boolean) — one row per directive,
+    i.e. a parsed robots.txt corpus for the '*' agent.
+
+    Scale shape: rules collapse to ONE array row per host (a tiny
+    aggregation — real robots files average dozens of directives), which
+    broadcast-joins onto the URL stream; the verdict is then pure map-side
+    JVM: filter the host's rule array to prefix matches and take
+    ``array_max`` over (prefix_length, allow) structs. ZERO corpus
+    shuffles — 10^10 URLs are gated in a single scan, vs the join+window
+    formulation that would shuffle the corpus twice (the DuckDB oracle
+    uses that shape; same answer, wrong plan at scale).
+
+    Output: input columns + (allowed boolean, matched_prefix string|null).
+    """
+    host = url_host(F.col(url_col))
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    ra = rules.groupBy(F.col("host").alias("_rhost")).agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("_rules")
+    )
+    j = (
+        urls.withColumn("_host", host)
+        .withColumn("_path", path)
+        .join(F.broadcast(ra), F.col("_host") == F.col("_rhost"), "left")
+    )
+    best = F.array_max(
+        F.expr(
+            "transform(filter(_rules, r -> startswith(_path, r.prefix)),"
+            " r -> struct(length(r.prefix) AS l, CAST(r.allow AS INT) AS a,"
+            " r.prefix AS p))"
+        )
+    )
+    return (
+        j.withColumn("_best", best)
+        .withColumn(
+            "allowed",
+            F.coalesce(F.col("_best.a") == 1, F.lit(True)),
+        )
+        .withColumn("matched_prefix", F.col("_best.p"))
+        .drop("_host", "_path", "_rhost", "_rules", "_best")
+    )

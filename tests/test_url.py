@@ -166,3 +166,63 @@ def test_registrable_domain_plan_stays_jvm(spark):
     out = df.select(registrable_domain(F.col("host")).alias("d"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_robots_filter_longest_prefix_semantics(spark):
+    """RFC 9309 resolution: longest prefix wins, allow wins length ties,
+    no rule / no matching rule -> allowed."""
+    from gnarly_spark.functions.url import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("a.example", "/admin", False),
+            ("a.example", "/admin/pub", True),
+            ("a.example", "/tie", False),
+            ("a.example", "/tie", True),  # equal length: allow wins
+            ("b.example", "/", False),
+        ],
+        "host string, prefix string, allow boolean",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("https://a.example/admin/secret",),   # deny
+            ("https://a.example/admin/pub/x",),    # re-allowed, longer
+            ("https://a.example/open",),           # no matching rule
+            ("https://a.example/tie",),            # tie -> allow
+            ("https://b.example/anything",),       # deny-all host
+            ("https://c.example/x",),              # host without rules
+            ("https://b.example",),                # bare host -> path '/'
+        ],
+        "url string",
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        "https://a.example/admin/secret": (False, "/admin"),
+        "https://a.example/admin/pub/x": (True, "/admin/pub"),
+        "https://a.example/open": (True, None),
+        "https://a.example/tie": (True, "/tie"),
+        "https://b.example/anything": (False, "/"),
+        "https://c.example/x": (True, None),
+        "https://b.example": (False, "/"),
+    }
+
+
+def test_robots_filter_plan_broadcast_map_only(spark):
+    """The verdict is a broadcast join + map-side array fold: no shuffle
+    of the URL stream, no Python, no window."""
+    from gnarly_spark.functions.url import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.example", "/x", False)], "host string, prefix string, allow boolean"
+    )
+    urls = spark.createDataFrame([("https://a.example/x",)], "url string")
+    plan = (
+        robots_filter(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
