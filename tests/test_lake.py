@@ -984,7 +984,7 @@ def test_as_of_timestamp_and_metadata_tables(spark, tmp_path):
     assert _pdf(t.read(as_of=_time.time())).v.tolist() == [2, 1]
     with pytest.raises(ValueError, match="predates"):
         t.read(as_of=mid - 10_000)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         t.read(version=0, as_of=mid)
 
     snaps = {r.version: r for r in t.snapshots().collect()}
