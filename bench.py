@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_strip_spans",
     "sim_neardup_lsh",
     "sim_semdedup_pairs",
+    "web_registrable_domain",
+    "web_anchor_text",
+    "web_robots_filter",
+    "text_dsir_weights",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"
