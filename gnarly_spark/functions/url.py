@@ -342,14 +342,13 @@ def robots_filter(
 
     Output: input columns + (allowed boolean, matched_prefix string|null).
     """
-    host = url_host(F.col(url_col))
-    path = F.coalesce(
-        F.nullif(
-            F.regexp_extract(F.col(url_col), r"^[a-z]+://[^/]+(/.*)$", 1),
-            F.lit(""),
-        ),
-        F.lit("/"),
-    )
+    # host and path MUST come from the same URL grammar (_parts): a
+    # hand-rolled path regex with a narrower scheme rule fails OPEN — the
+    # host matches the rules row but the path misses, falls back to '/',
+    # and a deny rule never fires (caught in review on 'HTTPS://...').
+    p = _parts(F.col(url_col))
+    host = F.when(p["scheme"] != "", p["host"])
+    path = F.coalesce(F.nullif(p["rawpath"], F.lit("")), F.lit("/"))
     ra = rules.groupBy(F.col("host").alias("_rhost")).agg(
         F.collect_list(F.struct("prefix", "allow")).alias("_rules")
     )

@@ -192,6 +192,8 @@ def test_robots_filter_longest_prefix_semantics(spark):
             ("https://b.example/anything",),       # deny-all host
             ("https://c.example/x",),              # host without rules
             ("https://b.example",),                # bare host -> path '/'
+            ("HTTPS://a.example/admin/secret",),   # scheme case: same deny
+            ("  https://b.example/x",),            # leading ws: same deny
         ],
         "url string",
     )
@@ -207,6 +209,10 @@ def test_robots_filter_longest_prefix_semantics(spark):
         "https://b.example/anything": (False, "/"),
         "https://c.example/x": (True, None),
         "https://b.example": (False, "/"),
+        # host + path must share one grammar — a narrower path regex
+        # fails OPEN on these (review finding)
+        "HTTPS://a.example/admin/secret": (False, "/admin"),
+        "  https://b.example/x": (False, "/"),
     }
 
 

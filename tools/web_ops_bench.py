@@ -6,7 +6,7 @@ What it measures (fresh plan per timed run, best of N):
                           broadcast lam + groupBy(id))
   2. anchor_text_census — 3M pages x ~3 anchors (regexp explode +
                           two-level agg)
-  3. robots_filter      — 10M urls vs a 50k-directive rules corpus
+  3. robots_filter      — 10M urls vs 50k hosts / ~67k directives
                           (broadcast arrays, map-only verdict)
   4. registrable_domain — 10M hosts (regexp + InSet suffix resolution)
 
@@ -125,10 +125,10 @@ def main():
         out.agg(F.sum(F.col("allowed").cast("long"))).collect()
 
     def run_domain():
+        from gnarly_spark.operators.graph import host_of
+
         out = urls(spark).select(
-            registrable_domain(
-                F.regexp_extract("url", "^https?://([^/]+)", 1)
-            ).alias("d")
+            registrable_domain(host_of(F.col("url"))).alias("d")
         )
         out.groupBy("d").count().agg(F.count(F.lit(1))).collect()
 
