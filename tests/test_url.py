@@ -232,3 +232,71 @@ def test_robots_filter_plan_broadcast_map_only(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HOSTS = ["a.example", "b.example"]
+_PREFIXES = ["/", "/a", "/a/b", "/ab", "/b"]
+_PATHS = ["", "/a", "/a/b/c", "/ab", "/abx", "/b", "/x"]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_robots_filter_matches_python_resolver(spark, data):
+    """Property: verdicts equal a direct Python RFC 9309 resolver
+    (longest matching prefix; duplicate-prefix tie -> allow; no match ->
+    allowed) on arbitrary small rule/url sets."""
+    from gnarly_spark.functions.url import robots_filter
+
+    rules = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_HOSTS),
+                st.sampled_from(_PREFIXES),
+                st.booleans(),
+            ),
+            min_size=0,
+            max_size=8,
+        )
+    )
+    urls = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(_HOSTS), st.sampled_from(_PATHS)),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+
+    def resolve(host, path):
+        path = path or "/"
+        cand = [
+            (len(p), a, p) for h, p, a in rules
+            if h == host and path.startswith(p)
+        ]
+        if not cand:
+            return True, None
+        ln, a, p = max(cand)
+        return bool(a), p
+
+    want = {
+        f"https://{h}{p}": resolve(h, p) for h, p in urls
+    }
+    rules_df = spark.createDataFrame(
+        rules or [("zz.example", "/", True)],  # empty draw: unrelated host
+        "host string, prefix string, allow boolean",
+    )
+    urls_df = spark.createDataFrame(
+        [(f"https://{h}{p}",) for h, p in urls], "url string"
+    )
+    got = {
+        r["url"]: (r["allowed"], r["matched_prefix"])
+        for r in robots_filter(urls_df, rules_df).collect()
+    }
+    assert got == want
