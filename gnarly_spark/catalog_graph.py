@@ -661,3 +661,103 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_filter(urls, _robots_rules_df(spark, sf_dir)).select(
         "url", "allowed", "matched_prefix"
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed web-curation pipeline (robots -> domain -> anchor enrich)
+# ---------------------------------------------------------------------------
+
+
+def _web_curation_oracle() -> str:
+    from gnarly_spark.functions.url import registrable_domain_sql
+    from gnarly_spark.operators.graph import ATAG_RE, ATEXT_RE, HREF_RE, HOST_RE
+
+    tag_re = ATAG_RE.replace("'", "''")
+    href_re = HREF_RE.replace("'", "''")
+    return f"""
+    WITH urls AS ({_ROBOTS_URLS_SQL}),
+    u AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+          FROM urls),
+    rules AS ({_ROBOTS_RULES_SQL}),
+    cand AS (SELECT u.url, u.host, r.allow,
+                    CASE WHEN r.prefix IS NULL THEN NULL
+                         ELSE length(r.prefix) END AS l, r.prefix
+             FROM u LEFT JOIN rules r
+               ON r.host = u.host AND starts_with(u.path, r.prefix)),
+    best AS (SELECT url, host, allow,
+                    row_number() OVER (PARTITION BY url
+                        ORDER BY l DESC NULLS LAST,
+                                 CAST(allow AS INT) DESC,
+                                 prefix DESC) AS rn
+             FROM cand),
+    verdict AS (SELECT url, host, COALESCE(allow, TRUE) AS allowed
+                FROM best WHERE rn = 1),
+    apages AS ({_ANCHOR_PAGES_SQL}),
+    tags AS (SELECT unnest(regexp_extract_all(html, '{tag_re}', 0)) AS tag
+             FROM apages),
+    pairs AS (SELECT dst_url, anchor FROM (
+                SELECT regexp_extract(tag, '{href_re}', 1) AS dst_url,
+                       trim(regexp_replace(lower(
+                           regexp_extract(tag, '{ATEXT_RE}', 1)),
+                           '\\s+', ' ', 'g')) AS anchor
+                FROM tags)
+              WHERE regexp_extract(dst_url, '{HOST_RE}', 1) != ''
+                AND anchor != ''),
+    cens AS (SELECT dst_url AS url, CAST(COUNT(*) AS BIGINT) AS n_mentions
+             FROM pairs GROUP BY 1),
+    jm AS (SELECT v.url, v.host, v.allowed, c.n_mentions
+           FROM verdict v LEFT JOIN cens c USING (url)),
+    d AS (SELECT *, {registrable_domain_sql("host")} AS domain FROM jm)
+    SELECT domain,
+           COUNT(*) AS n_urls,
+           CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_allowed,
+           CAST(COUNT(CASE WHEN allowed AND n_mentions IS NOT NULL
+                           THEN TRUE END) AS BIGINT) AS n_mentioned,
+           CAST(SUM(CASE WHEN allowed THEN COALESCE(n_mentions, 0)
+                         ELSE 0 END) AS BIGINT) AS inbound_mentions
+    FROM d GROUP BY domain
+    """
+
+
+@register("pipeline_web_curation", _web_curation_oracle())
+def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's web ops COMPOSED, per-domain: crawl URLs -> robots
+    verdicts (broadcast map-only gate) -> inbound anchor-mention enrich
+    (census join on the canonical target) -> registrable-domain rollup
+    (pages / allowed / externally-mentioned / total inbound mentions) —
+    the crawl-side twin of pipeline_training_corpus: each stage is the
+    already-oracle-checked operator; this row proves the joins stay on
+    url, the rules relation broadcasts (the census side is corpus-sized
+    at crawl scale — AQE picks broadcast here, shuffle-hash there), and
+    nothing recomputes the page stream twice."""
+    from gnarly_spark.functions.url import (
+        registrable_domain,
+        robots_filter,
+        url_host,
+    )
+    from gnarly_spark.operators.graph import anchor_text_census
+
+    ev = _t(spark, sf_dir, "events")
+    urls = ev.select(_robots_urls_col().alias("url")).distinct()
+    verdicts = robots_filter(urls, _robots_rules_df(spark, sf_dir))
+    census = anchor_text_census(
+        ev.select(_anchor_pages_col().alias("html"))
+    ).select(F.col("dst_url").alias("url"), "n_mentions")
+    j = verdicts.join(census, "url", "left").withColumn(
+        "domain", registrable_domain(url_host(F.col("url")))
+    )
+    return j.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum(F.col("allowed").cast("bigint")).cast("bigint").alias("n_allowed"),
+        F.count(
+            F.when(F.col("allowed") & F.col("n_mentions").isNotNull(), True)
+        ).alias("n_mentioned"),
+        F.sum(
+            F.when(F.col("allowed"), F.coalesce("n_mentions", F.lit(0)))
+            .otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("inbound_mentions"),
+    )
