@@ -1047,58 +1047,18 @@ def write_shards(
     return n_shards
 
 
-def dsir_weights(
+def _dsir_grams(
     docs: DataFrame,
     is_target,
-    n_buckets: int = 1024,
-    scale_bits: int = 20,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
 ) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): score every raw doc by
-    how target-like its hashed-bigram distribution is, the standard
-    domain-matching selection step between quality gates and mixture
-    sampling (select by weight, then `mixture_sample` the survivors).
-
-    Bag-of-hashed-bigrams with ``n_buckets`` buckets (md5-derived, the
-    repo's engine-portable hash); per-bucket integer log2 importance
-
-        lam(k) = floor(log2( p_t(k) / p_r(k) ))   (add-1 smoothed)
-
-    computed exactly as
-
-        C   = ((R + m) << scale_bits) div (T + m)     -- corpus scalar
-        lam = len(bin(max((cnt_t+1) * C div (cnt_r+1), 1))) - 1 - scale_bits
-
-    so, like unigram_surprisal's bin-length trick, every op is integer
-    and the score is bit-identical across engines; a doc's log-weight is
-    the sum of its bigrams' lam values. True float log-ratios differ in
-    the last ULP across engines and are not oracle-checkable; integer
-    log2 buckets preserve the ranking DSIR actually thresholds on.
-
-    ``is_target`` is a boolean Column marking the target-domain exemplar
-    docs (they stay in the raw estimate too — DSIR fits q on the full
-    crawl). Docs with <2 tokens get (0, 0).
-
-    Integer-range bound: (R + m) << scale_bits must fit int64, so with
-    scale_bits=20 the corpus may hold up to 2^43 ≈ 8.8e12 bigrams; at
-    100 TB (~10^13 tokens) drop scale_bits to 16 (precision is still
-    1/65536 of a log2) or compute C once driver-side in Python ints.
-
-    Scale shape: bigrams are map-only (split + slice + arrays_zip, the
-    bigram_surprisal shape); bucket stats are ONE partial-agg groupBy
-    collapsing to n_buckets rows; the lam table is tiny and broadcast,
-    so the corpus stream pays a broadcast join plus the one real shuffle,
-    groupBy(id). No Python anywhere.
-
-    Output: (id_col, n_grams, dsir_logw) — select via a logw threshold
-    (or Gumbel top-k on md5 noise) downstream; this operator never sorts
-    globally.
-    """
+    """(id, tgt, k): one row per bigram, k = hashed bucket. Map-only
+    (split + slice + arrays_zip + md5); cheaper to recompute than to
+    checkpoint (BENCH.md round-3 lineage A/B)."""
     from gnarly_spark.operators.dedup import normalize_text
 
-    m, sb = int(n_buckets), int(scale_bits)
     w = docs.select(
         F.col(id_col).alias("id"),
         is_target.cast("bigint").alias("tgt"),
@@ -1106,7 +1066,7 @@ def dsir_weights(
             F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
         ).alias("w"),
     )
-    grams = (
+    return (
         w.where(F.size("w") >= 2)
         .select(
             "id",
@@ -1127,19 +1087,47 @@ def dsir_weights(
                     16,
                     10,
                 ).cast("long")
-                % m
+                % int(n_buckets)
             ).alias("k"),
         )
     )
-    stats = grams.groupBy("k").agg(
+
+
+def dsir_bucket_stats(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-bucket bigram counts (k, cnt_r, cnt_t) — the sufficient
+    statistic of DSIR's two hashed bag-of-ngrams models. ABELIAN (counts
+    sum), so per-batch stats fold into corpus stats exactly; one
+    partial-agg groupBy collapsing to n_buckets rows."""
+    return _dsir_grams(docs, is_target, n_buckets, text_col, id_col).groupBy(
+        "k"
+    ).agg(
         F.count(F.lit(1)).alias("cnt_r"),
         F.sum("tgt").cast("bigint").alias("cnt_t"),
     )
+
+
+def dsir_lam(
+    stats: DataFrame, n_buckets: int = 1024, scale_bits: int = 20
+) -> DataFrame:
+    """(k, lam) integer log2 importance table from bucket stats:
+
+        C   = ((R + m) << scale_bits) div (T + m)     -- corpus scalar
+        lam = len(bin(max((cnt_t+1) * C div (cnt_r+1), 1))) - 1 - scale_bits
+
+    All-integer (bin-length log2) -> bit-identical across engines. Tiny
+    (n_buckets rows); broadcast it into scoring."""
+    m, sb = int(n_buckets), int(scale_bits)
     totals = stats.agg(
         F.sum("cnt_r").cast("bigint").alias("r_tot"),
         F.sum("cnt_t").cast("bigint").alias("t_tot"),
     )
-    lam = stats.crossJoin(F.broadcast(totals)).select(
+    return stats.crossJoin(F.broadcast(totals)).select(
         "k",
         (
             F.length(
@@ -1156,6 +1144,22 @@ def dsir_weights(
         .cast("bigint")
         .alias("lam"),
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lam: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score docs against a (k, lam) table: (id_col, n_grams, dsir_logw).
+    One broadcast join + the groupBy(id) shuffle; docs with <2 tokens get
+    (0, 0). The lam table may come from `dsir_lam` over whole-corpus
+    stats OR over incrementally-folded reducer stats — same scores."""
+    grams = _dsir_grams(
+        docs, F.lit(False), n_buckets, text_col, id_col
+    ).drop("tgt")
     per = (
         grams.join(F.broadcast(lam), "k")
         .groupBy("id")
@@ -1171,5 +1175,111 @@ def dsir_weights(
             id_col,
             F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
             F.coalesce("logw", F.lit(0).cast("bigint")).alias("dsir_logw"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target,
+    n_buckets: int = 1024,
+    scale_bits: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc by
+    how target-like its hashed-bigram distribution is, the standard
+    domain-matching selection step between quality gates and mixture
+    sampling (select by weight, then `mixture_sample` the survivors).
+
+    Composition of the three stages above (stats -> lam -> score) over
+    one corpus: bag-of-hashed-bigrams with ``n_buckets`` buckets
+    (md5-derived, the repo's engine-portable hash); per-bucket integer
+    log2 importance lam(k) ~= floor(log2(p_t(k) / p_r(k))) (add-1
+    smoothed, exact integer formulation in `dsir_lam`), so, like
+    unigram_surprisal's bin-length trick, every op is integer and the
+    score is bit-identical across engines; a doc's log-weight is the sum
+    of its bigrams' lam values. True float log-ratios differ in the last
+    ULP across engines and are not oracle-checkable; integer log2
+    buckets preserve the ranking DSIR actually thresholds on.
+
+    ``is_target`` is a boolean Column marking the target-domain exemplar
+    docs (they stay in the raw estimate too — DSIR fits q on the full
+    crawl). Docs with <2 tokens get (0, 0).
+
+    Integer-range bound: (R + m) << scale_bits must fit int64, so with
+    scale_bits=20 the corpus may hold up to 2^43 ≈ 8.8e12 bigrams; at
+    100 TB (~10^13 tokens) drop scale_bits to 16 (precision is still
+    1/65536 of a log2) or compute C once driver-side in Python ints.
+
+    Scale shape: bigrams are map-only (the bigram_surprisal shape);
+    bucket stats are ONE partial-agg groupBy collapsing to n_buckets
+    rows; the lam table is tiny and broadcast, so the corpus stream pays
+    a broadcast join plus the one real shuffle, groupBy(id). No Python
+    anywhere. For the INCREMENTAL variant (stats folded per micro-batch
+    from the CDC feed), see `dsir_stats_reducer`.
+
+    Output: (id_col, n_grams, dsir_logw) — select via a logw threshold
+    (or Gumbel top-k on md5 noise) downstream; this operator never sorts
+    globally.
+    """
+    stats = dsir_bucket_stats(docs, is_target, n_buckets, text_col, id_col)
+    lam = dsir_lam(stats, n_buckets, scale_bits)
+    return dsir_score(docs, lam, n_buckets, text_col, id_col)
+
+
+def dsir_stats_reducer(
+    is_target,
+    text_of=None,
+    name: str = "dsir_stats",
+    n_buckets: int = 1024,
+):
+    """Pipeline integration: an AppendReducer that maintains DSIR's
+    bucket statistics INCREMENTALLY as crawls stream through the CDC
+    engine — each micro-batch appends the (k, cnt_r, cnt_t) collapse of
+    its own insert/update pages (O(batch) work, <= n_buckets rows per
+    batch), and ``dsir_stats_read`` folds them into corpus stats for
+    `dsir_lam`. Scoring a new batch is then O(batch) with the lam table
+    broadcast — the corpus is never re-read.
+
+    Semantics: observational, like link_census_reducer — a crawl that
+    happened contributes its n-grams even if a later reorg reverts the
+    page state (reorgs don't un-crawl); deletes carry no text and add
+    nothing; refires no-op via AppendReducer's batch-path guard.
+
+    ``is_target``: boolean Column over the changelog row (e.g.
+    ``F.col("lang") == "en"``). ``text_of``: Column producing the doc
+    text (default: decode the html payload)."""
+    from gnarly_spark.reducers import AppendReducer
+
+    def project(batch: DataFrame) -> DataFrame:
+        pages = batch.where(F.col("op").isin("insert", "update")).select(
+            F.col("url").alias("doc_id"),
+            (
+                text_of if text_of is not None else F.col("html").cast("string")
+            ).alias("text"),
+            is_target.alias("tgt"),
+        )
+        return dsir_bucket_stats(pages, F.col("tgt"), n_buckets)
+
+    return AppendReducer(
+        name=name,
+        project=project,
+        schema="k bigint, cnt_r bigint, cnt_t bigint",
+    )
+
+
+def dsir_stats_read(reducer, ctx) -> DataFrame:
+    """Current corpus bucket stats: fold the per-batch partials (counts
+    are abelian, so per-batch collapse then re-sum equals one global
+    collapse — proven in pytest against `dsir_bucket_stats` over the
+    full crawl)."""
+    return (
+        reducer.read(ctx)
+        .groupBy("k")
+        .agg(
+            F.sum("cnt_r").cast("bigint").alias("cnt_r"),
+            F.sum("cnt_t").cast("bigint").alias("cnt_t"),
         )
     )

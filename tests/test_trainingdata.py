@@ -1164,3 +1164,85 @@ def test_dsir_plan_broadcasts_lambda_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_stats_reducer_incremental_matches_batch(spark, tmp_path):
+    """Drain a changelog through the pipeline in 3 micro-batches (one
+    refired): folded per-batch DSIR stats must equal one-shot
+    dsir_bucket_stats over all insert/update pages, and scoring with the
+    incremental lam table must equal the one-corpus dsir_weights."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.functions.text import (
+        dsir_bucket_stats,
+        dsir_lam,
+        dsir_score,
+        dsir_stats_read,
+        dsir_stats_reducer,
+        dsir_weights,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    texts = [
+        ("the cell divides and the protein folds", "en"),
+        ("buy cheap pills now buy now", "xx"),
+        ("the protein folds in the cell again", "en"),
+        ("", "en"),                      # no grams
+        ("cheap pills cheap pills", "xx"),
+        ("the cell divides again", "en"),
+    ]
+
+    def ev(seq, op, text, lang):
+        return dict(
+            op_seq=seq, block_id=seq // 2, block_hash=str(seq // 2),
+            parent_hash=str(seq // 2 - 1), op=op,
+            url=f"https://s{seq}.example/p",
+            warc_ts=pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=seq),
+            html=text.encode(), lang=lang,
+            revert_of_block=None, reason=None,
+        )
+
+    rows = [
+        ev(i, "insert" if i != 3 else "delete", t, lg)
+        for i, (t, lg) in enumerate(texts)
+    ]
+    log = pd.DataFrame(rows)
+    red = dsir_stats_reducer(is_target=F.col("lang") == "en", n_buckets=64)
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[red])
+    for i, lo in enumerate(range(0, 6, 2)):
+        p.process_batch(
+            spark.createDataFrame(log.iloc[lo:lo + 2], schema=CHANGELOG_DDL), i
+        )
+    p.process_batch(  # refire: batch-path guard must no-op
+        spark.createDataFrame(log.iloc[2:4], schema=CHANGELOG_DDL), 1
+    )
+
+    crawled = spark.createDataFrame(
+        [
+            (f"https://s{i}.example/p", t, lg == "en")
+            for i, (t, lg) in enumerate(texts)
+            if i != 3  # the delete never contributed
+        ],
+        "doc_id string, text string, tgt boolean",
+    )
+    inc = {
+        r["k"]: (r["cnt_r"], r["cnt_t"])
+        for r in dsir_stats_read(red, p).collect()
+    }
+    direct = {
+        r["k"]: (r["cnt_r"], r["cnt_t"])
+        for r in dsir_bucket_stats(crawled, F.col("tgt"), 64).collect()
+    }
+    assert inc == direct and inc, "incremental stats != one-shot stats"
+
+    lam = dsir_lam(dsir_stats_read(red, p), 64)
+    inc_scores = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logw"])
+        for r in dsir_score(crawled, lam, 64).collect()
+    }
+    full_scores = {
+        r["doc_id"]: (r["n_grams"], r["dsir_logw"])
+        for r in dsir_weights(crawled, F.col("tgt"), n_buckets=64).collect()
+    }
+    assert inc_scores == full_scores
