@@ -761,3 +761,96 @@ def pipeline_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("inbound_mentions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing (functions/url.py parse_robots)
+# ---------------------------------------------------------------------------
+
+_ROBOTS_BODY_SQL = """
+    SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+           '# crawler policy' || chr(10)
+           || 'User-agent: googlebot' || chr(10)
+           || 'Disallow: /g' || CAST(n_nationkey % 3 AS VARCHAR) || chr(10)
+           || 'User-Agent: *' || chr(10)
+           || 'Disallow: /admin   # inline' || chr(10)
+           || 'ALLOW: /admin/pub' || CAST(n_nationkey % 5 AS VARCHAR)
+              || chr(10)
+           || 'Disallow:' || chr(10)
+           || CASE WHEN n_nationkey % 2 = 0
+                   THEN 'User-agent: bingbot' || chr(10)
+                        || 'user-agent: *' || chr(10)
+                        || 'Disallow: /tmp' || chr(10)
+                   ELSE '' END AS body
+    FROM nation
+"""
+
+
+def _robots_body_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("n_nationkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = F.concat(
+        F.lit("# crawler policy\nUser-agent: googlebot\nDisallow: /g"),
+        s(k % 3),
+        F.lit("\nUser-Agent: *\nDisallow: /admin   # inline\nALLOW: /admin/pub"),
+        s(k % 5),
+        F.lit("\nDisallow:\n"),
+        F.when(
+            k % 2 == 0,
+            F.lit("User-agent: bingbot\nuser-agent: *\nDisallow: /tmp\n"),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("h"), s(k), F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+
+
+@register(
+    "web_parse_robots",
+    f"""
+    WITH f AS ({_ROBOTS_BODY_SQL}),
+    ls AS (SELECT host,
+                  string_split(regexp_replace(body, chr(13), '', 'g'),
+                               chr(10)) AS l
+           FROM f),
+    ln AS (SELECT host, u.pos AS pos, u.line AS line FROM (
+             SELECT host,
+                    unnest([struct_pack(pos := i, line := l[i])
+                            for i in range(1, len(l) + 1)]) AS u
+             FROM ls)),
+    c AS (SELECT host, pos,
+                 lower(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+                                      '^([A-Za-z-]+)\\s*:', 1)) AS nm,
+                 trim(regexp_extract(trim(regexp_replace(line, '#.*$', '')),
+                                     '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS val
+          FROM ln),
+    d AS (SELECT * FROM c
+          WHERE nm IN ('user-agent', 'allow', 'disallow')),
+    h AS (SELECT *, CASE WHEN nm = 'user-agent'
+                          AND COALESCE(lag(nm) OVER (PARTITION BY host
+                                                     ORDER BY pos),
+                                       '') != 'user-agent'
+                         THEN 1 ELSE 0 END AS hdr
+          FROM d),
+    g AS (SELECT *, CAST(SUM(hdr) OVER (PARTITION BY host ORDER BY pos)
+                         AS BIGINT) AS grp
+          FROM h),
+    star AS (SELECT DISTINCT host, grp FROM g
+             WHERE nm = 'user-agent' AND lower(val) = '*')
+    SELECT g.host, val AS prefix, nm = 'allow' AS allow
+    FROM g JOIN star USING (host, grp)
+    WHERE nm IN ('allow', 'disallow') AND val != ''
+    """,
+)
+def web_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing (functions/url.py parse_robots — RFC 9309
+    grouping: stacked User-agent headers share a group, '*'-groups only,
+    comments/case/empty-value rules) over nation-derived synthetic
+    bodies exercising every branch: a non-* group to skip, an inline
+    comment, case-varied directive names, an empty Disallow, and a
+    second '*' group on even hosts. Feeds robots_filter directly — the
+    raw-crawl-to-compliance-gate path end-to-end."""
+    from gnarly_spark.functions.url import parse_robots
+
+    return parse_robots(_robots_body_df(spark, sf_dir))

@@ -373,3 +373,66 @@ def robots_filter(
         .withColumn("matched_prefix", F.col("_best.p"))
         .drop("_host", "_path", "_rhost", "_rules", "_best")
     )
+
+
+def parse_robots(
+    files: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse raw robots.txt bodies into the (host, prefix, allow) rules
+    relation `robots_filter` consumes — the missing step between "crawled
+    /robots.txt" and "gated the corpus". RFC 9309 grouping: consecutive
+    User-agent lines form a group header; Allow/Disallow lines after
+    apply to every agent named in that header; only groups naming
+    ``agent`` (default '*') are kept. Comments (#...) strip, directive
+    names are case-insensitive, an empty path value is ignored (an empty
+    Disallow means "no restriction", not "deny nothing-prefix"), and
+    rules before any User-agent header belong to no group.
+
+    Scale shape: split + posexplode is map-only; the group assignment is
+    ONE window over (host, line-pos) — a robots file is ~10^2 lines, so
+    the per-host partition is tiny and 10^7 hosts parallelize on the
+    host hash; the header/rule join is per-host too. No Python.
+    """
+    from pyspark.sql import Window
+
+    lines = files.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias("pos", "line"),
+    )
+    clean = F.trim(F.regexp_replace("line", "#.*$", ""))
+    nm = F.lower(F.regexp_extract(clean, r"^([A-Za-z-]+)\s*:", 1))
+    val = F.trim(F.regexp_extract(clean, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+    d = lines.select(
+        "host", "pos", nm.alias("nm"), val.alias("val")
+    ).where(F.col("nm").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("pos")
+    g = d.withColumn(
+        "hdr",
+        (
+            (F.col("nm") == "user-agent")
+            & (F.coalesce(F.lag("nm").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("grp", F.sum("hdr").over(w))
+    star = (
+        g.where(F.col("nm") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max((F.lower(F.col("val")) == agent.lower()).cast("int")).alias(
+                "_hit"
+            )
+        )
+        .where(F.col("_hit") == 1)
+        .select("host", "grp")
+    )
+    return (
+        g.where(F.col("nm").isin("allow", "disallow") & (F.col("val") != ""))
+        .join(star, ["host", "grp"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("nm") == "allow").alias("allow"),
+        )
+    )

@@ -300,3 +300,61 @@ def test_robots_filter_matches_python_resolver(spark, data):
         for r in robots_filter(urls_df, rules_df).collect()
     }
     assert got == want
+
+
+def test_parse_robots_grouping_and_directives(spark):
+    """RFC 9309 grouping: stacked User-agent headers share one group,
+    comments strip, names are case-insensitive, empty path values drop,
+    rules before any header belong to no group, non-* groups are skipped."""
+    from gnarly_spark.functions.url import parse_robots
+
+    body_a = "\n".join([
+        "Disallow: /orphan",            # before any header: no group
+        "# policy",
+        "User-agent: googlebot",
+        "Disallow: /g",
+        "User-Agent: bingbot",          # stacked headers ...
+        "user-agent: *",                # ... '*' joins this group
+        "Disallow: /admin   # inline comment",
+        "ALLOW: /admin/pub",
+        "Disallow:",                    # empty value: ignored
+        "",
+        "User-agent: *",                # second '*' group
+        "Disallow: /tmp",
+    ])
+    body_b = "User-agent: duckbot\nDisallow: /x"   # no '*' group at all
+    files = spark.createDataFrame(
+        [("a.example", body_a), ("b.example", body_b)],
+        "host string, body string",
+    )
+    got = {
+        (r["host"], r["prefix"], r["allow"])
+        for r in parse_robots(files).collect()
+    }
+    assert got == {
+        ("a.example", "/admin", False),
+        ("a.example", "/admin/pub", True),
+        ("a.example", "/tmp", False),
+    }
+
+
+def test_parse_robots_feeds_robots_filter(spark):
+    """End-to-end compliance path: raw robots.txt -> parse -> gate."""
+    from gnarly_spark.functions.url import parse_robots, robots_filter
+
+    files = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /admin\nAllow: /admin/pub")],
+        "host string, body string",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.example/admin/x",), ("https://a.example/admin/pub/y",)],
+        "url string",
+    )
+    got = {
+        r["url"]: r["allowed"]
+        for r in robots_filter(urls, parse_robots(files)).collect()
+    }
+    assert got == {
+        "https://a.example/admin/x": False,
+        "https://a.example/admin/pub/y": True,
+    }
