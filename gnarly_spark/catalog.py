@@ -2442,3 +2442,49 @@ def cdc_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mv1 = index_bootstrap(t.read(v1))
     return maintain_index_mv(mv1, t.changelog(v1))
+
+
+@register(
+    "src_wet_roundtrip",
+    """
+    SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM documents
+    """,
+)
+def src_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET boundary end-to-end (sources/warc.py read_wet/write_warc
+    record_type='conversion' — Common Crawl's extracted-text flavor, the
+    file most text pipelines actually consume): documents render as
+    gzipped WET segments, read back through the conversion-record parser
+    + UTF-8 decode, and every row must survive byte-identically (text
+    md5, char count, microsecond WARC-Date). Oracle = the projection
+    straight off the documents table."""
+    import tempfile
+
+    from gnarly_spark.sources.warc import read_wet, write_warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.timestamp_add(
+            "SECOND",
+            F.col("doc_id"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_wet_")
+    write_warc(docs.repartition(4), work, compress=True, record_type="conversion")
+    back = read_wet(spark, f"{work}/*.warc.gz")
+    return back.select(
+        "url",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )

@@ -48,20 +48,33 @@ WARC_RECORD_DDL = (
 _DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"  # WARC 1.1 allows fractional seconds
 
 
-def warc_record_bytes(url: str, ts: datetime, payload: bytes) -> bytes:
-    """Render ONE WARC response record (ISO 28500 framing: version line,
-    named headers, blank line, Content-Length payload bytes, two CRLFs)."""
+#: WARC-Type -> payload Content-Type header (ISO 28500 / Common Crawl
+#: conventions: response = raw HTTP, conversion = WET extracted text,
+#: metadata = WAT JSON)
+_CONTENT_TYPES = {
+    "response": "application/http; msgtype=response",
+    "conversion": "text/plain",
+    "metadata": "application/json",
+}
+
+
+def warc_record_bytes(
+    url: str, ts: datetime, payload: bytes, record_type: str = "response"
+) -> bytes:
+    """Render ONE WARC record (ISO 28500 framing: version line, named
+    headers, blank line, Content-Length payload bytes, two CRLFs).
+    ``record_type='conversion'`` renders the WET (extracted-text) flavor."""
     import hashlib
 
     date = ts.strftime(_DATE_FMT)
     rec_id = hashlib.md5(f"{url}|{date}".encode()).hexdigest()  # deterministic
     head = (
         f"WARC/1.0\r\n"
-        f"WARC-Type: response\r\n"
+        f"WARC-Type: {record_type}\r\n"
         f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {date}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Type: {_CONTENT_TYPES[record_type]}\r\n"
         f"Content-Length: {len(payload)}\r\n"
         f"\r\n"
     ).encode()
@@ -75,6 +88,7 @@ def write_warc(
     ts_col: str = "warc_ts",
     payload_col: str = "payload",
     compress: bool = False,
+    record_type: str = "response",
 ) -> list[tuple[str, int]]:
     """Distributed WARC writer: each partition streams its rows into ONE
     segment file ``part-NNNNN.warc[.gz]`` under ``path`` (the Common-Crawl
@@ -121,7 +135,10 @@ def write_warc(
                     ):
                         sink.write(
                             warc_record_bytes(
-                                url, ts.to_pydatetime(), bytes(payload or b"")
+                                url,
+                                ts.to_pydatetime(),
+                                bytes(payload or b""),
+                                record_type,
                             )
                         )
                         n += 1
@@ -150,10 +167,14 @@ def _parse_warc_date(name: str, raw: str) -> datetime:
     raise ValueError(f"{name}: unparseable WARC-Date {raw!r}")
 
 
-def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
+def _parse_warc_bytes(
+    name: str, blob: bytes, record_type: str = "response"
+) -> Iterator[tuple]:
     """Yield (url, warc_ts, payload, file) from one WARC file's bytes.
     Framing walk: header block up to the blank line, Content-Length bytes
-    of payload, record separator. Tolerates \\n-only line endings."""
+    of payload, record separator. Tolerates \\n-only line endings. Only
+    records of ``record_type`` ('response' | 'conversion' | 'metadata')
+    are emitted — the framing walk still steps over every record."""
     if name.endswith(".gz"):
         blob = gzip.decompress(blob)  # multi-member safe
     i, n = 0, len(blob)
@@ -182,7 +203,7 @@ def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
         payload = blob[body_start : body_start + length]
         if len(payload) != length:
             raise ValueError(f"{name}: truncated payload at byte {body_start}")
-        if headers.get("warc-type") == "response":
+        if headers.get("warc-type") == record_type:
             yield (
                 headers["warc-target-uri"],
                 _parse_warc_date(name, headers["warc-date"]),
@@ -192,25 +213,49 @@ def _parse_warc_bytes(name: str, blob: bytes) -> Iterator[tuple]:
         i = body_start + length
 
 
-def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        rows = [
-            rec
-            for name, blob in zip(pdf["path"], pdf["content"])
-            for rec in _parse_warc_bytes(name, bytes(blob))
-        ]
-        if rows:
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "payload", "warc_file"]
-            )
+def _parse_files_for(record_type: str):
+    def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                rec
+                for name, blob in zip(pdf["path"], pdf["content"])
+                for rec in _parse_warc_bytes(name, bytes(blob), record_type)
+            ]
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "payload", "warc_file"]
+                )
+
+    return _parse_files
 
 
-def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+_parse_files = _parse_files_for("response")  # the historical default
+
+
+def read_warc(
+    spark: SparkSession, path_glob: str, record_type: str = "response"
+) -> DataFrame:
     """Batch scan of WARC segment files -> (url, warc_ts, payload,
     warc_file). One input row per file (binaryFile), parsed map-side."""
     files = spark.read.format("binaryFile").load(path_glob)
     return files.select("path", "content").mapInPandas(
-        _parse_files, WARC_RECORD_DDL
+        _parse_files_for(record_type), WARC_RECORD_DDL
+    )
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Batch scan of WET files (Common Crawl's extracted-text flavor:
+    ``WARC-Type: conversion`` records whose payload is UTF-8 plain text)
+    -> (url, warc_ts, text, warc_file). Most text-pipeline users consume
+    WET, not raw WARC — this is the direct path from a WET segment
+    listing to the `documents`-shaped curation operators (dedup, DSIR,
+    quality) without an HTML-extraction hop. Same binaryFile +
+    mapInPandas shape as read_warc; the decode is JVM-side."""
+    return read_warc(spark, path_glob, record_type="conversion").select(
+        "url",
+        "warc_ts",
+        F.decode("payload", "utf-8").alias("text"),
+        "warc_file",
     )
 
 

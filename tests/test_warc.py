@@ -186,3 +186,53 @@ def test_warc_crawl_drives_full_pipeline_end_to_end(spark, tmp_path):
         for r in winners.select("url", "warc_ts", "text").collect()
     }
     assert got == want and len(got) == 30
+
+
+def test_wet_roundtrip_and_type_isolation(spark, tmp_path):
+    """WET (conversion) records roundtrip through write_warc/read_wet;
+    a mixed-type file yields response records to read_warc and conversion
+    records to read_wet, never cross-contaminating."""
+    from datetime import datetime
+
+    from gnarly_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        warc_record_bytes,
+        write_warc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", datetime(2026, 1, 1), b"hello text"),
+            ("https://a.example/2", datetime(2026, 1, 2), "uni é".encode()),
+        ],
+        "url string, warc_ts timestamp_ntz, payload binary",
+    )
+    wet_dir = str(tmp_path / "wet")
+    write_warc(docs, wet_dir, compress=True, record_type="conversion")
+    back = {
+        r["url"]: r["text"]
+        for r in read_wet(spark, f"{wet_dir}/*.warc.gz").collect()
+    }
+    assert back == {
+        "https://a.example/1": "hello text",
+        "https://a.example/2": "uni é",
+    }
+    # read_warc (response) must see NOTHING in a conversion-only file
+    assert read_warc(spark, f"{wet_dir}/*.warc.gz").count() == 0
+
+    # hand-build a mixed file: one response + one conversion record
+    mixed = tmp_path / "mixed" ; mixed.mkdir()
+    blob = warc_record_bytes(
+        "https://m.example/r", datetime(2026, 1, 3), b"<html>r</html>"
+    ) + warc_record_bytes(
+        "https://m.example/c", datetime(2026, 1, 3), b"r text", "conversion"
+    )
+    (mixed / "part-00000.warc").write_bytes(blob)
+    glob = f"{mixed}/*.warc"
+    assert [r["url"] for r in read_warc(spark, glob).collect()] == [
+        "https://m.example/r"
+    ]
+    assert [r["url"] for r in read_wet(spark, glob).collect()] == [
+        "https://m.example/c"
+    ]
