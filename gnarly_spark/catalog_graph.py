@@ -854,3 +854,85 @@ def web_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gnarly_spark.functions.url import parse_robots
 
     return parse_robots(_robots_body_df(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (functions/url.py surt_key — the CDX index key)
+# ---------------------------------------------------------------------------
+
+_SURT_VARIANTS: list[list[str]] = [
+    ["https://www.s", "S", ".example.co.uk/a/", "B"],   # www dropped
+    ["HTTP://S", "S", ".Example.com:80/b?z=1&a=2"],     # case+default port
+    ["https://www.w", "W", ".example.org:8080/"],       # explicit port kept
+    ["https://x.y.s", "S", ".example.com/p/", "P", "?utm_source=t&q=", "G"],
+    ["not-a-url-", "W"],                                # NULL group
+]
+
+
+def _surt_url_col() -> F.Column:
+    eid = F.col("event_id")
+    tok = {
+        "S": (eid % 37).cast("string"),
+        "B": (eid % 11).cast("string"),
+        "W": (eid % 13).cast("string"),
+        "P": (eid % 101).cast("string"),
+        "G": (eid % 5).cast("string"),
+    }
+    expr = None
+    for i, parts in enumerate(_SURT_VARIANTS):
+        built = F.concat(*[tok.get(p, F.lit(p)) for p in parts])
+        expr = F.when(eid % 5 == i, built) if expr is None else expr.when(
+            eid % 5 == i, built
+        )
+    return expr
+
+
+def _surt_url_sql() -> str:
+    tok = {
+        "S": "CAST(event_id % 37 AS VARCHAR)",
+        "B": "CAST(event_id % 11 AS VARCHAR)",
+        "W": "CAST(event_id % 13 AS VARCHAR)",
+        "P": "CAST(event_id % 101 AS VARCHAR)",
+        "G": "CAST(event_id % 5 AS VARCHAR)",
+    }
+    arms = []
+    for i, parts in enumerate(_SURT_VARIANTS):
+        built = " || ".join(tok.get(p, f"'{p}'") for p in parts)
+        arms.append(f"WHEN {i} THEN {built}")
+    return f"CASE event_id % 5 {' '.join(arms)} END"
+
+
+def _surt_oracle() -> str:
+    from gnarly_spark.functions.url import canonicalize_url_sql, surt_key_sql
+
+    return f"""
+    WITH raw AS (SELECT {_surt_url_sql()} AS raw_url FROM events),
+    c AS (SELECT raw_url, {canonicalize_url_sql("raw_url")} AS canon
+          FROM raw),
+    s AS (SELECT raw_url, canon, {surt_key_sql("canon")} AS surt FROM c)
+    SELECT surt, COUNT(*) AS n_urls, COUNT(DISTINCT canon) AS n_canonical
+    FROM s GROUP BY surt
+    """
+
+
+@register("web_surt_key", _surt_oracle())
+def web_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-key census (functions/url.py surt_key — the Common Crawl CDX /
+    Wayback index key: reversed host labels, www dropped, explicit port
+    kept, canonical path+query): messy spellings over four host shapes
+    plus non-URL junk (NULL group). Same two-level cascade as
+    web_url_canonicalize — no Expand, the canonicalize+surt regex chain
+    runs once per distinct spelling."""
+    from gnarly_spark.functions.url import _surt_of_canonical, canonicalize_url
+
+    raw = _t(spark, sf_dir, "events").select(_surt_url_col().alias("raw_url"))
+    c = raw.groupBy("raw_url").agg(F.count("*").alias("n")).select(
+        "n", canonicalize_url(F.col("raw_url")).alias("canon")
+    )
+    lvl1 = c.withColumn("surt", _surt_of_canonical(F.col("canon"))).groupBy(
+        "surt", "canon"
+    ).agg(F.sum("n").alias("n"))
+    return lvl1.groupBy("surt").agg(
+        F.sum("n").cast("bigint").alias("n_urls"),
+        F.count("canon").alias("n_canonical"),
+    )

@@ -436,3 +436,63 @@ def parse_robots(
             (F.col("nm") == "allow").alias("allow"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT keys (Sort-friendly URI Reordering Transform — the CDX index key)
+# ---------------------------------------------------------------------------
+
+
+def _surt_of_canonical(c: Column) -> Column:
+    """SURT form of an ALREADY-canonical URL (see surt_key)."""
+    rest = F.regexp_replace(c, r"^[a-z][a-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    tail = F.substring(rest, F.length(hostport) + F.lit(1), F.length(rest))
+    host = F.regexp_extract(hostport, r"^([^:]*)", 1)
+    port = F.regexp_extract(hostport, r"(:[0-9]+)$", 1)
+    labels = F.split(host, r"\.")
+    nowww = F.when(
+        (F.size(labels) > 1) & (F.element_at(labels, 1) == "www"),
+        F.slice(labels, 2, F.size(labels) - 1),
+    ).otherwise(labels)
+    rev = F.array_join(F.reverse(nowww), ",")
+    return F.when(c.isNotNull(), F.concat(rev, port, F.lit(")"), tail))
+
+
+def surt_key(col: Column) -> Column:
+    """SURT key (Sort-friendly URI Reordering Transform — the key format
+    of Common Crawl's CDX index and the Internet Archive's Wayback):
+    canonicalize (module rule set), drop a leading 'www' label, reverse
+    the host labels comma-joined, then ``)`` + path[?sorted-query]:
+
+        https://www.news.example.co.uk:8080/a/b?x=1
+            -> uk,co,example,news:8080)/a/b?x=1
+
+    Sorting by SURT clusters a registrable domain's pages contiguously —
+    the property CDX range lookups and per-site exports rely on; it is
+    also the join key for enriching a corpus from a CDX index. NULL for
+    non-URLs, like canonicalize_url. All JVM (regexp/split/reverse).
+
+    The DuckDB twin (`surt_key_sql`) takes an ALREADY-canonical column —
+    compute `canonicalize_url_sql` in a prior CTE (nesting it per
+    fragment would explode the expression)."""
+    return _surt_of_canonical(canonicalize_url(col))
+
+
+def surt_key_sql(canon: str) -> str:
+    """DuckDB twin of `surt_key` over an already-canonical column."""
+    rest = f"regexp_replace({canon}, '^[a-z][a-z0-9+.-]*://', '')"
+    hostport = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    tail = f"substring({rest}, length({hostport}) + 1)"
+    host = f"regexp_extract({hostport}, '^([^:]*)', 1)"
+    port = f"regexp_extract({hostport}, '(:[0-9]+)$', 1)"
+    labels = f"string_split({host}, '.')"
+    nowww = (
+        f"CASE WHEN len({labels}) > 1 AND ({labels})[1] = 'www' "
+        f"THEN ({labels})[2:] ELSE {labels} END"
+    )
+    rev = f"array_to_string(list_reverse({nowww}), ',')"
+    return (
+        f"CASE WHEN {canon} IS NOT NULL "
+        f"THEN {rev} || {port} || ')' || {tail} END"
+    )

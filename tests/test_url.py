@@ -358,3 +358,58 @@ def test_parse_robots_feeds_robots_filter(spark):
         "https://a.example/admin/x": False,
         "https://a.example/admin/pub/y": True,
     }
+
+
+SURT_CASES = [
+    ("https://www.news.example.co.uk:8080/a/b?x=1",
+     "uk,co,example,news:8080)/a/b?x=1"),
+    ("HTTPS://Ex.COM/A#frag", "com,ex)/A"),
+    ("http://ex.com:80/", "com,ex)/"),
+    ("https://www.ex.com", "com,ex)/"),          # bare www host, default path
+    ("https://ex.com/a?z=1&utm_source=t&a=2", "com,ex)/a?a=2&z=1"),
+    ("https://localhost/x", "localhost)/x"),     # single label: no reorder
+    ("https://www.uk/p", "uk)/p"),               # www + one label: dropped
+    ("mailto:a@b.c", None),
+    ("", None),
+]
+
+
+def test_surt_key_hand_computed(spark):
+    from gnarly_spark.functions.url import surt_key
+
+    df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], "u string")
+    got = dict(df.select("u", surt_key(F.col("u")).alias("s")).collect())
+    for u, want in SURT_CASES:
+        assert got[u] == want, u
+
+
+def test_surt_key_sql_twin():
+    from gnarly_spark.functions.url import canonicalize_url_sql, surt_key_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(u VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in SURT_CASES])
+    rows = con.execute(
+        f"WITH c AS (SELECT u, {canonicalize_url_sql('u')} AS canon FROM t) "
+        f"SELECT u, {surt_key_sql('canon')} FROM c"
+    ).fetchall()
+    for u, got in rows:
+        assert dict(SURT_CASES)[u] == got, u
+
+
+def test_surt_clusters_registrable_domain(spark):
+    """The property CDX range scans rely on: every page of a site sorts
+    contiguously under its domain's SURT prefix."""
+    from gnarly_spark.functions.url import surt_key
+
+    df = spark.createDataFrame(
+        [("https://a.shop.example.com/x",), ("https://www.shop.example.com/y",),
+         ("https://other.example.com/z",)],
+        "u string",
+    )
+    keys = sorted(r["s"] for r in df.select(surt_key(F.col("u")).alias("s")).collect())
+    assert keys == [
+        "com,example,other)/z",
+        "com,example,shop)/y",
+        "com,example,shop,a)/x",
+    ]
