@@ -61,7 +61,10 @@ HEADLINE = [
     "web_registrable_domain",
     "web_anchor_text",
     "web_robots_filter",
+    "web_parse_robots",
+    "web_surt_key",
     "text_dsir_weights",
+    "pipeline_web_curation",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"
