@@ -269,6 +269,15 @@ def anchor_text_census(pages: DataFrame, html_col: str = "html") -> DataFrame:
     ties on count break to the lexicographically LAST phrasing (max of
     the (n, anchor) struct) — deterministic in any engine.
     """
+    return anchor_rollup(anchor_pair_counts(pages, html_col))
+
+
+def anchor_pair_counts(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(dst_url, anchor, n): per-(target, normalized phrasing) mention
+    counts — the ABELIAN sufficient statistic of the census (counts sum,
+    so per-batch partials fold into the corpus census exactly; see
+    anchor_census_reducer). Extraction is map-only JVM; the groupBy is
+    the one corpus-sized shuffle with map-side partial aggregation."""
     from gnarly_spark.operators.dedup import normalize_text
 
     tags = pages.select(
@@ -280,9 +289,14 @@ def anchor_text_census(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.regexp_extract("tag", HREF_RE, 1).alias("dst_url"),
         normalize_text(F.regexp_extract("tag", ATEXT_RE, 1)).alias("anchor"),
     ).where((host_of(F.col("dst_url")) != "") & (F.col("anchor") != ""))
-    pa = pairs.groupBy("dst_url", "anchor").agg(
+    return pairs.groupBy("dst_url", "anchor").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def anchor_rollup(pa: DataFrame) -> DataFrame:
+    """Per-target rollup of (dst_url, anchor, n) pair counts — runs on the
+    collapsed relation, never the corpus."""
     return pa.groupBy("dst_url").agg(
         F.sum("n").cast("bigint").alias("n_mentions"),
         F.count(F.lit(1)).alias("n_anchor_forms"),
@@ -294,3 +308,36 @@ def anchor_text_census(pages: DataFrame, html_col: str = "html") -> DataFrame:
         F.col("_t.anchor").alias("top_anchor"),
         F.col("_t.n").alias("top_n"),
     )
+
+
+def anchor_census_reducer(name: str = "anchor_text"):
+    """Pipeline integration: an AppendReducer maintaining the anchor-text
+    census INCREMENTALLY — each micro-batch appends the (dst_url, anchor,
+    n) collapse of its own insert/update pages (O(batch)), and
+    ``anchor_census_read`` folds + rolls up. Observational semantics like
+    link_census_reducer (reorgs don't un-crawl; deletes add nothing;
+    refires no-op via the batch-path guard)."""
+    from gnarly_spark.reducers import AppendReducer
+
+    def project(batch: DataFrame) -> DataFrame:
+        pages = batch.where(F.col("op").isin("insert", "update")).select(
+            F.col("html").cast("string").alias("_html")
+        )
+        return anchor_pair_counts(pages, "_html")
+
+    return AppendReducer(
+        name=name,
+        project=project,
+        schema="dst_url string, anchor string, n bigint",
+    )
+
+
+def anchor_census_read(reducer, ctx) -> DataFrame:
+    """Current census: fold per-batch pair counts (abelian sum), then the
+    same rollup as the batch operator — proven equal in pytest."""
+    pa = (
+        reducer.read(ctx)
+        .groupBy("dst_url", "anchor")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    return anchor_rollup(pa)

@@ -262,3 +262,62 @@ def test_anchor_text_census_plan_no_python_no_window(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan, "dominant phrasing must be a partial agg"
+
+
+def test_anchor_census_reducer_incremental_matches_batch(spark, tmp_path):
+    """Folded per-batch anchor pair counts + rollup == one-shot
+    anchor_text_census over all insert/update pages; refire no-ops."""
+    import pandas as pd
+
+    from gnarly_spark.fixtures import CHANGELOG_DDL
+    from gnarly_spark.operators.graph import (
+        anchor_census_read,
+        anchor_census_reducer,
+        anchor_text_census,
+    )
+    from gnarly_spark.streaming.pipeline import CdcIngestPipeline
+
+    def page(seq, op, anchors):
+        html = "".join(
+            f'<a href="https://{h}/x">{t}</a>' for h, t in anchors
+        )
+        return dict(
+            op_seq=seq, block_id=seq // 2, block_hash=str(seq // 2),
+            parent_hash=str(seq // 2 - 1), op=op,
+            url=f"https://s{seq}.example/p",
+            warc_ts=pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=seq),
+            html=html.encode(), lang="en",
+            revert_of_block=None, reason=None,
+        )
+
+    rows = [
+        page(0, "insert", [("a.x", "Good Page"), ("b.x", "b")]),
+        page(1, "insert", [("a.x", "good  page")]),   # normalizes equal
+        page(2, "update", [("a.x", "other")]),
+        page(3, "delete", []),
+        page(4, "insert", [("b.x", "b"), ("b.x", "b")]),
+        page(5, "insert", [("a.x", "good page")]),
+    ]
+    log = pd.DataFrame(rows)
+    red = anchor_census_reducer()
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), reducers=[red])
+    for i, lo in enumerate(range(0, 6, 2)):
+        p.process_batch(
+            spark.createDataFrame(log.iloc[lo:lo + 2], schema=CHANGELOG_DDL), i
+        )
+    p.process_batch(  # refire
+        spark.createDataFrame(log.iloc[2:4], schema=CHANGELOG_DDL), 1
+    )
+
+    key = lambda r: (  # noqa: E731
+        r["dst_url"],
+        (r["n_mentions"], r["n_anchor_forms"], r["top_anchor"], r["top_n"]),
+    )
+    inc = dict(map(key, anchor_census_read(red, p).collect()))
+    pages = spark.createDataFrame(
+        [(r["html"].decode(),) for r in rows if r["op"] != "delete"],
+        "html string",
+    )
+    batch = dict(map(key, anchor_text_census(pages).collect()))
+    assert inc == batch
+    assert inc["https://a.x/x"] == (4, 2, "good page", 3)
