@@ -134,3 +134,57 @@ def test_iceberg_smoke_kit_consistency():
     expected_steps = re.findall(r"SMOKE (\w+) PASS", sh_text)
     assert job_steps == expected_steps, (job_steps, expected_steps)
     assert "iceberg-spark-runtime" in sh_text  # pinned package present
+
+
+def test_curate_job_end_to_end(spark, tmp_path, capsys):
+    """The curation CLI over a WET input: robots gate, quality+lang gates,
+    exact dedup, DSIR threshold, shard export — each stage's survivor
+    count lands in the metrics line and the shards hold the survivors."""
+    from datetime import datetime
+
+    from gnarly_spark.sources.warc import write_warc
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import curate_job
+
+    en = ("the cat and the dog are in the house and they are very happy "
+          "with all of this and more of the same words here")
+    docs = [
+        ("https://a.example/1", en),                      # keeper
+        ("https://a.example/2", en),                      # exact dup: dropped
+        ("https://a.example/3", en + " but slightly different tail"),
+        ("https://a.example/junk", "zzqq xx 9 9 9 9 $$$$$"),   # quality/lang
+        ("https://b.example/blocked", en + " unique tail"),    # robots deny
+    ]
+    wet_dir = tmp_path / "wet"
+    wdf = spark.createDataFrame(
+        [(u, datetime(2026, 1, 1), t.encode()) for u, t in docs],
+        "url string, warc_ts timestamp_ntz, payload binary",
+    )
+    write_warc(wdf, str(wet_dir), compress=True, record_type="conversion")
+
+    rules = tmp_path / "rules"
+    spark.createDataFrame(
+        [("b.example", "/", False)], "host string, prefix string, allow boolean"
+    ).write.parquet(str(rules))
+
+    out = tmp_path / "shards"
+    curate_job.main([
+        "--input", f"{wet_dir}/*.warc.gz", "--input-format", "wet",
+        "--out", str(out), "--shards", "4",
+        "--robots", str(rules),
+        "--min-quality", "0.2", "--lang", "en", "--dedup",
+        "--dsir-target", "doc_id LIKE 'https://a.example/1%'",
+        "--dsir-min-logw", "-100000",
+    ])
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["input_rows"] == 5 and m["after_robots"] == 4
+    assert m["after_quality"] == 3 and m["after_lang"] == 3
+    assert m["after_dedup"] == 2 and m["after_dsir"] == 2
+    assert m["shards"] == 4
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    }
+    assert kept == {"https://a.example/1", "https://a.example/3"}
