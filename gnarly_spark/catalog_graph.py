@@ -513,15 +513,17 @@ def _anchor_pages_col() -> F.Column:
     return F.concat(F.lit("<p>x</p>"), main, second, rel, empty)
 
 
-def _anchor_oracle() -> str:
+def _anchor_pairs_sql(pages_cte: str) -> str:
+    """Shared oracle fragment: tags + normalized (dst_url, anchor) pairs
+    over a pages CTE — single-sourced so the census oracle and the
+    curation-pipeline oracle can never drift on the extraction rules."""
     from gnarly_spark.operators.graph import ATAG_RE, ATEXT_RE, HREF_RE, HOST_RE
 
     tag_re = ATAG_RE.replace("'", "''")
     href_re = HREF_RE.replace("'", "''")
     return f"""
-    WITH pages AS ({_ANCHOR_PAGES_SQL}),
     tags AS (SELECT unnest(regexp_extract_all(html, '{tag_re}', 0)) AS tag
-             FROM pages),
+             FROM {pages_cte}),
     pairs AS (SELECT dst_url, anchor FROM (
                 SELECT regexp_extract(tag, '{href_re}', 1) AS dst_url,
                        trim(regexp_replace(lower(
@@ -529,7 +531,13 @@ def _anchor_oracle() -> str:
                            '\\s+', ' ', 'g')) AS anchor
                 FROM tags)
               WHERE regexp_extract(dst_url, '{HOST_RE}', 1) != ''
-                AND anchor != ''),
+                AND anchor != '')"""
+
+
+def _anchor_oracle() -> str:
+    return f"""
+    WITH pages AS ({_ANCHOR_PAGES_SQL}),
+    {_anchor_pairs_sql("pages")},
     pa AS (SELECT dst_url, anchor, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
     r AS (SELECT dst_url, anchor, n,
                  row_number() OVER (PARTITION BY dst_url
@@ -670,10 +678,7 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _web_curation_oracle() -> str:
     from gnarly_spark.functions.url import registrable_domain_sql
-    from gnarly_spark.operators.graph import ATAG_RE, ATEXT_RE, HREF_RE, HOST_RE
 
-    tag_re = ATAG_RE.replace("'", "''")
-    href_re = HREF_RE.replace("'", "''")
     return f"""
     WITH urls AS ({_ROBOTS_URLS_SQL}),
     u AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
@@ -694,16 +699,7 @@ def _web_curation_oracle() -> str:
     verdict AS (SELECT url, host, COALESCE(allow, TRUE) AS allowed
                 FROM best WHERE rn = 1),
     apages AS ({_ANCHOR_PAGES_SQL}),
-    tags AS (SELECT unnest(regexp_extract_all(html, '{tag_re}', 0)) AS tag
-             FROM apages),
-    pairs AS (SELECT dst_url, anchor FROM (
-                SELECT regexp_extract(tag, '{href_re}', 1) AS dst_url,
-                       trim(regexp_replace(lower(
-                           regexp_extract(tag, '{ATEXT_RE}', 1)),
-                           '\\s+', ' ', 'g')) AS anchor
-                FROM tags)
-              WHERE regexp_extract(dst_url, '{HOST_RE}', 1) != ''
-                AND anchor != ''),
+    {_anchor_pairs_sql("apages")},
     cens AS (SELECT dst_url AS url, CAST(COUNT(*) AS BIGINT) AS n_mentions
              FROM pairs GROUP BY 1),
     jm AS (SELECT v.url, v.host, v.allowed, c.n_mentions

@@ -1146,22 +1146,52 @@ def dsir_lam(
     )
 
 
+def dsir_unseen_lam(
+    stats: DataFrame, n_buckets: int = 1024, scale_bits: int = 20
+) -> int:
+    """The lam value of a bucket ABSENT from the stats (cnt_t = cnt_r = 0
+    under add-1 smoothing): floor(log2(C)) - scale_bits. Pass it to
+    `dsir_score` when scoring docs NOT folded into the stats — e.g. a new
+    micro-batch against the reducer's corpus stats — so novel bigrams get
+    the smoothed weight instead of silently dropping. Driver-side scalar
+    (a 2-number aggregate, same class as the lake's manifest reads)."""
+    m, sb = int(n_buckets), int(scale_bits)
+    row = stats.agg(
+        F.sum("cnt_r").cast("bigint").alias("r"),
+        F.sum("cnt_t").cast("bigint").alias("t"),
+    ).first()
+    c = ((int(row["r"] or 0) + m) << sb) // (int(row["t"] or 0) + m)
+    return max(c, 1).bit_length() - 1 - sb
+
+
 def dsir_score(
     docs: DataFrame,
     lam: DataFrame,
     n_buckets: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    unseen_lam: int = 0,
 ) -> DataFrame:
     """Score docs against a (k, lam) table: (id_col, n_grams, dsir_logw).
     One broadcast join + the groupBy(id) shuffle; docs with <2 tokens get
     (0, 0). The lam table may come from `dsir_lam` over whole-corpus
-    stats OR over incrementally-folded reducer stats — same scores."""
+    stats OR over incrementally-folded reducer stats — same scores.
+
+    ``unseen_lam``: weight for bigrams hashing to a bucket ABSENT from
+    the lam table (left join + coalesce, so the gram always counts in
+    n_grams — an inner join would silently drop it, review finding).
+    Scoring the corpus the stats were built from never hits it (every
+    bucket is observed — the dsir_weights path); scoring NEW docs
+    against prior stats does, so pass `dsir_unseen_lam(stats)` there."""
     grams = _dsir_grams(
         docs, F.lit(False), n_buckets, text_col, id_col
     ).drop("tgt")
     per = (
-        grams.join(F.broadcast(lam), "k")
+        grams.join(F.broadcast(lam), "k", "left")
+        .withColumn(
+            "lam",
+            F.coalesce("lam", F.lit(int(unseen_lam)).cast("bigint")),
+        )
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -416,20 +416,30 @@ def parse_robots(
             & (F.coalesce(F.lag("nm").over(w), F.lit("")) != "user-agent")
         ).cast("int"),
     ).withColumn("grp", F.sum("hdr").over(w))
-    star = (
-        g.where(F.col("nm") == "user-agent")
-        .groupBy("host", "grp")
-        .agg(
-            F.max((F.lower(F.col("val")) == agent.lower()).cast("int")).alias(
-                "_hit"
-            )
-        )
-        .where(F.col("_hit") == 1)
-        .select("host", "grp")
+    # RFC 9309 group selection: groups naming ``agent`` (exact product
+    # token, case-insensitive) win; a host with NO such group falls back
+    # to its '*' groups — without the fallback a named crawler would
+    # ignore a '*' Disallow entirely and fail OPEN (review finding).
+    hdrs = g.where(F.col("nm") == "user-agent").groupBy("host", "grp").agg(
+        F.max((F.lower(F.col("val")) == agent.lower()).cast("int")).alias(
+            "_agent"
+        ),
+        F.max((F.col("val") == "*").cast("int")).alias("_star"),
     )
+    named_hosts = (
+        hdrs.where(F.col("_agent") == 1).select("host").distinct()
+    )
+    chosen = hdrs.join(named_hosts, "host", "left_semi").where(
+        F.col("_agent") == 1
+    )
+    if agent != "*":
+        fallback = hdrs.join(named_hosts, "host", "left_anti").where(
+            F.col("_star") == 1
+        )
+        chosen = chosen.unionByName(fallback)
     return (
         g.where(F.col("nm").isin("allow", "disallow") & (F.col("val") != ""))
-        .join(star, ["host", "grp"])
+        .join(chosen.select("host", "grp"), ["host", "grp"])
         .select(
             "host",
             F.col("val").alias("prefix"),

@@ -66,8 +66,14 @@ def warc_record_bytes(
     ``record_type='conversion'`` renders the WET (extracted-text) flavor."""
     import hashlib
 
+    if record_type not in _CONTENT_TYPES:  # fail fast, not per-task KeyError
+        raise ValueError(
+            f"record_type {record_type!r} not in {sorted(_CONTENT_TYPES)}"
+        )
     date = ts.strftime(_DATE_FMT)
-    rec_id = hashlib.md5(f"{url}|{date}".encode()).hexdigest()  # deterministic
+    # record_type in the hash: a capture's response record and its WET
+    # conversion twin must have DISTINCT record ids (ISO 28500 uniqueness)
+    rec_id = hashlib.md5(f"{url}|{date}|{record_type}".encode()).hexdigest()
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {record_type}\r\n"
@@ -100,6 +106,10 @@ def write_warc(
 
     from pyspark import TaskContext
 
+    if record_type not in _CONTENT_TYPES:  # driver-side, before the job
+        raise ValueError(
+            f"record_type {record_type!r} not in {sorted(_CONTENT_TYPES)}"
+        )
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     sel = df.select(

@@ -76,6 +76,21 @@ def main(argv=None):
 
         tc, idc = args.text_col, args.id_col
         metrics: dict = {}
+        live = None  # the persisted frontier; predecessors unpersist
+
+        def stage(df, name):
+            # persist-then-count: every later stage (and the final shard
+            # write) reads THIS materialization instead of re-running the
+            # whole upstream lineage per metrics count (review finding —
+            # without it the WET parse and each gate's joins re-execute
+            # once per downstream stage)
+            nonlocal live
+            df = df.persist()
+            metrics[name] = df.count()
+            if live is not None:
+                live.unpersist()
+            live = df
+            return df
 
         if args.input_format == "wet":
             from gnarly_spark.sources.warc import read_wet
@@ -85,7 +100,7 @@ def main(argv=None):
             )
         else:
             docs = spark.read.parquet(args.input)
-        metrics["input_rows"] = docs.count()
+        docs = stage(docs, "input_rows")
 
         if args.robots is not None:
             rules = spark.read.parquet(args.robots)
@@ -94,25 +109,25 @@ def main(argv=None):
                 .where(F.col("allowed"))
                 .drop("allowed", "matched_prefix")
             )
-            metrics["after_robots"] = docs.count()
+            docs = stage(docs, "after_robots")
 
         if args.min_quality is not None:
             good = quality_features(docs, text_col=tc, id_col=idc).where(
                 F.col("quality_score") >= args.min_quality
             ).select(idc)
             docs = docs.join(good, idc, "left_semi")
-            metrics["after_quality"] = docs.count()
+            docs = stage(docs, "after_quality")
 
         if args.lang is not None:
             docs = docs.where(lang_id(F.col(tc)) == args.lang)
-            metrics["after_lang"] = docs.count()
+            docs = stage(docs, "after_lang")
 
         if args.dedup:
             keep = exact_duplicates(docs, text_col=tc, id_col=idc).select(
                 F.col("keep_id").alias(idc)
             )
             docs = docs.join(keep, idc, "left_semi")
-            metrics["after_dedup"] = docs.count()
+            docs = stage(docs, "after_dedup")
 
         if args.dsir_target is not None:
             w = dsir_weights(
@@ -123,12 +138,14 @@ def main(argv=None):
                 id_col=idc,
             ).where(F.col("dsir_logw") >= args.dsir_min_logw).select(idc)
             docs = docs.join(w, idc, "left_semi")
-            metrics["after_dsir"] = docs.count()
+            docs = stage(docs, "after_dsir")
 
         metrics["shards"] = write_shards(
             docs, args.out, n_shards=args.shards,
             salt=args.shard_salt, id_col=idc,
         )
+        if live is not None:
+            live.unpersist()
         print(json.dumps(metrics), flush=True)
     finally:
         if owns_session:

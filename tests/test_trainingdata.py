@@ -1246,3 +1246,38 @@ def test_dsir_stats_reducer_incremental_matches_batch(spark, tmp_path):
         for r in dsir_weights(crawled, F.col("tgt"), n_buckets=64).collect()
     }
     assert inc_scores == full_scores
+
+
+def test_dsir_score_unseen_buckets_use_smoothed_lam(spark):
+    """Scoring a NEW doc against prior stats: bigrams in never-observed
+    buckets must count in n_grams and carry the add-1-smoothed unseen
+    weight (an inner join would drop them — review finding)."""
+    from gnarly_spark.functions.text import (
+        dsir_bucket_stats,
+        dsir_lam,
+        dsir_score,
+        dsir_unseen_lam,
+    )
+
+    m = 4096  # wide bucket space so the novel bigrams miss the stats
+    corpus = spark.createDataFrame(
+        [(1, "the cell divides and the protein folds", True)],
+        "doc_id long, text string, tgt boolean",
+    )
+    stats = dsir_bucket_stats(corpus, F.col("tgt"), m)
+    lam = dsir_lam(stats, m)
+    # dsir_unseen_lam == the python formula for cnt_t = cnt_r = 0
+    r, t = 6, 6  # 7 tokens -> 6 bigrams, all target
+    c = ((r + m) << 20) // (t + m)
+    assert dsir_unseen_lam(stats, m) == max(c, 1).bit_length() - 1 - 20
+
+    new = spark.createDataFrame(
+        [(9, "zzyx qqwv pprt kkjh mmnb", None)],  # 4 novel bigrams
+        "doc_id long, text string, tgt boolean",
+    )
+    # explicit unseen weight flows through (inner join would give (0, 0))
+    scored = dsir_score(new, lam, m, unseen_lam=7).first()
+    assert scored["n_grams"] == 4 and scored["dsir_logw"] == 4 * 7
+    # default unseen_lam=0: grams still COUNT, weight contribution 0
+    z = dsir_score(new, lam, m).first()
+    assert z["n_grams"] == 4 and z["dsir_logw"] == 0

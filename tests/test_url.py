@@ -413,3 +413,34 @@ def test_surt_clusters_registrable_domain(spark):
         "com,example,shop)/y",
         "com,example,shop,a)/x",
     ]
+
+
+def test_parse_robots_named_agent_star_fallback(spark):
+    """RFC 9309: a named agent uses its own groups where present and falls
+    back to the '*' group on hosts that never name it."""
+    from gnarly_spark.functions.url import parse_robots
+
+    files = spark.createDataFrame(
+        [
+            # names the agent: its group wins, '*' group ignored
+            ("a.example",
+             "User-agent: googlebot\nDisallow: /g\n\n"
+             "User-agent: *\nDisallow: /star"),
+            # never names it: '*' group applies
+            ("b.example", "User-agent: *\nDisallow: /"),
+            # names only others: '*' fallback still applies
+            ("c.example",
+             "User-agent: bingbot\nDisallow: /b\n\n"
+             "User-agent: *\nDisallow: /c"),
+        ],
+        "host string, body string",
+    )
+    got = {
+        (r["host"], r["prefix"], r["allow"])
+        for r in parse_robots(files, agent="googlebot").collect()
+    }
+    assert got == {
+        ("a.example", "/g", False),
+        ("b.example", "/", False),
+        ("c.example", "/c", False),
+    }
