@@ -33,25 +33,44 @@ def _count_word(col, word: str):
     ).cast("long")
 
 
+def _count_words(col, words: list[str]):
+    """Total occurrences of any of ``words`` via ONE alternation regex.
+    Value-identical to summing per-word counts: with \\b guards around
+    DISTINCT words, at most one alternative can match at a position (a
+    shorter prefix word matching implies a non-word char next, which
+    kills every longer alternative), so the non-overlapping scan counts
+    exactly the union — in Java regex and RE2 alike. One text scan
+    instead of len(words): lang_id over 4x4 markers was 16 scans per row
+    before, and the curation bench showed it dominating the whole pass."""
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(
+        F.regexp_extract_all(normalize_text(col), F.lit(pat), 0)
+    ).cast("long")
+
+
 def lang_scores(col):
-    out = {}
-    for lang, words in LANG_MARKERS.items():
-        s = _count_word(col, words[0])
-        for w in words[1:]:
-            s = s + _count_word(col, w)
-        out[lang] = s
-    return out
+    return {lang: _count_words(col, ws) for lang, ws in LANG_MARKERS.items()}
 
 
 def lang_id(col):
     """argmax over marker-word counts; ties break en > de > fr > es
-    (dict order); all-zero scores -> 'und' (undetermined)."""
+    (dict order); all-zero scores -> 'und' (undetermined).
+
+    Shape: scores land in ONE array; argmax = array_position(arr,
+    array_max(arr)) — first index wins ties, preserving the dict-order
+    rule. A greatest() + when()-chain re-references every score per
+    branch and re-evaluates the regexes ~6x (the unresolved-tree
+    duplication gotcha); this form scans the text twice total."""
     scores = lang_scores(col)
-    best = F.greatest(*scores.values())
-    expr = F.lit("und")
-    for lang in reversed(list(scores)):  # earlier langs win ties
-        expr = F.when((scores[lang] == best) & (best > 0), lang).otherwise(expr)
-    return expr
+    arr = F.array(*scores.values())
+    best = F.array_max(arr)
+    return F.when(
+        best > 0,
+        F.element_at(
+            F.array(*[F.lit(lang) for lang in LANG_MARKERS]),
+            F.array_position(arr, best).cast("int"),
+        ),
+    ).otherwise(F.lit("und"))
 
 
 def token_count(col):

@@ -37,7 +37,13 @@ def make_corpus(spark):
     word = lambda k: F.concat(  # noqa: E731
         F.lit("the w"), ((base * k + k * k) % 5_000).cast("string")
     )
-    en_text = F.concat_ws(" ", *[word(k) for k in range(1, 41)])
+    # the base-id word keeps texts DISTINCT across base ids (the %5000
+    # vocab alone would alias every 5000th doc into one fingerprint)
+    en_text = F.concat_ws(
+        " ",
+        F.concat(F.lit("the d"), base.cast("string")),
+        *[word(k) for k in range(1, 41)],
+    )
     junk = F.concat(F.lit("zzqq $$$ 9 9 "), (i % 97).cast("string"))
     text = F.when(i % 20 == 7, junk).otherwise(en_text)  # 5% junk
     spark.range(N_DOCS).select(
