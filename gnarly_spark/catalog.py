@@ -1959,6 +1959,58 @@ def w_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_resample_ffill",
+    """
+    WITH o AS (SELECT user_id, ts, value, event_id,
+                      date_diff('second', TIMESTAMP '1970-01-01',
+                                date_trunc('second', ts)) // 3600 AS k
+               FROM events),
+    lww AS (SELECT user_id, ts, value, event_id,
+                   row_number() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id DESC) AS rn
+            FROM o),
+    v AS (SELECT user_id, ts, value, event_id FROM lww WHERE rn = 1),
+    b AS (SELECT user_id, MIN(k) AS kmin, MAX(k) AS kmax FROM o
+          GROUP BY user_id),
+    g AS (SELECT user_id,
+                 UNNEST([kmin + x for x in
+                         range(0, CAST(kmax - kmin + 1 AS INT))]) AS k
+          FROM b),
+    grid AS (SELECT user_id,
+                    TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND * (k * 3600)
+                      AS grid_ts
+             FROM g)
+    SELECT grid.user_id,
+           strftime(grid_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           ROUND(v.value, 4) AS value,
+           v.event_id AS last_event_id
+    FROM grid ASOF LEFT JOIN v
+      ON grid.user_id = v.user_id AND grid.grid_ts >= v.ts
+    """,
+)
+def w_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: every user's irregular event history resampled
+    onto an hourly grid with the latest (value, event_id) forward-filled at
+    each instant — operators/temporal.resample_ffill (grid = one tiny agg +
+    sequence/explode; fill = the same linear union-window pass as asof_join:
+    one shuffle, zero per-observation fan-out). Oracle = DuckDB's native
+    ASOF JOIN against the LWW-deduped observations."""
+    from gnarly_spark.operators.temporal import resample_ffill
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "value", "event_id")
+    r = resample_ffill(
+        e, key="user_id", ts_col="ts", value_cols=["value", "event_id"],
+        step_s=3600, seq_col="event_id",
+    )
+    return r.select(
+        "user_id",
+        F.date_format("grid_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.round("value", 4).alias("value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
+@register(
     "q_rollup",
     """
     SELECT COALESCE(event_type, '(all)') AS event_type,

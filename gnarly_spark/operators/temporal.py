@@ -285,3 +285,71 @@ def recrawl_schedule(
         ).alias("next_due"),
         F.round(F.col("_since") / F.col("gap_s"), 6).alias("overdue_score"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    step_s: int,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Regular-grid resampling with forward fill (time-series gap fill):
+    per key, one output row per ``step_s``-second grid instant between the
+    key's first and last observation, each carrying the latest observed
+    values at-or-before that instant — the operator that turns an irregular
+    CDC/event history into the fixed-cadence series monitoring dashboards
+    and training-feature windows consume (the reference answers "state at
+    time T" imperatively by replaying to a txId,
+    packages/gnarly-core/src/ourbit/Ourbit.ts:121-135; the grid variant is
+    every T at once).
+
+    Shape: grid instants are integer buckets of the epoch
+    (k = floor(whole_seconds(ts) / step_s) — bucket math on date_trunc'd
+    seconds so every engine agrees; see recrawl_schedule), generated per
+    key with one tiny aggregate + ``sequence``/``explode`` (O(span/step)
+    rows, no per-observation fan-out), then filled by the SAME linear
+    union-window pass as :func:`asof_join` — one shuffle on key, one
+    per-key sort, zero row amplification regardless of how many
+    observations share a bucket. At 100 TB the grid relation is tiny
+    relative to the events (span/step rows per key) and the single window
+    is the one unavoidable shuffle.
+
+    Ties at identical ``ts_col`` resolve to the highest ``seq_col`` (LWW,
+    same rule as replay). Grid instants before the key's first observation
+    cannot exist by construction (the grid starts at the first
+    observation's bucket); the first bucket's instant can still precede a
+    mid-bucket first observation, yielding NULLs (left-join semantics).
+
+    Returns (key, grid_ts timestamp_ntz, <value_cols...>).
+    """
+    if seq_col is None:
+        seq_col = ts_col
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    obs = df.where(F.col(ts_col).isNotNull())
+    k = F.expr(
+        f"CAST(timestampdiff(SECOND, {epoch}, date_trunc('second', {ts_col}))"
+        f" AS BIGINT) div {int(step_s)}"
+    )
+    bounds = obs.groupBy(F.col(key)).agg(
+        F.min(k).alias("_kmin"), F.max(k).alias("_kmax")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(F.expr("sequence(_kmin, _kmax)")).alias("_k"),
+    ).select(
+        F.col(key),
+        F.expr(
+            f"timestampadd(SECOND, CAST(_k * {int(step_s)} AS BIGINT), {epoch})"
+        ).alias("grid_ts"),
+    )
+    return asof_join(
+        grid,
+        obs,
+        key=key,
+        probe_ts="grid_ts",
+        version_ts=ts_col,
+        payload={c: F.col(c) for c in value_cols},
+        seq_col=seq_col,
+    )

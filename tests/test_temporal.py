@@ -347,3 +347,39 @@ def test_asof_join_ignores_null_version_ts(spark):
         ("2024-01-01 00:00:00", None),      # before any real version
         ("2024-01-03 00:00:00", "good"),
     }
+
+
+def test_resample_ffill_hand_computed(spark):
+    """Hourly grid per key: fill carries the latest at-or-before value,
+    LWW on equal-ts ties, NULL before the first observation within the
+    first bucket, grid spans exactly [first bucket .. last bucket]."""
+    from gnarly_spark.operators.temporal import resample_ffill
+
+    obs = spark.createDataFrame(
+        [
+            # key a: first obs mid-bucket 10:30 -> grid starts 10:00 (NULL)
+            ("a", _ts("2020-01-01T10:30:00"), 1, 10.0),
+            # two obs at the SAME instant: higher seq wins (LWW)
+            ("a", _ts("2020-01-01T12:00:00"), 2, 20.0),
+            ("a", _ts("2020-01-01T12:00:00"), 3, 30.0),
+            ("a", _ts("2020-01-01T14:45:00"), 4, 40.0),
+            # key b: single observation exactly on the grid instant
+            ("b", _ts("2020-01-01T00:00:00"), 5, 50.0),
+        ],
+        schema="k string, ts timestamp, seq long, v double",
+    )
+    got = {
+        (r.k, r.grid_ts.isoformat()): (r.v, r.seq)
+        for r in resample_ffill(
+            obs, key="k", ts_col="ts", value_cols=["v", "seq"],
+            step_s=3600, seq_col="seq",
+        ).collect()
+    }
+    assert got == {
+        ("a", "2020-01-01T10:00:00"): (None, None),  # before first obs
+        ("a", "2020-01-01T11:00:00"): (10.0, 1),
+        ("a", "2020-01-01T12:00:00"): (30.0, 3),  # at-instant + LWW tie
+        ("a", "2020-01-01T13:00:00"): (30.0, 3),
+        ("a", "2020-01-01T14:00:00"): (30.0, 3),  # 14:45 obs is later
+        ("b", "2020-01-01T00:00:00"): (50.0, 5),
+    }
