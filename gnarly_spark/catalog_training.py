@@ -671,6 +671,177 @@ def sim_ivf_recall(spark, sf_dir):
     return _recall_vs_bruteforce(spark, sf_dir, ann)
 
 
+# Product quantization (operators/similarity.pq_build_fixed — Jégou et al.
+# 2011). Same engine-exact integer arithmetic as the IVF build, per
+# subspace, so DuckDB replays the sub-codebook training AND the ADC scan;
+# the approximate distance is a BIGINT, so the whole result value-hashes
+# with no float anywhere.
+_PQ_CFG = {"m_subspaces": 8, "n_codes": 16, "iterations": 2}
+_PQ_SHORTLIST = 50
+
+
+def _pq_sql(m: int, n_codes: int, iterations: int, dim: int = 64) -> str:
+    """CTE chain replaying pq_build_fixed + the ADC scan. Ends with
+    `ranked(query_id, neighbor_id, adist, rank)` (plus `e`, `qs`)."""
+    from gnarly_spark.operators.similarity import FIXED_POINT_SCALE
+
+    ds = dim // m
+    ids = ", ".join(str(i) for i in _QUERY_IDS)
+
+    def dist(q, c):
+        return _ivf_dist_sql(q, c, ds)
+
+    parts = [
+        f"""
+    e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                 [CAST(FLOOR(x * {FIXED_POINT_SCALE} + 0.5) AS BIGINT)
+                  for x in embedding::DOUBLE[]] AS qi
+          FROM embeddings),
+    sub AS (SELECT id, CAST(s AS INT) AS s,
+                   qi[(s-1)*{ds}+1 : s*{ds}] AS sv
+            FROM e, range(1, {m + 1}) t(s)),
+    seeds AS (SELECT CAST(row_number() OVER (ORDER BY rk, id) - 1 AS INT)
+                       AS code, qi
+              FROM (SELECT id, qi,
+                           ((id % 1000003) * 2654435761 + 1013904223)
+                             % 4294967296 AS rk
+                    FROM e ORDER BY rk, id LIMIT {n_codes})),
+    c0 AS (SELECT CAST(s AS INT) AS s, code,
+                  qi[(s-1)*{ds}+1 : s*{ds}] AS cv
+           FROM seeds, range(1, {m + 1}) t(s))"""
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"""
+    a{it} AS (SELECT id, s, sv, code FROM (
+            SELECT id, s, sv, code,
+                   row_number() OVER (PARTITION BY id, s ORDER BY d, code) AS rn
+            FROM (SELECT sub.id, sub.s, sub.sv, c.code,
+                         {dist('sub.sv', 'c.cv')} AS d
+                  FROM sub JOIN {prev} c ON c.s = sub.s)) WHERE rn = 1),
+    m{it} AS (SELECT s, code, pos,
+                     CAST(FLOOR(SUM(sv[pos]) * 1.0 / COUNT(*)) AS BIGINT) AS m
+              FROM a{it}, range(1, {ds + 1}) t(pos) GROUP BY s, code, pos),
+    c{it} AS (SELECT p.s, p.code, coalesce(n.cv, p.cv) AS cv
+              FROM {prev} p LEFT JOIN
+                   (SELECT s, code, list(m ORDER BY pos) AS cv
+                    FROM m{it} GROUP BY s, code) n USING (s, code))"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"""
+    af AS (SELECT id, s, code FROM (
+            SELECT id, s, code,
+                   row_number() OVER (PARTITION BY id, s ORDER BY d, code) AS rn
+            FROM (SELECT sub.id, sub.s, c.code, {dist('sub.sv', 'c.cv')} AS d
+                  FROM sub JOIN {prev} c ON c.s = sub.s)) WHERE rn = 1),
+    qs AS (SELECT id AS query_id, s, sv FROM sub WHERE id IN ({ids})),
+    lut AS (SELECT q.query_id, q.s, c.code, {dist('q.sv', 'c.cv')} AS d
+            FROM qs q JOIN {prev} c ON c.s = q.s),
+    adist AS (SELECT l.query_id, a.id AS neighbor_id,
+                     CAST(SUM(l.d) AS BIGINT) AS adist
+              FROM af a JOIN lut l ON l.s = a.s AND l.code = a.code
+              WHERE a.id <> l.query_id
+              GROUP BY 1, 2),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+               FROM adist)"""
+    )
+    return ",".join(parts)
+
+
+@register(
+    "sim_pq_ann",
+    f"WITH {_pq_sql(8, 16, 2)} "
+    "SELECT query_id, neighbor_id, adist, rank FROM ranked WHERE rank <= 3",
+)
+def sim_pq_ann(spark, sf_dir):
+    """PQ/ADC top-k (operators/similarity.pq_ann_topk_fixed): m=8 one-byte
+    codes per 64-dim vector (8x compression over float32 — the
+    memory-bound ANN path for a 1e10-vector corpus), per-query broadcast
+    LUTs, map-only integer-exact distance sum over the codes relation."""
+    from gnarly_spark.operators.similarity import pq_ann_topk_fixed
+
+    return pq_ann_topk_fixed(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3, **_PQ_CFG
+    )
+
+
+@register(
+    "sim_pq_refined",
+    f"""
+    WITH {_pq_sql(8, 16, 2)},
+    short AS (SELECT query_id, neighbor_id FROM ranked
+              WHERE rank <= {_PQ_SHORTLIST}),
+    rer AS (SELECT s.query_id, s.neighbor_id,
+                   ROUND(list_cosine_similarity(q.v, e2.v), 6) AS cos
+            FROM short s JOIN e q ON q.id = s.query_id
+                         JOIN e e2 ON e2.id = s.neighbor_id),
+    rranked AS (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+                    AS rank
+                FROM rer)
+    SELECT query_id, neighbor_id, cos, rank FROM rranked WHERE rank <= 3
+    """,
+)
+def sim_pq_refined(spark, sf_dir):
+    """Two-stage PQ serving (operators/similarity.pq_ann_topk_refined):
+    integer ADC shortlist from the compressed codes, exact cosine re-rank
+    on only the fetched shortlist vectors — the retrieve-then-refine
+    pattern production PQ deployments run."""
+    from gnarly_spark.operators.similarity import pq_ann_topk_refined
+
+    return pq_ann_topk_refined(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3,
+        shortlist=_PQ_SHORTLIST, **_PQ_CFG,
+    )
+
+
+@register(
+    "sim_pq_recall",
+    f"""
+    WITH {_pq_sql(8, 16, 2)},
+    short AS (SELECT query_id, neighbor_id FROM ranked
+              WHERE rank <= {_PQ_SHORTLIST}),
+    rer AS (SELECT s.query_id, s.neighbor_id,
+                   ROUND(list_cosine_similarity(q.v, e2.v), 6) AS cos
+            FROM short s JOIN e q ON q.id = s.query_id
+                         JOIN e e2 ON e2.id = s.neighbor_id),
+    ann AS (SELECT query_id, neighbor_id FROM
+              (SELECT *, row_number() OVER
+                 (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r
+               FROM rer)
+            WHERE r <= 3),
+    bf_scored AS (SELECT q.query_id, s.id AS neighbor_id,
+                         ROUND(list_cosine_similarity(q.qv, s.v), 6) AS cos
+                  FROM e s JOIN (SELECT id AS query_id, v AS qv FROM e
+                                 WHERE id IN ({", ".join(str(i) for i in _QUERY_IDS)}))
+                           q ON s.id <> q.query_id),
+    bf AS (SELECT query_id, neighbor_id FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS r FROM bf_scored)
+           WHERE r <= 3),
+    hits AS (SELECT ann.query_id, COUNT(*) AS n
+             FROM ann JOIN bf USING (query_id, neighbor_id) GROUP BY 1)
+    SELECT query_id, ROUND(coalesce(n, 0) / 3.0, 6) AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM qs) qq LEFT JOIN hits USING (query_id)
+    """,
+)
+def sim_pq_recall(spark, sf_dir):
+    """Driver-visible PQ quality: recall@3 of the refined (shortlist +
+    exact re-rank) path against the exact cosine brute force (unit-norm
+    corpus, so min-L2 == max-cosine and the comparison is
+    apples-to-apples)."""
+    from gnarly_spark.operators.similarity import pq_ann_topk_refined
+
+    ann = pq_ann_topk_refined(
+        _t(spark, sf_dir, "embeddings"), _QUERY_IDS, k=3,
+        shortlist=_PQ_SHORTLIST, **_PQ_CFG,
+    )
+    return _recall_vs_bruteforce(spark, sf_dir, ann)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -397,3 +397,28 @@ def test_recrawl_schedule_one_shuffle_partial_agg(spark):
     plan = plan_of(recrawl_schedule(log, "2024-02-01 00:00:00"))
     assert plan.count("Exchange") == 1, plan[:1500]
     assert "partial_" in plan
+
+
+def test_pq_adc_plan_broadcasts_luts_never_codes(spark):
+    """The PQ/ADC scan must broadcast the per-query LUTs onto the codes
+    relation (the corpus side is map-only scanned, never broadcast or
+    shuffled into a cartesian), and codebook coordinates must be data,
+    not plan literals — plan size O(1) in m x n_codes x dim."""
+    from gnarly_spark.operators.similarity import pq_ann_topk_fixed
+
+    corpus = spark.range(256).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), "
+            "j -> cast(pmod(xxhash64(id, j), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    topk = pq_ann_topk_fixed(corpus, [0, 1], k=3, m_subspaces=8, n_codes=16)
+    plan = plan_of(topk)
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # LUTs ride a broadcast join
+    opt = optimized_of(topk)
+    assert len(opt) < 25_000, f"plan size {len(opt)} suggests codebook literals"
+    rows = topk.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rank <= 3 for r in rows)

@@ -1281,3 +1281,104 @@ def test_dsir_score_unseen_buckets_use_smoothed_lam(spark):
     # default unseen_lam=0: grams still COUNT, weight contribution 0
     z = dsir_score(new, lam, m).first()
     assert z["n_grams"] == 4 and z["dsir_logw"] == 0
+
+
+def test_pq_fixed_build_matches_python_reference(spark):
+    """The per-subspace fixed-point PQ build must be ENGINE-EXACT: an
+    independent pure-Python replay (same quantize / shared Knuth-init
+    seeds / integer sub-distances / floor-division means) reproduces
+    Spark's final code assignment bit-for-bit — the property the DuckDB
+    oracle relies on."""
+    import math
+
+    from gnarly_spark.operators.similarity import (
+        FIXED_POINT_SCALE,
+        pq_build_fixed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {
+        r.vec_id: [math.floor(float(x) * FIXED_POINT_SCALE + 0.5) for x in r.embedding]
+        for r in rows
+    }
+    m, n_codes, iters = 4, 8, 2
+    dim = len(next(iter(vecs.values())))
+    ds = dim // m
+    order = sorted(
+        vecs, key=lambda i: (((i % 1000003) * 2654435761 + 1013904223) % 4294967296, i)
+    )
+    # per sub s (0-based): codebook code -> ds-wide slice of the seed
+    cents = {
+        s: {c: vecs[i][s * ds : (s + 1) * ds] for c, i in enumerate(order[:n_codes])}
+        for s in range(m)
+    }
+
+    def nearest(s, q):
+        return min(
+            cents[s],
+            key=lambda c: (sum((a - b) ** 2 for a, b in zip(q, cents[s][c])), c),
+        )
+
+    for _ in range(iters):
+        assign = {
+            (i, s): nearest(s, q[s * ds : (s + 1) * ds])
+            for i, q in vecs.items()
+            for s in range(m)
+        }
+        for s in range(m):
+            for c in cents[s]:
+                members = [
+                    vecs[i][s * ds : (s + 1) * ds]
+                    for (i, si), ci in assign.items()
+                    if si == s and ci == c
+                ]
+                if members:
+                    cents[s][c] = [
+                        math.floor(sum(col) / len(members)) for col in zip(*members)
+                    ]
+    expected = {
+        i: [nearest(s, q[s * ds : (s + 1) * ds]) for s in range(m)]
+        for i, q in vecs.items()
+    }
+
+    _, codes_df, got_ds = pq_build_fixed(
+        emb, m_subspaces=m, n_codes=n_codes, iterations=iters
+    )
+    assert got_ds == ds
+    got = {r.id: list(r.codes) for r in codes_df.collect()}
+    assert got == expected
+
+
+def test_pq_ann_recall_and_shape(spark):
+    """The refined (ADC shortlist + exact re-rank) path keeps useful
+    recall vs exact cosine brute force on the unit-norm corpus (min-L2 ==
+    max-cos); ranks are well-formed on both paths and the query itself
+    never appears among its neighbors."""
+    from gnarly_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk_fixed,
+        pq_ann_topk_refined,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, qids, k=3).collect()
+    refined = pq_ann_topk_refined(
+        emb, qids, k=3, shortlist=50, m_subspaces=8, n_codes=16
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    refined_set = {(r.query_id, r.neighbor_id) for r in refined}
+    assert len(exact_set & refined_set) / len(exact_set) >= 0.5
+    assert all(1 <= r.rank <= 3 for r in refined)
+    assert all(r.query_id != r.neighbor_id for r in refined)
+    adc = pq_ann_topk_fixed(emb, qids, k=3, m_subspaces=8, n_codes=16).collect()
+    assert all(1 <= r.rank <= 3 for r in adc)
+    assert all(r.query_id != r.neighbor_id for r in adc)
+    # ADC distances are exact integers and strictly ordered within a query
+    by_q = {}
+    for r in adc:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adist))
+    for rows in by_q.values():
+        rows.sort()
+        assert all(a[1] <= b[1] for a, b in zip(rows, rows[1:]))
