@@ -65,6 +65,10 @@ HEADLINE = [
     "web_surt_key",
     "text_dsir_weights",
     "pipeline_web_curation",
+    "w_resample_ffill",
+    "sim_pq_ann",
+    "sim_pq_refined",
+    "cdc_branch_publish",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

@@ -348,6 +348,79 @@ def cdc_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_branch_publish",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable BRANCHES end-to-end on driver data (sinks/lake.py
+    create_branch / fast_forward — Iceberg branch refs + the WAP pattern
+    generalized from one staged manifest to an auditable commit CHAIN):
+    the first half of the changelog is merged into main, a branch is
+    forked, the second half lands on the branch as TWO audited merge
+    commits — main provably still serves the fork state in between — and
+    ``fast_forward`` publishes the branch head as main's next snapshot
+    (control-plane only, batch_ids adopted so the published batches can't
+    refire). The returned DataFrame is main's state after publish; oracle
+    = the one-pass replay SQL. Divergence/refire/expiry semantics are
+    pytest-covered (tests/test_lake.py branch suite)."""
+    import tempfile
+
+    from gnarly_spark.operators.replay import last_writer_wins, reverted_blocks
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = _changelog_df(spark, sf_dir)
+    hi = log.agg(F.max("op_seq")).collect()[0][0]
+    rev = reverted_blocks(log)
+    live = log.where(F.col("op") != "revert").join(
+        F.broadcast(rev), "block_hash", "left_anti"
+    )
+
+    def phase(lo_frac: float, hi_frac: float) -> tuple[DataFrame, DataFrame]:
+        w = last_writer_wins(
+            live.where(
+                (F.col("op_seq") > int(hi * lo_frac))
+                & (F.col("op_seq") <= int(hi * hi_frac))
+            )
+        )
+        ups = w.where(F.col("op") != "delete").select(
+            "url", "warc_ts", "op_seq", "value"
+        )
+        dels = w.where(F.col("op") == "delete").select("url")
+        return ups, dels
+
+    t = ParquetLakeTable(
+        spark, tempfile.mkdtemp(prefix="gnarly_branch_"), key="url", n_buckets=4
+    )
+    ups, dels = phase(-1.0, 0.5)
+    t.merge(ups, delete_keys=dels, batch_id=0)
+    fork_rows = t.read().count()
+    b = t.create_branch("audit")
+    ups, dels = phase(0.5, 0.75)
+    b.merge(ups, delete_keys=dels, batch_id=1)
+    ups, dels = phase(0.75, 1.0)
+    b.merge(ups, delete_keys=dels, batch_id=2)
+    # isolation check, driver-visible: main still serves the fork state
+    # while the branch carries two extra commits
+    assert t.read().count() == fork_rows, "branch commit leaked into main"
+    t.fast_forward("audit")
+    return t.read().select(
+        "url", F.col("op_seq").alias("last_seq"), F.round("value", 4).alias("last_value")
+    )
+
+
+@register(
     "cdc_streaming_replay",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),

@@ -181,6 +181,13 @@ class CommitConflict(Exception):
     on the production path."""
 
 
+class BranchDiverged(Exception):
+    """fast_forward refused: main committed after the branch forked, so the
+    branch head is no longer a descendant of main's head. NOT retryable —
+    the caller must re-create the branch from the new head (re-applying its
+    batches; their batch_ids make that idempotent) or merge by hand."""
+
+
 class ParquetLakeTable:
     """Bucketed lake table with snapshot manifests; two write paths:
 
@@ -218,6 +225,7 @@ class ParquetLakeTable:
         files_per_bucket: int = 1,
         stats_columns: tuple[str, ...] = (),
         key_bloom_ndv: int | None = None,
+        branch: str | None = None,
     ):
         self.spark = spark
         # realpath: manifests record absolute data-file paths, and
@@ -227,6 +235,23 @@ class ParquetLakeTable:
         # treat every live file as orphaned
         self.path = os.path.realpath(path)
         self.key = key
+        # writable named refs (Iceberg branches): a handle is bound to ONE
+        # ref for its lifetime — "main" (the _CURRENT pointer) or a branch
+        # created with create_branch(). All reads and commits of this
+        # handle resolve/advance that ref; manifests are stamped with the
+        # ref (+ a per-incarnation epoch so a dropped-and-recreated branch
+        # never adopts the old incarnation's commits). {version: (ref,
+        # epoch)} is cached per handle — a manifest's ref never changes
+        # once written (purge_keys rewrites file lists in place, never the
+        # ref stamp).
+        self.ref = "main"
+        self._ref_epoch: str | None = None
+        self._refcache: dict[int, tuple[str, str | None]] = {}
+        if branch is not None:
+            self._check_tag_name(branch)
+            e = self._branch_entry(branch)
+            self.ref = branch
+            self._ref_epoch = e.get("epoch")
         self.n_buckets = n_buckets
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -305,7 +330,54 @@ class ParquetLakeTable:
     def _current_path(self) -> str:
         return os.path.join(self.path, "_CURRENT")
 
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "_refs")
+
+    def _branch_path(self, name: str) -> str:
+        return os.path.join(self._refs_dir, f"{name}.json")
+
+    def _branch_entry(self, name: str) -> dict:
+        try:
+            with open(self._branch_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"branch {name!r} does not exist on {self.path} "
+                "(create_branch first)"
+            )
+
+    def _branch_entries(self) -> list[dict]:
+        try:
+            names = os.listdir(self._refs_dir)
+        except FileNotFoundError:
+            return []
+        out = []
+        for fn in sorted(names):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(self._refs_dir, fn)) as f:
+                        out.append(json.load(f))
+                except (OSError, ValueError):  # pragma: no cover - defensive
+                    continue
+        return out
+
+    def _ref_of(self, v: int) -> tuple[str, str | None]:
+        """(ref, epoch) stamp of version ``v``'s manifest ('main', None for
+        pre-branch manifests). Cached — the stamp is immutable."""
+        hit = self._refcache.get(v)
+        if hit is None:
+            try:
+                m = self._manifest(v)
+            except FileNotFoundError:
+                return ("?", None)
+            hit = (m.get("ref", "main"), m.get("ref_epoch"))
+            self._refcache[v] = hit
+        return hit
+
     def current_version(self) -> int:
+        if self.ref != "main":
+            return int(self._branch_entry(self.ref)["version"])
         try:
             with open(self._current_path) as f:
                 return int(f.read().strip())
@@ -331,6 +403,42 @@ class ParquetLakeTable:
         manifest["mode"] = self.mode
         manifest["n_buckets"] = self.n_buckets
         manifest["key"] = self.key
+        # ref membership: every manifest records which ref committed it —
+        # head resolution (_latest_committed) and expire's keep rule walk
+        # these stamps. Epoch ties a branch commit to the ref-file
+        # incarnation that made it.
+        manifest["ref"] = self.ref
+        if self.ref != "main":
+            manifest["ref_epoch"] = self._ref_epoch
+        else:
+            manifest.pop("ref_epoch", None)
+        # staleness guard: before the number CAS can even run, the commit
+        # must still be built on ITS REF'S latest head. The version-number
+        # collision used to double as this check; with refs sharing one
+        # number space a collision can come from another ref, and the
+        # allocation bump below would otherwise let a stale same-ref writer
+        # slide in WITHOUT recomputing (lost update). `_built_on` defaults
+        # to `parent`; fast_forward overrides it (its parent is the branch
+        # head while it builds on main's).
+        built_on = manifest.pop("_built_on", manifest.get("parent", -1))
+        latest = self._latest_committed()
+        if built_on != latest:
+            raise CommitConflict(
+                f"commit was built on v{built_on} but ref {self.ref!r} is "
+                f"at v{latest} — recompute"
+            )
+        # version allocation: refs share ONE version-number space (so every
+        # manifest is addressable by read(version=)/diff()), but a ref only
+        # chains through its own manifests via `parent`. The caller's
+        # head+1 guess is a floor — when another ref took that number, the
+        # next free number is used WITHOUT changing `parent` (the chain is
+        # the parent pointer, not number adjacency). The narrow
+        # check-then-allocate window between two same-ref writers is still
+        # serialized by the os.link number CAS below (both compute the same
+        # next number; one loses and recomputes).
+        manifest["version"] = max(
+            manifest["version"], max(self._retained_versions(), default=-1) + 1
+        )
         # wall-clock commit stamp: AS OF timestamp time travel + the
         # snapshots() metadata table. Commits are serialized by the
         # version CAS, so per-table stamps are monotone up to clock skew
@@ -419,17 +527,37 @@ class ParquetLakeTable:
         must then be a no-op, or readers time-travel backward and
         expire_snapshots computes its keep window from a regressed head.
         The read-compare-replace is serialized with a pointer lock (local
-        FS engine; the Iceberg path delegates this to the catalog)."""
-        ptmp = self._current_path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(ptmp, "w") as f:
-            f.write(str(v))
+        FS engine; the Iceberg path delegates this to the catalog).
+
+        Branch handles move their ref file instead of _CURRENT — same
+        forward-only rule, same lock — and additionally check the epoch: a
+        branch dropped (or dropped-and-recreated) mid-commit must NOT have
+        its pointer resurrected/hijacked by the stale writer; the durable
+        manifest is simply left unreachable for expire_snapshots."""
         with open(os.path.join(self.path, "_PTR_LOCK"), "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
+                if self.ref != "main":
+                    bpath = self._branch_path(self.ref)
+                    try:
+                        with open(bpath) as f:
+                            e = json.load(f)
+                    except FileNotFoundError:
+                        return  # branch dropped mid-commit
+                    if e.get("epoch") != self._ref_epoch:
+                        return  # different incarnation owns the name now
+                    if int(e["version"]) < v:
+                        e["version"] = v
+                        btmp = bpath + f".tmp-{uuid.uuid4().hex[:8]}"
+                        with open(btmp, "w") as f:
+                            json.dump(e, f)
+                        os.replace(btmp, bpath)
+                    return
                 if self.current_version() < v:
+                    ptmp = self._current_path + f".tmp-{uuid.uuid4().hex[:8]}"
+                    with open(ptmp, "w") as f:
+                        f.write(str(v))
                     os.replace(ptmp, self._current_path)  # atomic swap
-                else:
-                    os.unlink(ptmp)
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
@@ -478,11 +606,23 @@ class ParquetLakeTable:
             )
 
     def _latest_committed(self) -> int:
-        """Highest durably-committed version — what a WRITER must build on.
-        Readers use _CURRENT (a consistent published snapshot); a writer
-        using _CURRENT could race the window between a competitor's version
-        CAS and its pointer swap, then spin losing the same version."""
-        return max(self._retained_versions(), default=-1)
+        """Highest durably-committed version OF THIS HANDLE'S REF — what a
+        writer must build on. Readers use the published pointer (_CURRENT /
+        the ref file); a writer using it could race the window between a
+        competitor's version CAS and its pointer swap, then spin losing the
+        same version. Scanning manifests by ref stamp covers that window
+        for branches exactly as the max-version scan did for main. A fresh
+        branch with no commits yet resolves to its fork-base (main)
+        manifest."""
+        vs = self._retained_versions()
+        if self.ref == "main":
+            return max(
+                (v for v in vs if self._ref_of(v)[0] == "main"), default=-1
+            )
+        e = self._branch_entry(self.ref)
+        floor = int(e.get("forked_from", -1))
+        mine = (self.ref, e.get("epoch"))
+        return max((v for v in vs if self._ref_of(v) == mine), default=floor)
 
     def applied_batch_ids(self) -> set[int]:
         """Batch ids that are DURABLY applied — read from the latest
@@ -1245,6 +1385,7 @@ class ParquetLakeTable:
         applied batch_ids carry over, so refires stay no-ops across the
         layout change.
         """
+        self._require_main("rebucket")
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         return self._retrying(lambda: self._rebucket_once(n_buckets))
@@ -1315,6 +1456,7 @@ class ParquetLakeTable:
         cost is O(table being rewritten), CAS-retried vs concurrent
         ingest; old snapshots still time-travel and batch_ids carry over
         (refires stay no-ops across the layout change)."""
+        self._require_main("cluster")
         if not by:
             raise ValueError("cluster() needs at least one column")
         if len(set(by)) != len(by):
@@ -1414,11 +1556,30 @@ class ParquetLakeTable:
                 ts = ts.replace(tzinfo=_dt.timezone.utc)
             ts = ts.timestamp()
         best = -1
+        fork = (
+            int(self._branch_entry(self.ref).get("forked_from", -1))
+            if self.ref != "main"
+            else -1
+        )
         for v in self._retained_versions():
             try:
-                ca = self._manifest(v).get("committed_at")
+                m = self._manifest(v)
             except FileNotFoundError:  # expired mid-listing
                 continue
+            # AS OF resolves within this handle's ref HISTORY only: main
+            # sees main-chain manifests (a branch's unpublished commits
+            # must not satisfy a main read); a branch sees its own commits
+            # plus the pre-fork main chain it grew from
+            ref, epoch = m.get("ref", "main"), m.get("ref_epoch")
+            if self.ref == "main":
+                if ref != "main":
+                    continue
+            elif not (
+                (ref, epoch) == (self.ref, self._ref_epoch)
+                or (ref == "main" and v <= fork)
+            ):
+                continue
+            ca = m.get("committed_at")
             if ca is not None and ca <= ts:
                 best = max(best, v)
         if best < 0:
@@ -1444,6 +1605,7 @@ class ParquetLakeTable:
                 (
                     v,
                     m.get("parent", -1),
+                    m.get("ref", "main"),
                     float(m["committed_at"]) if m.get("committed_at") else None,
                     sum(len(fl) for fl in m.get("buckets", {}).values()),
                     sum(len(fl) for fl in m.get("deltas", {}).values()),
@@ -1454,7 +1616,7 @@ class ParquetLakeTable:
             )
         return self.spark.createDataFrame(
             rows,
-            schema="version int, parent int, committed_at double, "
+            schema="version int, parent int, ref string, committed_at double, "
             "n_files int, n_delta_files int, n_batches int, "
             "mode string, n_buckets int",
         )
@@ -1559,6 +1721,161 @@ class ParquetLakeTable:
         return self.spark.createDataFrame(
             rows, schema="name string, version int, created_at double"
         )
+
+    # ---- writable branches (Iceberg branch refs) ------------------------
+
+    def _require_main(self, opname: str) -> None:
+        if self.ref != "main":
+            raise ValueError(
+                f"{opname} must run on the main ref "
+                f"(this handle is bound to branch {self.ref!r})"
+            )
+
+    def create_branch(self, name: str, version: int | None = None):
+        """Create a writable named ref forked from a main snapshot
+        (Iceberg's ``ALTER TABLE ... CREATE BRANCH`` analog) and return a
+        handle bound to it. Defaults to the current main head.
+
+        Everything a main handle does works on the branch handle — merge /
+        merge_staged / compact / read / lookup / diff / changelog — but its
+        commits advance only the branch ref; main readers never see them
+        until :meth:`fast_forward`. The fork-base snapshot's batch_ids are
+        inherited, so a stream re-pointed at the branch keeps its refire
+        guard (the generalization of write-audit-publish from one staged
+        manifest to a whole auditable commit CHAIN).
+
+        Creation is atomic (os.link CAS): racing writers on the same name —
+        one wins, the loser gets ValueError. Branch names share the tag
+        grammar but live in a separate namespace (_refs/ vs _tags/)."""
+        self._require_main("create_branch")
+        self._check_tag_name(name)
+        v = self.current_version() if version is None else int(version)
+        # v == -1 forks the EMPTY table: a brand-new ingest can run its
+        # entire backfill on a branch and publish main's first snapshot
+        # with one fast_forward
+        if v != -1 and v not in self._retained_versions():
+            raise ValueError(f"version {v} is not a retained snapshot")
+        if v != -1 and self._ref_of(v)[0] != "main":
+            raise ValueError(
+                f"version {v} is a branch commit — branches fork from "
+                "main snapshots only"
+            )
+        os.makedirs(self._refs_dir, exist_ok=True)
+        payload = {
+            "name": name,
+            "version": v,
+            "forked_from": v,
+            "epoch": uuid.uuid4().hex,
+            "created_at": time.time(),
+        }
+        bpath = self._branch_path(name)
+        tmp = bpath + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            try:
+                os.link(tmp, bpath)
+            except FileExistsError:
+                raise ValueError(
+                    f"branch {name!r} already exists (drop_branch first)"
+                )
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        return self.branch_handle(name)
+
+    def branch_handle(self, name: str) -> "ParquetLakeTable":
+        """A handle bound to an EXISTING branch ref (raises if it does not
+        exist). The main handle is unaffected."""
+        return ParquetLakeTable(
+            self.spark,
+            self.path,
+            key=self.key,
+            n_buckets=self.n_buckets,
+            mode=self.mode,
+            files_per_bucket=self.files_per_bucket,
+            stats_columns=self.stats_columns,
+            key_bloom_ndv=self.key_bloom_ndv,
+            branch=name,
+        )
+
+    def drop_branch(self, name: str) -> bool:
+        """Remove a branch ref. Its commits become unreachable and
+        ``expire_snapshots`` reclaims their manifests and branch-only data
+        files (files shared with kept snapshots are untouched — liveness is
+        computed from kept manifests' file lists). Returns whether the
+        branch existed."""
+        self._check_tag_name(name)
+        try:
+            os.remove(self._branch_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def branches(self) -> DataFrame:
+        """Metadata table: one row per live branch ref — name, current head
+        version, fork-base version, creation stamp. Control plane only."""
+        rows = [
+            (
+                e["name"],
+                int(e["version"]),
+                int(e.get("forked_from", -1)),
+                float(e.get("created_at", 0.0)),
+            )
+            for e in self._branch_entries()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            schema="name string, version int, forked_from int, "
+            "created_at double",
+        )
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch to main (Iceberg's
+        ``CALL system.fast_forward('main', branch)`` analog): if main has
+        not moved since the branch forked, main adopts the branch head as
+        its next snapshot — one control-plane commit copying the head
+        manifest (no data I/O), exactly the restore() shape. The adopted
+        snapshot's batch_ids become durably applied on main, so a stream
+        whose batches were audited on the branch cannot refire after
+        publish (write-audit-publish across a commit chain).
+
+        Raises :class:`BranchDiverged` when main committed after the fork —
+        NOT retryable (see the exception docstring). A branch with no
+        commits fast-forwards as a no-op. The branch ref itself is left in
+        place (its head is now main's parent; keep committing or drop it).
+        Returns main's head version after the operation."""
+        self._require_main("fast_forward")
+
+        def attempt() -> int:
+            e = self._branch_entry(name)  # reread per attempt
+            bh_v = int(e["version"])
+            head_v = self._latest_committed()
+            # walk the branch head's parent chain back through its own
+            # commits; the first non-branch manifest is the fork base
+            node_v = bh_v
+            while True:
+                ref, _ = self._ref_of(node_v)
+                if ref != name:
+                    break
+                node_v = int(self._manifest(node_v).get("parent", -1))
+            if node_v != head_v:
+                raise BranchDiverged(
+                    f"main is at v{head_v} but branch {name!r} forked from "
+                    f"v{node_v} — re-create the branch from the new head"
+                )
+            if bh_v == node_v:
+                return head_v  # no branch commits: no-op
+            bh = self._manifest(bh_v)
+            self._adopt_layout(bh)
+            m = dict(bh)
+            m["version"] = head_v + 1
+            m["parent"] = bh_v
+            m["_built_on"] = head_v  # staleness guard vs main, not parent
+            m["fast_forwarded_from"] = {"branch": name, "version": bh_v}
+            return self._commit(m)
+
+        return self._retrying(attempt)
 
     def data_files(self, version: int | None = None) -> DataFrame:
         """Metadata table (Iceberg's ``table.files`` analog): one row per
@@ -1721,10 +2038,17 @@ class ParquetLakeTable:
 
         Raises FileNotFoundError if ``version`` was expired, ValueError if
         it never existed."""
+        self._require_main("restore")
 
         def attempt():
             if version < 0 or version > self._latest_committed():
                 raise ValueError(f"restore: no snapshot v{version}")
+            if self._ref_of(version)[0] != "main":
+                raise ValueError(
+                    f"restore: v{version} is a branch commit — main rolls "
+                    "back to main-chain snapshots only (fast_forward is "
+                    "the branch-publish path)"
+                )
             src = self._manifest(version)
             base = self._manifest(self._latest_committed())
             # _commit stamps self.mode/self.n_buckets — adopt the TARGET's
@@ -1761,6 +2085,7 @@ class ParquetLakeTable:
 
         Returns {"dest", "version_exported", "n_files", "n_bytes"}.
         """
+        self._require_main("export_snapshot")
         m = self._manifest(version)
         if m["version"] < 0:
             raise ValueError("export_snapshot: table has no committed snapshot")
@@ -1829,6 +2154,7 @@ class ParquetLakeTable:
         a kept snapshot can still read. Returns {"kept", "dropped_manifests",
         "deleted_files"}.
         """
+        self._require_main("expire_snapshots")
         cur = self.current_version()
         if cur < 0:
             return {"kept": [], "dropped_manifests": 0, "deleted_files": 0}
@@ -1837,7 +2163,29 @@ class ParquetLakeTable:
         # manifests AND data files survive however far behind head they
         # fall, until drop_tag releases them
         pinned = {int(t["version"]) for t in self._tag_entries()}
-        keep = [v for v in versions if v > cur - keep_last or v in pinned]
+        # live-branch retention: every commit of a live branch ref (name +
+        # epoch both matching) is kept, and so is its fork-base manifest —
+        # a fresh branch with no commits resolves its head THROUGH the
+        # fork base, and bounds reuse walks parents into it. Dead-branch
+        # manifests (ref dropped, or an older incarnation's epoch) fall
+        # out of every keep set and are reclaimed here.
+        live_branches = {
+            e["name"]: e.get("epoch") for e in self._branch_entries()
+        }
+        for e in self._branch_entries():
+            pinned.add(int(e.get("forked_from", -1)))
+        branch_keep = set()
+        for v in versions:
+            ref, epoch = self._ref_of(v)
+            if ref not in ("main", "?") and live_branches.get(ref) == epoch:
+                branch_keep.add(v)
+        keep = [
+            v
+            for v in versions
+            if (v > cur - keep_last and self._ref_of(v)[0] == "main")
+            or v in pinned
+            or v in branch_keep
+        ]
         live: set[str] = set()
         for v in keep:
             km = self._manifest(v)
@@ -1939,6 +2287,7 @@ class ParquetLakeTable:
         O(affected files) single-file jobs — bucket routing plus zone maps
         bound that to ~retained_versions x files_per_bucket per key.
         """
+        self._require_main("purge_keys")
         if not keys:
             return {"files_rewritten": 0, "files_dropped": 0, "rows_purged": 0,
                     "versions_rewritten": 0}
@@ -2307,4 +2656,40 @@ class IcebergLakeTable:
         return self.spark.sql(
             f"SELECT name, snapshot_id AS version, NULL AS created_at "
             f"FROM {self.table}.refs WHERE type = 'TAG'"
+        )
+
+    # ---- writable branches (interface parity with ParquetLakeTable) ----
+
+    def create_branch(self, name, version=None):  # pragma: no cover
+        """Iceberg-native branch (ALTER TABLE ... CREATE BRANCH). Writing
+        to it uses Iceberg's branch identifiers (`table.branch_<name>` /
+        the `branch` write option) plus spark.wap.branch for the audit
+        flow — same semantics as ParquetLakeTable's branch handles."""
+        ParquetLakeTable._check_tag_name(name)
+        asof = f" AS OF VERSION {int(version)}" if version is not None else ""
+        self.spark.sql(f"ALTER TABLE {self.table} CREATE BRANCH `{name}`{asof}")
+        return name
+
+    def drop_branch(self, name) -> bool:  # pragma: no cover
+        ParquetLakeTable._check_tag_name(name)
+        self.spark.sql(
+            f"ALTER TABLE {self.table} DROP BRANCH IF EXISTS `{name}`"
+        )
+        return True
+
+    def fast_forward(self, name) -> None:  # pragma: no cover
+        """Iceberg-native publish (CALL system.fast_forward): main adopts
+        the branch head iff it is a descendant — the engine raises when
+        diverged, matching ParquetLakeTable.fast_forward/BranchDiverged."""
+        ParquetLakeTable._check_tag_name(name)
+        catalog = self.table.split(".")[0]
+        self.spark.sql(
+            f"CALL {catalog}.system.fast_forward("
+            f"table => '{self.table}', branch => 'main', to => '{name}')"
+        )
+
+    def branches(self) -> DataFrame:  # pragma: no cover
+        return self.spark.sql(
+            f"SELECT name, snapshot_id AS version FROM {self.table}.refs "
+            "WHERE type = 'BRANCH' AND name != 'main'"
         )

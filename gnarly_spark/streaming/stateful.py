@@ -149,3 +149,131 @@ def head_tracker(events, output_mode: str = "append"):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters (SpaceSaving, Metwally et al. 2005) — bounded
+# state for an UNBOUNDED key universe. The head trackers above keep one
+# state row per url; at 1e10 urls that is the lake table's job, not a
+# state store's. This operator answers the monitoring question ("which
+# urls/hosts dominate the feed right now") with state capped at
+# n_buckets x k counters TOTAL, independent of the key universe:
+#
+#  - items are hash-partitioned into `n_buckets` groups (the groupBy key),
+#    so the buckets partition the item space DISJOINTLY;
+#  - each bucket's StatefulProcessor keeps one SpaceSaving summary (k
+#    counters in a ValueState of three parallel arrays) with the classic
+#    guarantees: est >= true, est - err <= true, and any item with true
+#    count > N_bucket/k is present;
+#  - each trigger emits the bucket's current counters; the global top-k is
+#    a plain batch top-k over the union — NO merge math needed, because
+#    hash-disjoint buckets can never hold the same item.
+#
+# Per batch the processor folds the trigger's per-item counts (vectorized
+# pandas groupby) into the summary in descending-count order with
+# ascending-item tie-break — deterministic for a deterministic batch feed.
+# ---------------------------------------------------------------------------
+
+_TOPK_STATE = "items array<string>, counts array<bigint>, errs array<bigint>"
+_TOPK_OUTPUT = (
+    "bucket int, item string, est_count bigint, max_overcount bigint, "
+    "bucket_n bigint"
+)
+
+
+def streaming_topk(
+    events,
+    item_col: str = "url",
+    k: int = 32,
+    n_buckets: int = 8,
+    output_mode: str = "update",
+):
+    """Streaming heavy hitters: (bucket, item, est_count, max_overcount)
+    per trigger, state bounded at n_buckets x k counters. Requires the
+    RocksDB state store (transformWithState backend). Global top-N =
+    ORDER BY est_count DESC over the emitted rows (buckets are disjoint).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopKProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._sum = handle.getValueState("summary", _TOPK_STATE)
+            # cumulative item count the bucket has absorbed — rides along
+            # so consumers get the SpaceSaving error bound (<= N_bucket/k)
+            # and can identify a bucket's LATEST summary among appended
+            # trigger emissions (max bucket_n)
+            self._n = handle.getValueState("n_seen", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._sum.exists():
+                items, counts, errs = self._sum.get()
+                state = {
+                    it: [int(c), int(e)]
+                    for it, c, e in zip(items, counts, errs)
+                }
+            else:
+                state = {}
+            batch = pd.concat(list(rows), ignore_index=True)
+            # transformWithState hands EXPRESSION-derived projections to the
+            # processor with positional column names (_0, _1 — names survive
+            # only for native source columns), so bind by position: the
+            # operator's projection is exactly (bucket_expr, item)
+            batch.columns = ["_bucket", "_item"]
+            per_item = (
+                batch.groupby("_item").size().reset_index(name="_n")
+                # descending count, ascending item: deterministic fold
+                .sort_values(["_n", "_item"], ascending=[False, True])
+            )
+            for it, c in zip(per_item["_item"], per_item["_n"]):
+                c = int(c)
+                if it in state:
+                    state[it][0] += c
+                elif len(state) < k:
+                    state[it] = [c, 0]
+                else:
+                    # evict the min-count counter (ascending item tiebreak);
+                    # the newcomer inherits its count as overcount error
+                    victim = min(state.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    vcnt = victim[1][0]
+                    del state[victim[0]]
+                    state[it] = [vcnt + c, vcnt]
+            ordered = sorted(state.items(), key=lambda kv: (-kv[1][0], kv[0]))
+            self._sum.update(
+                (
+                    [it for it, _ in ordered],
+                    [v[0] for _, v in ordered],
+                    [v[1] for _, v in ordered],
+                )
+            )
+            n_seen = (self._n.get()[0] if self._n.exists() else 0) + len(batch)
+            self._n.update((n_seen,))
+            yield pd.DataFrame(
+                {
+                    "bucket": [int(key[0])] * len(ordered),
+                    "item": [it for it, _ in ordered],
+                    "est_count": [v[0] for _, v in ordered],
+                    "max_overcount": [v[1] for _, v in ordered],
+                    "bucket_n": [n_seen] * len(ordered),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.where(F.col(item_col).isNotNull()).select(
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(n_buckets))
+        .cast("int")
+        .alias("_bucket"),
+        F.col(item_col).alias("_item"),
+    )
+    return keyed.groupBy("_bucket").transformWithStateInPandas(
+        statefulProcessor=TopKProcessor(),
+        outputStructType=_TOPK_OUTPUT,
+        outputMode=output_mode,
+        timeMode="None",
+    )

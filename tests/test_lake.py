@@ -1490,3 +1490,128 @@ def test_tag_of_expired_or_unknown_version_rejected(spark, table):
     table.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError, match="not a retained snapshot"):
         table.tag("t", version=0)
+
+
+# ---- writable branches ------------------------------------------------
+
+
+def test_branch_isolation_and_fast_forward_publish(spark, table):
+    """Branch commits are invisible on main until fast_forward; the
+    published snapshot carries the branch's batch_ids so audited batches
+    cannot refire on main (WAP across a commit chain)."""
+    from gnarly_spark.sinks.lake import BranchDiverged
+
+    table.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=1)
+    b = table.create_branch("audit")
+    assert b.ref == "audit" and table.ref == "main"
+    b.merge(mk(spark, [("a", 2), ("c", 1)]), batch_id=2)
+    b.merge(mk(spark, [("d", 1)]), batch_id=3)
+    assert _pdf(table.read()).url.tolist() == ["a", "b"]  # main untouched
+    got = _pdf(b.read())
+    assert got.url.tolist() == ["a", "b", "c", "d"]
+    assert got.v.tolist() == [2, 1, 1, 1]
+    # branch refire guard holds before publish
+    assert b.merge(mk(spark, [("x", 9)]), batch_id=2) is False
+    v = table.fast_forward("audit")
+    assert table.current_version() == v
+    assert _pdf(table.read()).url.tolist() == ["a", "b", "c", "d"]
+    assert table.applied_batch_ids() == {1, 2, 3}
+    assert table.merge(mk(spark, [("y", 9)]), batch_id=3) is False
+    # empty fast_forward (branch head == fork) is a no-op
+    table.create_branch("empty")
+    assert table.fast_forward("empty") == table.current_version()
+    # re-running fast_forward on the already-published branch diverges
+    # (main's head is the ADOPTED commit, not the branch's fork base)
+    with pytest.raises(BranchDiverged):
+        table.fast_forward("audit")
+
+
+def test_branch_diverged_and_concurrent_ref_commits(spark, table):
+    """Main committing after the fork blocks fast_forward; interleaved
+    main/branch commits allocate distinct versions and neither chain sees
+    the other's rows."""
+    from gnarly_spark.sinks.lake import BranchDiverged
+
+    table.merge(mk(spark, [("a", 1)]), batch_id=1)
+    b = table.create_branch("side")
+    b.merge(mk(spark, [("s1", 1)]), batch_id=2)
+    table.merge(mk(spark, [("m1", 1)]), batch_id=3)
+    b.merge(mk(spark, [("s2", 1)]), batch_id=4)
+    table.merge(mk(spark, [("m2", 1)]), batch_id=5)
+    assert _pdf(table.read()).url.tolist() == ["a", "m1", "m2"]
+    assert _pdf(b.read()).url.tolist() == ["a", "s1", "s2"]
+    snaps = {r.version: r.ref for r in table.snapshots().collect()}
+    assert len(snaps) == len(set(snaps))  # distinct version numbers
+    with pytest.raises(BranchDiverged):
+        table.fast_forward("side")
+    # maintenance stays main-only
+    with pytest.raises(ValueError, match="main ref"):
+        b.expire_snapshots()
+    with pytest.raises(ValueError, match="main ref"):
+        b.create_branch("nested")
+
+
+def test_drop_branch_expire_reclaims_branch_only_files(spark, table):
+    """After drop_branch, expire_snapshots removes the branch's manifests
+    and ITS OWN data files while every file shared with kept main
+    snapshots survives; a same-name branch recreated later never adopts
+    the dead incarnation's commits (epoch guard)."""
+    import os
+
+    table.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=1)
+    b = table.create_branch("tmp")
+    b.merge(mk(spark, [("z", 1)]), batch_id=2)
+    bh = b.current_version()
+    branch_files = {
+        r.file for r in b.data_files(bh).collect()
+    } - {r.file for r in table.data_files().collect()}
+    assert branch_files  # the branch wrote something of its own
+    # while the ref is live, expire keeps every branch manifest + file
+    table.merge(mk(spark, [("c", 1)]), batch_id=3)
+    table.expire_snapshots(keep_last=1)
+    assert all(os.path.exists(f) for f in branch_files)
+    assert _pdf(b.read()).url.tolist() == ["a", "b", "z"]
+    assert table.drop_branch("tmp") is True
+    table.expire_snapshots(keep_last=1)
+    versions = {r.version for r in table.snapshots().collect()}
+    assert bh not in versions  # branch manifest reclaimed
+    assert _pdf(table.read()).url.tolist() == ["a", "b", "c"]  # main intact
+    # recreated branch starts from main's head, not the dead chain
+    b2 = table.create_branch("tmp")
+    assert _pdf(b2.read()).url.tolist() == ["a", "b", "c"]
+    assert table.drop_branch("gone-already") is False
+
+
+def test_branch_mor_deltas_and_purge_reaches_branches(spark, tmp_path):
+    """Branches work on MOR tables (delta chain per ref), and purge_keys'
+    compliance guarantee covers branch snapshots: the key disappears from
+    a live branch's read too."""
+    t = ParquetLakeTable(spark, str(tmp_path / "m"), key="url", n_buckets=2, mode="mor")
+    t.merge(mk(spark, [("a", 1), ("victim", 1)]), batch_id=1)
+    b = t.create_branch("wip")
+    b.merge(mk(spark, [("victim", 2), ("z", 1)]), batch_id=2)
+    assert _pdf(b.read()).v.tolist() == [1, 2, 1]
+    stats = t.purge_keys("victim")
+    assert stats["rows_purged"] >= 2  # main copy + branch delta copy
+    assert _pdf(t.read()).url.tolist() == ["a"]
+    assert _pdf(b.read()).url.tolist() == ["a", "z"]
+
+
+def test_branch_as_of_sees_prefork_history(spark, table):
+    """A branch handle's AS OF resolves through its own commits AND the
+    pre-fork main chain; main's AS OF never resolves to a branch commit."""
+    import time as _time
+
+    table.merge(mk(spark, [("a", 1)]), batch_id=1)
+    _time.sleep(0.05)
+    t_fork = _time.time()
+    b = table.create_branch("hist")
+    _time.sleep(0.05)
+    b.merge(mk(spark, [("b", 1)]), batch_id=2)
+    _time.sleep(0.05)
+    # branch AS OF after its commit -> branch state
+    assert _pdf(b.read(as_of=_time.time())).url.tolist() == ["a", "b"]
+    # branch AS OF before the fork -> pre-fork main snapshot
+    assert _pdf(b.read(as_of=t_fork)).url.tolist() == ["a"]
+    # main AS OF now -> still only main history
+    assert _pdf(table.read(as_of=_time.time())).url.tolist() == ["a"]

@@ -234,3 +234,64 @@ def test_head_tracker_null_warc_ts_cannot_hijack_head(spark, tmp_path):
     assert int(got.loc["https://a"].last_seq) == 5
     assert got.loc["https://a"].last_ts == pd.Timestamp("2024-01-01 10:00:00")
     assert int(got.loc["https://a"].n_events) == 3
+
+
+def test_streaming_topk_bounds_and_finds_heavy_hitters(
+    spark, rocksdb_state, tmp_path
+):
+    """SpaceSaving over a 3-trigger skewed stream: state stays capped at
+    n_buckets x k counters, every surviving estimate satisfies the classic
+    bounds (true <= est <= true + max_overcount), and the planted heavy
+    hitters dominate the final global ranking."""
+    import pandas as pd
+
+    from gnarly_spark.streaming.stateful import streaming_topk
+
+    # 3 files = 3 triggers; hot urls appear in every trigger, cold urls
+    # once each — far more distinct items than k, forcing evictions
+    rows = []
+    for t in range(3):
+        for i, hot in enumerate(["hot-a", "hot-b", "hot-c"]):
+            rows += [(f"{hot}", t)] * (60 - 10 * i)
+        rows += [(f"cold-{t}-{j}", t) for j in range(40)]
+    d = tmp_path / "feed"
+    d.mkdir()
+    for t in range(3):
+        pd.DataFrame(
+            [r for r in rows if r[1] == t], columns=["url", "trigger"]
+        ).to_parquet(d / f"part-{t}.parquet")
+
+    stream = (
+        spark.readStream.schema("url string, trigger long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = tmp_path / "out"
+    q = (
+        streaming_topk(stream, item_col="url", k=8, n_buckets=4)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(str(out)).toPandas()
+    # final summary per bucket = the LAST trigger's emission = the rows
+    # carrying that bucket's max cumulative bucket_n (earlier triggers'
+    # rows are history, and may name since-evicted items)
+    last_n = got.groupby("bucket").bucket_n.transform("max")
+    final = got[got.bucket_n == last_n]
+    per_bucket = final.groupby("bucket").item.count()
+    assert (per_bucket <= 8).all(), per_bucket  # state capped at k
+    true = pd.DataFrame(rows, columns=["url", "t"]).groupby("url").size()
+    for _, r in final.iterrows():
+        t = true.get(r["item"], 0)
+        assert r.est_count >= t, (r["item"], r.est_count, t)
+        assert r.est_count - r.max_overcount <= t, (r["item"], dict(r))
+    # hash-disjoint buckets: global ranking is a plain sort; the planted
+    # hot urls must hold the top 3
+    top3 = set(final.sort_values("est_count", ascending=False).head(3)["item"])
+    assert top3 == {"hot-a", "hot-b", "hot-c"}
