@@ -2255,6 +2255,73 @@ class ParquetLakeTable:
                 dropped += 1
         return {"kept": keep, "dropped_manifests": dropped, "deleted_files": deleted}
 
+    def orphan_report(self) -> DataFrame:
+        """Dry-run of the file-reclamation half of ``expire_snapshots``
+        (Iceberg's remove_orphan_files dry-run): every data file under the
+        table that NO retained manifest, live branch commit, or parked WAP
+        stage references — losers of commit races, crashed writers'
+        leftovers, abandoned-stage survivors. Returns (file, bytes,
+        dir_version, status) where status is 'orphan' or 'in_flight'
+        (a dir newer than the current head may belong to an uncommitted
+        writer — expire never touches those, and operators should not
+        either). Control plane only; nothing is deleted."""
+        live: set[str] = set()
+        for v in self._retained_versions():
+            try:
+                km = self._manifest(v)
+            except FileNotFoundError:  # pragma: no cover - expire race
+                continue
+            for section in ("buckets", "deltas"):
+                for fl in km.get(section, {}).values():
+                    live.update(os.path.realpath(f) for f in fl)
+        sdir = os.path.join(self.path, "_staged")
+        if os.path.isdir(sdir):
+            for fn in os.listdir(sdir):
+                if not fn.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(sdir, fn)) as f:
+                        sm = json.load(f)
+                except (OSError, ValueError):  # pragma: no cover - defensive
+                    continue
+                for section in ("buckets", "deltas"):
+                    for fl in sm.get(section, {}).values():
+                        live.update(os.path.realpath(f) for f in fl)
+        cur = self.current_version() if self.ref == "main" else None
+        rows = []
+        data_dir = os.path.join(self.path, "data")
+        for d in sorted(os.listdir(data_dir)):
+            try:
+                dir_version = int(d.split("-", 1)[0].lstrip("v"))
+            except ValueError:
+                dir_version = None
+            for root, _, files in os.walk(os.path.join(data_dir, d)):
+                for f in files:
+                    p = os.path.realpath(os.path.join(root, f))
+                    if not f.endswith(".parquet") or p in live:
+                        continue
+                    in_flight = (
+                        dir_version is None
+                        or cur is None
+                        or dir_version > cur
+                    )
+                    try:
+                        size = os.path.getsize(p)
+                    except OSError:  # pragma: no cover - racing delete
+                        continue
+                    rows.append(
+                        (
+                            p,
+                            size,
+                            dir_version,
+                            "in_flight" if in_flight else "orphan",
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            schema="file string, bytes bigint, dir_version int, status string",
+        )
+
     def purge_keys(self, *keys: str) -> dict:
         """Compliance hard delete (GDPR right-to-be-forgotten): physically
         remove the given merge keys from EVERY retained snapshot — current

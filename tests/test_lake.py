@@ -1615,3 +1615,45 @@ def test_branch_as_of_sees_prefork_history(spark, table):
     assert _pdf(b.read(as_of=t_fork)).url.tolist() == ["a"]
     # main AS OF now -> still only main history
     assert _pdf(table.read(as_of=_time.time())).url.tolist() == ["a"]
+
+
+def test_orphan_report_dry_run(spark, table):
+    """orphan_report lists exactly the files expire would reclaim — an
+    expired-out version's unique files — without deleting anything, and
+    marks files in never-committed (newer-than-head) dirs in_flight."""
+    import os
+    import shutil
+
+    table.merge(mk(spark, [("a", 1), ("b", 1)]), batch_id=1)
+    table.merge(mk(spark, [("a", 2)]), batch_id=2)
+    assert table.orphan_report().count() == 0  # all files referenced
+    # drop v0's manifest by expiring, but first copy one of its files
+    # back after expire to fabricate a dangling file deterministically:
+    v0_files = [r.file for r in table.data_files(0).collect()]
+    stash = {f: f + ".stash" for f in v0_files}
+    for f, s in stash.items():
+        shutil.copy2(f, s)
+    table.expire_snapshots(keep_last=1)
+    restored = []
+    for f, s in stash.items():
+        if not os.path.exists(f):  # reclaimed by expire -> restore a copy
+            os.replace(s, f)
+            restored.append(f)
+        else:
+            os.remove(s)
+    assert restored, "expire should have reclaimed v0-only files"
+    rep = {r.file: r.status for r in table.orphan_report().collect()}
+    assert set(restored) <= set(rep) and all(
+        rep[f] == "orphan" for f in restored
+    )
+    # an uncommitted writer's dir (version beyond head) is flagged, not
+    # treated as reclaimable
+    head = table.current_version()
+    d = os.path.join(table.path, "data", f"v{head + 7}-inflight")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy2(restored[0], os.path.join(d, "part-0.parquet"))
+    rep2 = {r.file: r.status for r in table.orphan_report().collect()}
+    inflight = [f for f, s in rep2.items() if s == "in_flight"]
+    assert len(inflight) == 1 and f"v{head + 7}-inflight" in inflight[0]
+    # dry run: nothing was deleted
+    assert all(os.path.exists(f) for f in rep2)
