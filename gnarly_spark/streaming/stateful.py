@@ -188,10 +188,15 @@ def streaming_topk(
     n_buckets: int = 8,
     output_mode: str = "update",
 ):
-    """Streaming heavy hitters: (bucket, item, est_count, max_overcount)
-    per trigger, state bounded at n_buckets x k counters. Requires the
-    RocksDB state store (transformWithState backend). Global top-N =
-    ORDER BY est_count DESC over the emitted rows (buckets are disjoint).
+    """Streaming heavy hitters: (bucket, item, est_count, max_overcount,
+    bucket_n) per trigger, state bounded at n_buckets x k counters.
+    Requires the RocksDB state store (transformWithState's only backend)
+    AND google.protobuf importable in Spark's Python workers BEFORE the
+    JVM starts (the TWS state client speaks protobuf; tests/conftest.py
+    stages a vendored shim — production clusters just install protobuf).
+    Global top-N = ORDER BY est_count DESC over the latest emissions
+    (rows with each bucket's max bucket_n); buckets are hash-disjoint so
+    no cross-bucket merge math is ever needed.
     """
     import pandas as pd
     from pyspark.sql import functions as F
