@@ -185,7 +185,16 @@ class BranchDiverged(Exception):
     """fast_forward refused: main committed after the branch forked, so the
     branch head is no longer a descendant of main's head. NOT retryable —
     the caller must re-create the branch from the new head (re-applying its
-    batches; their batch_ids make that idempotent) or merge by hand."""
+    batches; their batch_ids make that idempotent), or publish through
+    ``merge_branch`` (key-level three-way merge) when the two change sets
+    touch disjoint keys."""
+
+
+class BranchMergeConflict(Exception):
+    """merge_branch refused: the branch and main both changed at least one
+    key since the fork. Carries a sample of the conflicting keys in its
+    message; resolution (pick a side, re-create the branch, merge the keys
+    explicitly) is the caller's decision — exactly git/Nessie semantics."""
 
 
 class ParquetLakeTable:
@@ -1876,6 +1885,77 @@ class ParquetLakeTable:
             return self._commit(m)
 
         return self._retrying(attempt)
+
+    def merge_branch(self, name: str, batch_id: int | None = None) -> int:
+        """Publish a DIVERGED branch by key-level three-way merge
+        (Nessie-style content merge — the path :meth:`fast_forward` refuses
+        with :class:`BranchDiverged`): the branch's change set relative to
+        its fork base (``changelog(fork, branch_head)`` — inserts/updates
+        as upserts, deletes as delete keys) is applied to main's CURRENT
+        head as one ordinary MERGE commit, **iff no key was also changed
+        on main since the fork**. Overlapping keys raise
+        :class:`BranchMergeConflict` carrying a sample of the conflicting
+        keys — resolving them is a human decision, exactly as in Nessie /
+        git.
+
+        Cost: two keys-only diffs (each one key-shuffle pruned to two
+        snapshots) + one MERGE of only the branch's changed rows — O(delta),
+        not O(table). The commit records ``merged_from``; the branch ref
+        stays (drop it or keep committing — its fork base is unchanged, so
+        a SECOND merge_branch of the same unextended branch conflicts with
+        itself via main's adopted changes... re-create the branch after a
+        merge). The branch's batch_ids are NOT adopted (its commits are
+        re-expressed as one new merge commit); pass ``batch_id`` to make
+        the publish itself refire-guarded."""
+        self._require_main("merge_branch")
+        e = self._branch_entry(name)
+        bh_v = int(e["version"])
+        # fork base: walk the branch chain's parents to the first
+        # non-branch manifest (same walk as fast_forward)
+        node_v = bh_v
+        while self._ref_of(node_v)[0] == name:
+            node_v = int(self._manifest(node_v).get("parent", -1))
+        fork_v = node_v
+        if bh_v == fork_v:
+            return self._latest_committed()  # no branch commits: no-op
+        head_v = self._latest_committed()
+        if head_v == fork_v:
+            return self.fast_forward(name)  # not diverged: cheap path
+        br = self.branch_handle(name)
+        b_delta = br.diff(fork_v, bh_v).localCheckpoint(eager=False)
+        m_delta = self.diff(fork_v, head_v)
+        conflicts = [
+            r[0]
+            for r in b_delta.join(m_delta, self.key, "left_semi")
+            .select(self.key)
+            .limit(20)
+            .collect()
+        ]
+        if conflicts:
+            raise BranchMergeConflict(
+                f"branch {name!r} and main both changed key(s) since "
+                f"v{fork_v}: {conflicts[:10]} — resolve by hand "
+                "(re-create the branch from the new head, or merge the "
+                "keys explicitly)"
+            )
+        images = br.changelog(fork_v, bh_v)
+        ups = images.where(
+            F.col("_change_type").isin("insert", "update_after")
+        ).drop("_change_type")
+        dels = images.where(F.col("_change_type") == "delete").select(self.key)
+        applied = self.merge(ups, delete_keys=dels, batch_id=batch_id)
+        v = self._latest_committed()
+        if applied:
+            # stamp provenance on the freshly-committed manifest (atomic
+            # in-place rewrite, same primitive purge_keys uses)
+            m = self._manifest(v)
+            m["merged_from"] = {"branch": name, "version": bh_v, "fork": fork_v}
+            mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
+            tmp = mpath + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, mpath)
+        return v
 
     def data_files(self, version: int | None = None) -> DataFrame:
         """Metadata table (Iceberg's ``table.files`` analog): one row per

@@ -1657,3 +1657,42 @@ def test_orphan_report_dry_run(spark, table):
     assert len(inflight) == 1 and f"v{head + 7}-inflight" in inflight[0]
     # dry run: nothing was deleted
     assert all(os.path.exists(f) for f in rep2)
+
+
+def test_merge_branch_three_way_publish_and_conflict(spark, table):
+    """merge_branch publishes a DIVERGED branch when the two change sets
+    touch disjoint keys (inserts/updates/deletes all propagate, main's
+    own post-fork changes survive), stamps provenance, and refuses with
+    the conflicting keys when both sides changed one."""
+    from gnarly_spark.sinks.lake import BranchMergeConflict
+
+    table.merge(mk(spark, [("a", 1), ("b", 1), ("c", 1), ("d", 1)]), batch_id=1)
+    br = table.create_branch("side")
+    # branch: update b, delete c, insert e
+    br.merge(mk(spark, [("b", 20), ("e", 5)]), batch_id=2)
+    br.merge(mk(spark, []), delete_keys=mk(spark, [("c", 0)]), batch_id=3)
+    # main diverges on a DIFFERENT key
+    table.merge(mk(spark, [("a", 10), ("f", 7)]), batch_id=4)
+    v = table.merge_branch("side", batch_id=99)
+    got = _pdf(table.read()).set_index("url").v.to_dict()
+    assert got == {"a": 10, "b": 20, "d": 1, "e": 5, "f": 7}
+    assert table.current_version() == v
+    assert 99 in table.applied_batch_ids()
+    m = table._manifest(v)
+    assert m["merged_from"]["branch"] == "side"
+    # refire-guarded publish
+    assert table.merge(mk(spark, [("zz", 1)]), batch_id=99) is False
+
+    # conflicting change: both sides touch the same key
+    br2 = table.create_branch("clash")
+    br2.merge(mk(spark, [("a", 100)]), batch_id=5)
+    table.merge(mk(spark, [("a", 11)]), batch_id=6)
+    with pytest.raises(BranchMergeConflict, match="a"):
+        table.merge_branch("clash")
+
+    # non-diverged branch falls through to fast_forward; empty branch no-op
+    br3 = table.create_branch("ff")
+    br3.merge(mk(spark, [("g", 1)]), batch_id=7)
+    v2 = table.merge_branch("ff")
+    assert _pdf(table.read()).set_index("url").v.to_dict()["g"] == 1
+    assert table.current_version() == v2
