@@ -421,6 +421,71 @@ def cdc_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_branch_merge",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERGED-branch publish end-to-end (sinks/lake.py merge_branch —
+    Nessie-style key-level three-way merge, the case fast_forward refuses):
+    the first half of the changelog lands on main, a branch forks, then
+    the second half is SPLIT BY KEY — odd users' events commit on the
+    branch while even users' events commit on main (so both refs move,
+    disjointly). ``merge_branch`` re-expresses the branch's changelog as
+    one O(delta) MERGE onto main's moved head; the published state must
+    equal the one-pass replay of the WHOLE changelog. Conflict refusal is
+    pytest-covered (test_lake::test_merge_branch_three_way_publish_and_conflict)."""
+    import tempfile
+
+    from gnarly_spark.operators.replay import last_writer_wins, reverted_blocks
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    log = _changelog_df(spark, sf_dir)
+    hi = log.agg(F.max("op_seq")).collect()[0][0]
+    rev = reverted_blocks(log)
+    live = log.where(F.col("op") != "revert").join(
+        F.broadcast(rev), "block_hash", "left_anti"
+    )
+    # url = 'https://u/<user_id>': parity of the numeric suffix splits the
+    # key space disjointly between the two refs
+    odd = F.substring_index(F.col("url"), "/", -1).cast("long") % 2 == 1
+
+    def apply(handle, part: DataFrame, batch_id: int):
+        w = last_writer_wins(part)
+        handle.merge(
+            w.where(F.col("op") != "delete").select(
+                "url", "warc_ts", "op_seq", "value"
+            ),
+            delete_keys=w.where(F.col("op") == "delete").select("url"),
+            batch_id=batch_id,
+        )
+
+    t = ParquetLakeTable(
+        spark, tempfile.mkdtemp(prefix="gnarly_bmerge_"), key="url", n_buckets=4
+    )
+    apply(t, live.where(F.col("op_seq") <= hi // 2), 0)
+    b = t.create_branch("odd")
+    second = live.where(F.col("op_seq") > hi // 2)
+    apply(b, second.where(odd), 1)
+    apply(t, second.where(~odd), 2)
+    t.merge_branch("odd", batch_id=3)
+    return t.read().select(
+        "url", F.col("op_seq").alias("last_seq"), F.round("value", 4).alias("last_value")
+    )
+
+
+@register(
     "cdc_streaming_replay",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),
