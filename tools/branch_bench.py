@@ -45,18 +45,37 @@ def main():
     spark = get_spark(app_name="branch_bench")
 
     d = tempfile.mkdtemp(prefix="branch_bench_")
-    main_t = ParquetLakeTable(spark, f"{d}/direct", key="url", n_buckets=16,
-                             files_per_bucket=4)
-    t_direct = ingest(spark, main_t, n_batches, rows)
-
-    base = ParquetLakeTable(spark, f"{d}/wap", key="url", n_buckets=16,
+    # warmup: codegen/Arrow/parquet-writer paths, NOT timed — the first
+    # merge of a fresh JVM pays several seconds of one-time cost that
+    # would bias whichever leg runs first
+    warm = ParquetLakeTable(spark, f"{d}/warm", key="url", n_buckets=16,
                             files_per_bucket=4)
-    br = base.create_branch("ingest")
-    t_branch = ingest(spark, br, n_batches, rows)
-    t0 = time.monotonic()
-    base.fast_forward("ingest")
-    t_ff = time.monotonic() - t0
-    assert base.read().count() == br.read().count()
+    ingest(spark, warm, 2, rows)
+
+    swap = os.environ.get("BRANCH_BENCH_SWAP") == "1"
+
+    def leg_direct():
+        main_t = ParquetLakeTable(spark, f"{d}/direct", key="url",
+                                  n_buckets=16, files_per_bucket=4)
+        return ingest(spark, main_t, n_batches, rows)
+
+    def leg_branch():
+        base = ParquetLakeTable(spark, f"{d}/wap", key="url", n_buckets=16,
+                                files_per_bucket=4)
+        br = base.create_branch("ingest")
+        t = ingest(spark, br, n_batches, rows)
+        t0 = time.monotonic()
+        base.fast_forward("ingest")
+        ff = time.monotonic() - t0
+        assert base.read().count() == br.read().count()
+        return t, ff
+
+    if swap:
+        t_branch, t_ff = leg_branch()
+        t_direct = leg_direct()
+    else:
+        t_direct = leg_direct()
+        t_branch, t_ff = leg_branch()
 
     out = {
         "metric": "branch-ingest overhead vs direct (sec)",
@@ -66,6 +85,7 @@ def main():
         "branch_ingest_s": round(t_branch, 3),
         "fast_forward_s": round(t_ff, 4),
         "overhead_pct": round(100 * (t_branch + t_ff - t_direct) / t_direct, 2),
+        "order": "branch_first" if swap else "direct_first",
     }
     print(json.dumps(out))
     spark.stop()
