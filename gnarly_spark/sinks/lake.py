@@ -1339,6 +1339,33 @@ class ParquetLakeTable:
         ingest commits (the maintenance-vs-ingest race)."""
         return self._retrying(lambda: self._compact_once(buckets))
 
+    def compact_hot(self, max_deltas: int = 8) -> dict:
+        """Backlog-driven compaction policy (Hudi's inline-compaction
+        trigger / Iceberg's `rewrite_data_files where` analog): compact
+        ONLY the buckets whose outstanding delta-file count exceeds
+        ``max_deltas`` — the read-amplification hotspots — leaving cool
+        buckets' cheap deltas in place. This is the cadence call a
+        maintenance cron makes on a 100 TB MOR table: cost tracks the hot
+        buckets' data, read cost stays bounded at max_deltas resolves per
+        key everywhere else. Control-plane selection (manifest delta map
+        only); returns compact()'s stats plus {"hot_buckets": [...]}."""
+        m = self._manifest(self._latest_committed())
+        hot = sorted(
+            int(b)
+            for b, fl in m.get("deltas", {}).items()
+            if len(fl) > max_deltas
+        )
+        if not hot:
+            return {
+                "compacted_buckets": 0,
+                "folded_delta_files": 0,
+                "version": m["version"],
+                "hot_buckets": [],
+            }
+        out = self.compact(buckets=hot)
+        out["hot_buckets"] = hot
+        return out
+
     def _compact_once(self, buckets: list[int] | None) -> dict:
         m = self._manifest(self._latest_committed())
         self._adopt_layout(m)

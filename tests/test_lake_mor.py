@@ -205,3 +205,39 @@ def test_expire_keeps_live_delta_files(spark, pair):
     stats = mor.expire_snapshots(keep_last=1)
     assert stats["deleted_files"] > 0  # folded deltas now unreferenced
     assert _pdf(mor.read()).v.tolist() == [2]
+
+
+def test_compact_hot_policy_targets_backlogged_buckets(spark, tmp_path):
+    """compact_hot folds only buckets whose delta backlog exceeds the
+    threshold: the hot key's bucket is compacted (deltas emptied), the
+    cool bucket keeps its cheap deltas, and the table state is unchanged."""
+    from pyspark.sql import functions as F
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable, bucket_of
+
+    t = ParquetLakeTable(spark, str(tmp_path / "m"), key="url", n_buckets=4, mode="mor")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "url string, v int")
+
+    hot_url, cool_url = "hot", "cool"
+    hb = spark.range(1).select(bucket_of(F.lit(hot_url), 4)).collect()[0][0]
+    cb = spark.range(1).select(bucket_of(F.lit(cool_url), 4)).collect()[0][0]
+    assert hb != cb, "pick urls hashing to different buckets for this test"
+    # 5 merges touch the hot url; 1 touches the cool one
+    for i in range(5):
+        t.merge(mk([(hot_url, i)]), batch_id=i)
+    t.merge(mk([(cool_url, 99)]), batch_id=9)
+    dmap = t._manifest(t.current_version())["deltas"]
+    assert len(dmap.get(str(hb), [])) == 5 and len(dmap.get(str(cb), [])) == 1
+    stats = t.compact_hot(max_deltas=2)
+    assert stats["hot_buckets"] == [hb]
+    assert stats["compacted_buckets"] >= 1
+    dmap2 = t._manifest(t.current_version())["deltas"]
+    assert dmap2.get(str(hb), []) == [] and len(dmap2.get(str(cb), [])) == 1
+    got = {r.url: r.v for r in t.read().collect()}
+    assert got == {hot_url: 4, cool_url: 99}
+    # below-threshold backlog: no-op, no commit
+    v = t.current_version()
+    assert t.compact_hot(max_deltas=8)["hot_buckets"] == []
+    assert t.current_version() == v
