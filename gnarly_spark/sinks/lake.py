@@ -2037,6 +2037,13 @@ class ParquetLakeTable:
         prev_ids: list = []
         for v in versions:
             m = self._manifest(v)
+            # this handle's REF chain only: branch commits interleave in
+            # the shared version space, and mixing them in would attribute
+            # a branch's bucket rewrites (and batch_ids) to main lineage
+            if (m.get("ref", "main"), m.get("ref_epoch")) != (
+                ("main", None) if self.ref == "main" else (self.ref, self._ref_epoch)
+            ):
+                continue
             deltas = m.get("deltas", {})
             changed = {
                 b for b, fl in m["buckets"].items()

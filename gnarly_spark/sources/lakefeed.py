@@ -195,8 +195,19 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         self._consumed = self._bump(self._consumed, start["version"])
         self._hwm = self._bump(self._hwm, end["version"])
         parts: list[_FeedPartition] = []
+        # Walk the MAIN chain only. Branch refs share the version-number
+        # space (sinks/lake.py), so the raw range may contain BRANCH
+        # commits — emitting their files would leak unpublished data into
+        # the feed. Each main manifest diffs against the PREVIOUS MAIN
+        # manifest in the walk, not its `parent` pointer: a fast_forward
+        # publish has parent = the branch HEAD, and diffing against that
+        # would silently drop every delta file the branch chain introduced
+        # (the feed never saw the branch's own commits).
+        prev_main = _manifest(self.path, start["version"])
         for v in range(start["version"] + 1, end["version"] + 1):
             man = _manifest(self.path, v)
+            if man.get("ref", "main") != "main":
+                continue  # branch commit: invisible until fast-forwarded
             if man.get("restored_from") is not None:
                 if not self.skip_restore:
                     raise RuntimeError(
@@ -212,10 +223,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 # those commits first landed) as duplicates. A restore
                 # adds no delta files — emit nothing for it.
                 continue
-            parent = _manifest(self.path, man.get("parent", v - 1))
             parts.extend(
-                _FeedPartition(f, self.fields) for f in _new_delta_files(man, parent)
+                _FeedPartition(f, self.fields)
+                for f in _new_delta_files(man, prev_main)
             )
+            prev_main = man
         return parts
 
     def read(self, partition: _FeedPartition) -> Iterator:

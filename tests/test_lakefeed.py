@@ -290,3 +290,48 @@ def test_feed_offsets_never_regress_below_advertised_end(registered, tmp_path):
     )
     rows = [(r.url, r._delta_seq) for r in got.collect()]
     assert sorted(rows) == [("u0", 0), ("u1", 1), ("u2", 2), ("u9", 3)]
+
+
+def test_feed_ignores_branch_commits_until_fast_forward(
+    registered, tmp_path
+):
+    """Branch commits share the version-number space but must be INVISIBLE
+    to the main change feed until published; fast_forward then delivers
+    the branch chain's delta files in one batch (diffed against the last
+    MAIN manifest, not the commit's branch-head parent)."""
+    spark = registered
+    t = _mor(spark, str(tmp_path))
+    t.merge(_rows(spark, [("a", 1.0)]), batch_id=1)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, t.path, ck, out, startingVersion="0")
+    assert {r.url for r in got.collect()} == {"a"}
+
+    b = t.create_branch("wip")
+    b.merge(_rows(spark, [("x", 9.0)]), batch_id=2)
+    b.merge(_rows(spark, [("y", 9.0)]), batch_id=3)
+    # main also moves (so the feed HAS new published versions to scan past
+    # the interleaved branch commits)
+    t.merge(_rows(spark, [("m", 2.0)]), batch_id=4)
+    got = _drain(spark, t.path, ck, out)
+    urls = [r.url for r in got.collect()]
+    assert urls.count("m") == 1
+    assert "x" not in urls and "y" not in urls, "branch rows leaked"
+
+    # fast_forward would refuse (diverged) — publish via merge_branch,
+    # which lands the branch rows as a NEW main merge commit
+    t.merge_branch("wip", batch_id=5)
+    got = _drain(spark, t.path, ck, out)
+    urls = [r.url for r in got.collect()]
+    assert urls.count("x") == 1 and urls.count("y") == 1
+
+    # and the pure fast_forward path: fresh branch, main frozen
+    b2 = t.create_branch("ff")
+    b2.merge(_rows(spark, [("z", 5.0)]), batch_id=6)
+    b2.merge(_rows(spark, [("w", 5.0)]), batch_id=7)
+    t.fast_forward("ff")
+    got = _drain(spark, t.path, ck, out)
+    urls = [r.url for r in got.collect()]
+    assert urls.count("z") == 1 and urls.count("w") == 1, (
+        "fast_forward must deliver the whole branch delta chain exactly once"
+    )
