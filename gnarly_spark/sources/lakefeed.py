@@ -52,15 +52,29 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
 
-def _published_version(table_path: str) -> int:
-    """The _CURRENT pointer — readers consume published snapshots only
+def _published_version(table_path: str, branch: str | None = None) -> int:
+    """The published pointer — readers consume published snapshots only
     (same rule as ParquetLakeTable.read; a commit that won its version
-    CAS but hasn't swapped the pointer yet is not yet visible)."""
+    CAS but hasn't swapped the pointer yet is not yet visible). With
+    ``branch``, the branch ref file plays the role of _CURRENT."""
+    if branch is not None:
+        return int(_branch_entry(table_path, branch)["version"])
     try:
         with open(os.path.join(table_path, "_CURRENT")) as f:
             return int(f.read().strip())
     except FileNotFoundError:
         return -1
+
+
+def _branch_entry(table_path: str, branch: str) -> dict:
+    try:
+        with open(os.path.join(table_path, "_refs", f"{branch}.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"lakefeed: branch {branch!r} does not exist on {table_path} "
+            "(dropped mid-stream, or never created)"
+        ) from None
 
 
 def _manifest(table_path: str, version: int) -> dict:
@@ -130,6 +144,25 @@ class LakeFeedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict, fields: list[tuple[str, str]]):
         self.path = os.path.realpath(options["path"])
         self.fields = fields
+        # branch=<name>: tail a BRANCH ref instead of main — the preview
+        # consumer of a write-audit-publish chain (e.g. a quality monitor
+        # reading an ingest branch before fast_forward publishes it).
+        # Feed = the pre-fork main chain plus the branch's own commits;
+        # main commits AFTER the fork are invisible (they are not part of
+        # the branch's history). The epoch is captured at stream start: a
+        # dropped-and-recreated same-name branch emits nothing further
+        # (restart the stream to follow the new incarnation).
+        self.branch = options.get("branch")
+        self._branch_epoch = (
+            _branch_entry(self.path, self.branch).get("epoch")
+            if self.branch is not None
+            else None
+        )
+        self._fork = (
+            int(_branch_entry(self.path, self.branch).get("forked_from", -1))
+            if self.branch is not None
+            else None
+        )
         self.skip_restore = (
             str(options.get("skipRestoreCommits", "false")).lower() == "true"
         )
@@ -138,7 +171,11 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         sv = options.get("startingVersion")
         # offset = last version already consumed; startingVersion=V means
         # "emit V and everything after"; omitted -> tail (changes from now)
-        self.start = int(sv) - 1 if sv is not None else _published_version(self.path)
+        self.start = (
+            int(sv) - 1
+            if sv is not None
+            else _published_version(self.path, self.branch)
+        )
         # consumedBase: the caller already knows the checkpoint's resumed
         # offset (e.g. drain_feed reads it from the offset log between
         # runs) — seed _consumed so the maxVersionsPerTrigger cap applies
@@ -175,7 +212,7 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         return {"version": self.start}
 
     def latestOffset(self) -> dict:
-        cur = max(_published_version(self.path), self.start)
+        cur = max(_published_version(self.path, self.branch), self.start)
         # cap relative to what's consumed (or, failing that, the last end
         # we advertised — Spark will plan a batch up to it)
         base = self._consumed if self._consumed is not None else self._hwm
@@ -189,6 +226,19 @@ class LakeFeedStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         self._consumed = self._bump(self._consumed, end["version"])
         self._hwm = self._bump(self._hwm, end["version"])
+
+    def _visible(self, man: dict, v: int) -> bool:
+        """Is commit ``v`` part of this reader's ref history? Main readers
+        see main-chain manifests only (a branch commit sharing the version
+        space is unpublished data). Branch readers see the branch's own
+        commits (name AND stream-start epoch) plus the pre-fork main
+        chain."""
+        ref, epoch = man.get("ref", "main"), man.get("ref_epoch")
+        if self.branch is None:
+            return ref == "main"
+        if (ref, epoch) == (self.branch, self._branch_epoch):
+            return True
+        return ref == "main" and v <= self._fork
 
     def partitions(self, start: dict, end: dict) -> list[_FeedPartition]:
         # start is consumed by definition (this batch covers (start, end])
@@ -206,8 +256,8 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         prev_main = _manifest(self.path, start["version"])
         for v in range(start["version"] + 1, end["version"] + 1):
             man = _manifest(self.path, v)
-            if man.get("ref", "main") != "main":
-                continue  # branch commit: invisible until fast-forwarded
+            if not self._visible(man, v):
+                continue
             if man.get("restored_from") is not None:
                 if not self.skip_restore:
                     raise RuntimeError(

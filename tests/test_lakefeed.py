@@ -335,3 +335,28 @@ def test_feed_ignores_branch_commits_until_fast_forward(
     assert urls.count("z") == 1 and urls.count("w") == 1, (
         "fast_forward must deliver the whole branch delta chain exactly once"
     )
+
+
+def test_feed_tails_a_branch_ref(registered, tmp_path):
+    """branch=<name> tails the BRANCH's history: pre-fork main commits
+    plus the branch's own commits, while main's post-fork commits stay
+    invisible — the preview consumer of an unpublished WAP chain."""
+    spark = registered
+    t = _mor(spark, str(tmp_path))
+    t.merge(_rows(spark, [("pre", 1.0)]), batch_id=1)
+    b = t.create_branch("wip")
+    b.merge(_rows(spark, [("b1", 2.0)]), batch_id=2)
+    t.merge(_rows(spark, [("post", 3.0)]), batch_id=3)  # main diverges
+    b.merge(_rows(spark, [("b2", 4.0)]), batch_id=4)
+
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    got = _drain(spark, t.path, ck, out, startingVersion="0", branch="wip")
+    urls = sorted(r.url for r in got.collect())
+    assert urls == ["b1", "b2", "pre"], urls
+
+    # incremental: only NEW branch commits on the next drain
+    b.merge(_rows(spark, [("b3", 5.0)]), batch_id=5)
+    t.merge(_rows(spark, [("post2", 6.0)]), batch_id=6)
+    got = _drain(spark, t.path, ck, out, startingVersion="0", branch="wip")
+    urls = sorted(r.url for r in got.collect())
+    assert urls == ["b1", "b2", "b3", "pre"], urls
