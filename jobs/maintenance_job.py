@@ -6,7 +6,9 @@ rewrite_data_files + expire_snapshots procedures).
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
         [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K] \
         [--cluster col1,col2 [--cluster-bits B]] [--key-bloom-ndv NDV] \
-        [--purge-keys url1,url2]
+        [--purge-keys url1,url2] [--compact-hot N] \
+        [--create-branch NAME | --fast-forward NAME | --merge-branch NAME \
+         | --drop-branch NAME]
 
 Run it between ingest runs — or concurrently: lake commits are
 version-CAS'd, so a maintenance commit racing an ingest merge makes the
@@ -49,6 +51,20 @@ def main(argv=None):
     # for zero benefit).
     ap.add_argument("--key-bloom-ndv", type=int, default=None, metavar="NDV")
     ap.add_argument(
+        "--compact-hot", type=int, default=None, metavar="N",
+        help="backlog-driven compaction: fold only buckets with more than "
+        "N outstanding delta files (compact_hot)",
+    )
+    ap.add_argument("--create-branch", default=None, metavar="NAME",
+                    help="create a writable branch ref at the current head")
+    ap.add_argument("--fast-forward", default=None, metavar="NAME",
+                    help="publish a branch to main (refuses when diverged)")
+    ap.add_argument("--merge-branch", default=None, metavar="NAME",
+                    help="publish a DIVERGED branch by key-level three-way "
+                    "merge (refuses on key conflicts)")
+    ap.add_argument("--drop-branch", default=None, metavar="NAME",
+                    help="remove a branch ref (expiry reclaims its commits)")
+    ap.add_argument(
         "--purge-keys", default=None, metavar="K1,K2",
         help="compliance HARD delete: comma-separated merge keys erased "
         "from every retained snapshot (history rewrite; see "
@@ -78,6 +94,23 @@ def main(argv=None):
         out["purge"] = tbl.purge_keys(
             *[k.strip() for k in args.purge_keys.split(",") if k.strip()]
         )
+    if args.create_branch:
+        tbl.create_branch(args.create_branch)
+        out["create_branch"] = args.create_branch
+    if args.fast_forward:
+        out["fast_forward"] = {
+            "branch": args.fast_forward,
+            "version": tbl.fast_forward(args.fast_forward),
+        }
+    if args.merge_branch:
+        out["merge_branch"] = {
+            "branch": args.merge_branch,
+            "version": tbl.merge_branch(args.merge_branch),
+        }
+    if args.drop_branch:
+        out["drop_branch"] = tbl.drop_branch(args.drop_branch)
+    if args.compact_hot is not None and tbl.current_version() >= 0:
+        out["compact_hot"] = tbl.compact_hot(max_deltas=args.compact_hot)
     if args.compact and tbl.current_version() >= 0:
         if tbl.mode == "mor":
             out["compact"] = tbl.compact()  # fold deltas, bucket-granular

@@ -1696,3 +1696,43 @@ def test_merge_branch_three_way_publish_and_conflict(spark, table):
     v2 = table.merge_branch("ff")
     assert _pdf(table.read()).set_index("url").v.to_dict()["g"] == 1
     assert table.current_version() == v2
+
+
+def test_branch_schema_evolution_publishes_to_main(spark, table):
+    """A branch that widens the schema mid-chain (added column) publishes
+    the EVOLVED schema to main on fast_forward — the WAP pattern for
+    risky schema changes: evolve on a branch, audit, publish."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=1)
+    b = table.create_branch("evolve")
+    b.merge(
+        mk(spark, [("b", 2, "en")], schema="url string, v int, lang string"),
+        batch_id=2,
+    )
+    # main is untouched AND unevolved
+    assert set(table.read().columns) == {"url", "v"}
+    assert set(b.read().columns) == {"url", "v", "lang"}
+    table.fast_forward("evolve")
+    got = _pdf(table.read())
+    assert set(got.columns) == {"url", "v", "lang"}
+    assert got.set_index("url").lang.to_dict() == {"a": None, "b": "en"}
+
+
+def test_maintenance_job_branch_flags(spark, tmp_path, capsys):
+    """The maintenance CLI drives the branch lifecycle: create -> (a
+    writer commits on the branch) -> fast-forward -> drop."""
+    import json as _json
+
+    from jobs.maintenance_job import main
+
+    t = ParquetLakeTable(spark, str(tmp_path / "b"), key="url")
+    t.merge(mk(spark, [("a", 1)]), batch_id=1)
+    main(["--table", str(tmp_path / "b"), "--create-branch", "wip",
+          "--keep-last", "10"])
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["create_branch"] == "wip"
+    t.branch_handle("wip").merge(mk(spark, [("z", 9)]), batch_id=2)
+    main(["--table", str(tmp_path / "b"), "--fast-forward", "wip",
+          "--drop-branch", "wip", "--keep-last", "10"])
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["fast_forward"]["branch"] == "wip" and out2["drop_branch"]
+    assert _pdf(t.read()).url.tolist() == ["a", "z"]
