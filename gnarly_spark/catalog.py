@@ -2176,6 +2176,45 @@ def q_rollup(spark, sf_dir):
 
 
 @register(
+    "q_cube",
+    """
+    SELECT COALESCE(event_type, '(all)') AS event_type,
+           COALESCE(CAST(user_id % 10 AS VARCHAR), '(all)') AS cohort,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(CAST(user_id % 10 AS VARCHAR)) AS BIGINT)
+             AS grouping_id
+    FROM events
+    GROUP BY CUBE(event_type, CAST(user_id % 10 AS VARCHAR))
+    """,
+)
+def q_cube(spark, sf_dir):
+    """CUBE multidimensional aggregate (every grouping-set combination,
+    disambiguated by GROUPING flags — the OLAP companion of q_rollup; one
+    Expand + one partial-agg groupBy, no per-set re-scan)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 10).cast("string")
+    )
+    return (
+        e.cube("event_type", "cohort")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            (
+                F.grouping("event_type") * 2 + F.grouping("cohort")
+            ).cast("bigint").alias("grouping_id"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("cohort", F.lit("(all)")).alias("cohort"),
+            "n",
+            "total",
+            "grouping_id",
+        )
+    )
+
+
+@register(
     "q6_filter_agg",
     """
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
