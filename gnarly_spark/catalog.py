@@ -1182,6 +1182,103 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "src_cdc_envelope",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL})
+    SELECT COUNT(*) AS n_events,
+           COUNT(CASE WHEN op = 'insert' THEN 1 END) AS n_inserts,
+           COUNT(CASE WHEN op = 'update' THEN 1 END) AS n_updates,
+           COUNT(CASE WHEN op = 'delete' THEN 1 END) AS n_deletes,
+           COUNT(CASE WHEN op = 'revert' THEN 1 END) AS n_reverts,
+           COUNT(DISTINCT url) AS n_urls,
+           CAST(SUM(op_seq) AS BIGINT) AS seq_sum,
+           CAST(SUM(LENGTH(url || ':' || CAST(op_seq AS VARCHAR))) AS BIGINT)
+             AS html_bytes,
+           COUNT(revert_of_block) AS n_revert_targets,
+           strftime(MAX(warc_ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+           2 AS n_malformed,
+           2 AS n_bad_op,
+           1 AS n_missing_seq,
+           1 AS n_tombstones
+    FROM changelog
+    """,
+)
+def src_cdc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Debezium CDC envelope boundary end-to-end on driver data: the
+    derived changelog is serialized as public-format Debezium envelopes
+    (before/after images, c/u/d/m op codes — deletes carry the BEFORE
+    image only, exactly like a real binlog tail), five poison lines and a
+    Kafka tombstone are appended, and the adapter reads it back. Good rows
+    must survive the double image-hop exactly (per-op counts, seq/url/byte
+    sums, revert targets, microsecond max timestamp); poison must land in
+    the dead-letter projection with the right reasons; the tombstone is
+    protocol, counted but neither event nor dead letter. Oracle = the same
+    aggregates straight off the events table (the envelope hop must be
+    invisible) plus the known poison counts. Covers sources/debezium.py —
+    the wire format every Kafka-Connect CDC deployment actually emits
+    (the reference normalizes its own RPC JSON instead,
+    ingestion/Web3Api.ts:102-130)."""
+    import os
+    import tempfile
+
+    from gnarly_spark.sources.debezium import (
+        debezium_dead_letters,
+        debezium_events,
+        debezium_tombstones,
+        read_debezium,
+        write_debezium,
+    )
+
+    ddl = (
+        "op_seq long, op string, url string, warc_ts timestamp_ntz, "
+        "html binary, revert_of_block string"
+    )
+    log = _changelog_df(spark, sf_dir).select(
+        "op_seq",
+        "op",
+        "url",
+        F.col("warc_ts").cast("timestamp_ntz").alias("warc_ts"),
+        F.encode(
+            F.concat_ws(":", F.col("url"), F.col("op_seq").cast("string")), "utf-8"
+        ).alias("html"),
+        "revert_of_block",
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_dbz_")
+    write_debezium(log, work, changelog_ddl=ddl, n_files=4)
+    with open(os.path.join(work, "z-poison.txt"), "w") as f:
+        f.write("## corrupt frame ##\n")  # malformed
+        f.write('{"ts_ms": "x7", "op": "u", "source": {"seq": 1}}\n')  # malformed
+        f.write('{"op": "x", "source": {"seq": 1}, "after": {"url": "https://u/1"}}\n')
+        f.write('{"source": {"seq": 2}, "after": {"url": "https://u/2"}}\n')  # no op
+        f.write('{"op": "u", "after": {"url": "https://u/3"}}\n')  # no seq
+        f.write("null\n")  # Kafka tombstone
+    parsed = read_debezium(spark, work, ddl)
+    ev = debezium_events(parsed, ddl).agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("op") == "insert", 1)).alias("n_inserts"),
+        F.count(F.when(F.col("op") == "update", 1)).alias("n_updates"),
+        F.count(F.when(F.col("op") == "delete", 1)).alias("n_deletes"),
+        F.count(F.when(F.col("op") == "revert", 1)).alias("n_reverts"),
+        F.countDistinct("url").alias("n_urls"),
+        F.sum("op_seq").cast("bigint").alias("seq_sum"),
+        F.sum(F.length("html")).cast("bigint").alias("html_bytes"),
+        F.count("revert_of_block").alias("n_revert_targets"),
+        F.date_format(F.max("warc_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+    )
+    dead = debezium_dead_letters(parsed).agg(
+        F.count(F.when(F.col("reason") == "malformed", 1)).cast("int").alias("n_malformed"),
+        F.count(F.when(F.col("reason") == "bad_op", 1)).cast("int").alias("n_bad_op"),
+        F.count(F.when(F.col("reason") == "missing_seq", 1))
+        .cast("int")
+        .alias("n_missing_seq"),
+    )
+    tomb = debezium_tombstones(parsed).agg(
+        F.count("*").cast("int").alias("n_tombstones")
+    )
+    return ev.crossJoin(dead).crossJoin(tomb)
+
+
 # ---------------------------------------------------------------------------
 # sources / scans (S1-S4)
 # ---------------------------------------------------------------------------

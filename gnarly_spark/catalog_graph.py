@@ -932,3 +932,215 @@ def web_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_urls"),
         F.count("canon").alias("n_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery (sources/sitemap.py)
+# ---------------------------------------------------------------------------
+
+# Per-URL sitemap relation derived from `events`, single-sourced between the
+# Spark build and the DuckDB oracle. uid = event_id % 997 (richer than the
+# tiny user_id space), host = uid % 13, crawl = the url's observed last
+# crawl MAX(ts). Rules:
+#   url        'https://s/' || uid, plus '?a=1&b=2' when uid%6=0 (the query
+#              string forces &amp; entity escaping through the XML hop)
+#   lastmod    absent when uid%11=3; DATE-ONLY (date(crawl)+2d) when uid%4=0;
+#              full UTC (crawl+3h) when uid%5=0; else crawl-1h (fresh)
+#   changefreq daily/weekly/monthly/yearly by uid%5, absent on 4
+#   priority   '0.'||(uid%10) when uid%3!=1, absent otherwise
+#   ghost      uid%9=0 additionally lists 'https://s/g'||uid — in the
+#              sitemap, never crawled (the discovery case)
+
+
+def _sitemap_entries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    uid = (F.col("event_id") % 997).alias("uid")
+    crawl = e.select(uid, F.col("ts")).groupBy("uid").agg(F.max("ts").alias("crawl"))
+    u = F.col("uid")
+    url = F.concat(
+        F.lit("https://s/"),
+        u.cast("string"),
+        F.when(u % 6 == 0, F.lit("?a=1&b=2")).otherwise(F.lit("")),
+    )
+    full = lambda ts: F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    lastmod = (
+        F.when(u % 11 == 3, F.lit(None).cast("string"))
+        .when(u % 4 == 0, F.date_format(F.date_add(F.to_date("crawl"), 2), "yyyy-MM-dd"))
+        .when(u % 5 == 0, full(F.col("crawl") + F.expr("INTERVAL 3 HOURS")))
+        .otherwise(full(F.col("crawl") - F.expr("INTERVAL 1 HOURS")))
+    )
+    changefreq = (
+        F.when(u % 5 == 0, "daily")
+        .when(u % 5 == 1, "weekly")
+        .when(u % 5 == 2, "monthly")
+        .when(u % 5 == 3, "yearly")
+    )
+    priority = F.when(u % 3 != 1, F.concat(F.lit("0."), (u % 10).cast("string")))
+    base = crawl.select(
+        (u % 13).cast("int").alias("host_id"),
+        u.alias("ord"),
+        url.alias("loc"),
+        lastmod.alias("lastmod"),
+        changefreq.alias("changefreq"),
+        priority.alias("priority"),
+    )
+    ghost = crawl.where(u % 9 == 0).select(
+        (u % 13).cast("int").alias("host_id"),
+        (u + 100000).alias("ord"),
+        F.concat(F.lit("https://s/g"), u.cast("string")).alias("loc"),
+        F.lit("2026-03-01T00:00:00Z").alias("lastmod"),
+        F.lit("weekly").alias("changefreq"),
+        F.lit("0.5").alias("priority"),
+    )
+    return base.unionByName(ghost)
+
+
+_SITEMAP_ENTRIES_SQL = """
+    WITH crawl AS (
+        SELECT event_id % 997 AS uid, MAX(ts) AS crawl
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(uid % 13 AS INT) AS host_id,
+               'https://s/' || CAST(uid AS VARCHAR)
+                 || CASE WHEN uid % 6 = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+               CASE WHEN uid % 11 = 3 THEN NULL
+                    WHEN uid % 4 = 0
+                      THEN strftime(CAST(crawl AS DATE) + 2, '%Y-%m-%d')
+                    WHEN uid % 5 = 0
+                      THEN strftime(crawl + INTERVAL 3 HOUR, '%Y-%m-%dT%H:%M:%SZ')
+                    ELSE strftime(crawl - INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%SZ')
+               END AS lastmod,
+               CASE uid % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                            WHEN 2 THEN 'monthly' WHEN 3 THEN 'yearly' END
+                 AS changefreq,
+               CASE WHEN uid % 3 != 1
+                    THEN '0.' || CAST(uid % 10 AS VARCHAR) END AS priority
+        FROM crawl
+    ),
+    ghost AS (
+        SELECT CAST(uid % 13 AS INT) AS host_id,
+               'https://s/g' || CAST(uid AS VARCHAR) AS loc,
+               '2026-03-01T00:00:00Z' AS lastmod,
+               'weekly' AS changefreq,
+               '0.5' AS priority
+        FROM crawl WHERE uid % 9 = 0
+    )
+    SELECT * FROM base UNION ALL SELECT * FROM ghost
+"""
+
+
+@register(
+    "web_sitemap_parse",
+    f"""
+    WITH entries AS ({_SITEMAP_ENTRIES_SQL})
+    SELECT host_id, loc, lastmod,
+           CASE WHEN lastmod IS NULL THEN NULL
+                WHEN LENGTH(lastmod) = 10 THEN lastmod || ' 00:00:00'
+                ELSE strftime(strptime(lastmod, '%Y-%m-%dT%H:%M:%SZ'),
+                              '%Y-%m-%d %H:%M:%S')
+           END AS lastmod_str,
+           changefreq,
+           CAST(priority AS DOUBLE) AS priority
+    FROM entries
+    """,
+)
+def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap boundary end-to-end: the per-url relation is rendered into
+    one urlset XML document per host (entity-escaped locs, optional
+    lastmod/changefreq/priority tags), then parsed back by the JVM
+    split+regexp parser — every entry must survive the XML hop exactly
+    (decoded loc with its query string, both W3C lastmod forms parsed to
+    the right timestamp, absent tags as NULLs). Oracle = the same relation
+    straight off events (the XML hop must be invisible). Covers
+    sources/sitemap.py — the crawl-discovery input the recrawl scheduler
+    consumes."""
+    from gnarly_spark.sources.sitemap import parse_sitemap, render_sitemap
+
+    entries = _sitemap_entries_df(spark, sf_dir)
+    xml = render_sitemap(
+        entries,
+        group_cols=["host_id"],
+        loc_col="loc",
+        order_col="ord",
+        lastmod_col="lastmod",
+        changefreq_col="changefreq",
+        priority_col="priority",
+    )
+    parsed = parse_sitemap(xml)
+    return parsed.select(
+        "host_id",
+        "loc",
+        "lastmod",
+        F.date_format("lastmod_ts", "yyyy-MM-dd HH:mm:ss").alias("lastmod_str"),
+        "changefreq",
+        "priority",
+    )
+
+
+@register(
+    "web_sitemap_recrawl",
+    f"""
+    WITH entries AS ({_SITEMAP_ENTRIES_SQL}),
+    crawl AS (
+        SELECT 'https://s/' || CAST(event_id % 997 AS VARCHAR) AS url,
+               MAX(ts) AS last_crawl_ts
+        FROM events GROUP BY 1
+    ),
+    j AS (
+        SELECT e.loc AS url, e.lastmod,
+               CASE WHEN e.lastmod IS NULL THEN NULL
+                    WHEN LENGTH(e.lastmod) = 10
+                      THEN CAST(strptime(e.lastmod, '%Y-%m-%d') AS TIMESTAMP)
+                    ELSE strptime(e.lastmod, '%Y-%m-%dT%H:%M:%SZ')
+               END AS lastmod_ts,
+               c.last_crawl_ts
+        FROM entries e LEFT JOIN crawl c ON e.loc = c.url
+    )
+    SELECT url,
+           CASE WHEN last_crawl_ts IS NULL THEN 'new'
+                WHEN lastmod_ts > last_crawl_ts THEN 'stale' END AS status,
+           lastmod
+    FROM j
+    WHERE last_crawl_ts IS NULL OR lastmod_ts > last_crawl_ts
+    """,
+)
+def web_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The publisher-signal recrawl scheduler: parsed sitemap entries
+    joined against observed crawl state — never-crawled locs (ghost pages,
+    query-string spellings the crawler has not fetched) come back 'new',
+    entries whose lastmod is after the last crawl come back 'stale', and
+    fresh/lastmod-less entries are NOT refetched (their cadence belongs to
+    the observed-change scheduler, cdc_recrawl_schedule). The sitemap side
+    rides the full render->parse XML hop, so this is the two-module
+    integration path a production crawl runs. One equi-join; the sitemap
+    relation is the small side (AQE broadcast at scale)."""
+    from gnarly_spark.sources.sitemap import (
+        parse_sitemap,
+        recrawl_from_sitemap,
+        render_sitemap,
+    )
+
+    entries = _sitemap_entries_df(spark, sf_dir)
+    xml = render_sitemap(
+        entries,
+        group_cols=["host_id"],
+        loc_col="loc",
+        order_col="ord",
+        lastmod_col="lastmod",
+        changefreq_col="changefreq",
+        priority_col="priority",
+    )
+    parsed = parse_sitemap(xml)
+    e = _t(spark, sf_dir, "events")
+    crawl_state = (
+        e.select(
+            F.concat(
+                F.lit("https://s/"), (F.col("event_id") % 997).cast("string")
+            ).alias("url"),
+            "ts",
+        )
+        .groupBy("url")
+        .agg(F.max("ts").alias("last_crawl_ts"))
+    )
+    return recrawl_from_sitemap(parsed, crawl_state)

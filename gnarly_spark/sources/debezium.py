@@ -1,0 +1,333 @@
+"""Debezium-style CDC envelope adapter: ingest the *de-facto standard*
+change-event wire format (Debezium/Kafka-Connect JSON envelopes with
+``before``/``after`` row images, ``op`` codes and a ``source`` block) into
+the engine's flat changelog schema, and export the engine's change feed
+back out as envelopes (the outbox direction).
+
+Why: the reference ingests its own RPC JSON and normalizes it at ingestion
+time (packages/gnarly-core/src/ingestion/Web3Api.ts:102-130); real CDC
+deployments instead receive Debezium envelopes from Kafka Connect — every
+Postgres/MySQL/Mongo binlog tail emits this shape. Supporting the envelope
+natively means any existing Debezium topic dump (JSONL files of envelope
+values) replays through this engine with no preprocessing, and the engine's
+own lake changelog can feed downstream Debezium consumers.
+
+Envelope (public Debezium format, JSON value without schema wrapper):
+
+    {"before": {...}|null, "after": {...}|null,
+     "source": {"name": str, "seq": long, "version": long},
+     "op": "c"|"u"|"d"|"r"|"m", "ts_ms": long}
+
+Mapping to the engine changelog (fixtures.CHANGELOG_DDL):
+
+- ``c`` (create) / ``r`` (snapshot read) -> ``insert``; row image = after
+- ``u`` (update)                         -> ``update``; row image = after
+  (``before`` is retained for downstream retraction consumers but the
+  changelog row itself carries the post-image, matching the reference's
+  oldValue/newValue patch semantics, ourbit/Ourbit.ts:169-214)
+- ``d`` (delete)                         -> ``delete``; row image = BEFORE
+  (Debezium deletes carry only the before image — the key must come from
+  it or the delete cannot route)
+- ``m`` (message/control)                -> ``revert``; Debezium reserves
+  ``m`` for out-of-band messages, which is exactly what a reorg
+  notification is. The revert target rides in after.revert_of_block.
+- a whole-value ``null`` line is a Kafka *tombstone* (compaction marker,
+  not data) — counted and dropped, never an event and never a dead letter.
+
+Scale shape: identical to sources/jsonl.py — text scan + ``from_json``
+(map-side JVM, whole-stage codegen, no Python, no shuffle); streaming and
+batch share the parser; malformed lines dead-letter with the raw line
+preserved. Binary columns travel base64 inside the images (JSON has no
+binary type); microsecond timestamps are pinned by the shared JSON_OPTS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gnarly_spark.fixtures import CHANGELOG_DDL
+from gnarly_spark.sources.jsonl import JSON_OPTS
+
+#: envelope fields that must be present on a non-tombstone line: without
+#: ``op`` the row image cannot be routed; without source.seq there is no
+#: total order (U3).
+_OP_CODES = ("c", "u", "d", "r", "m")
+
+#: changelog columns that are ENVELOPE-level, not row-image-level: the
+#: image structs carry everything else.
+_ENVELOPE_COLS = ("op_seq", "op")
+
+
+def _image_ddl(changelog_ddl: str) -> tuple[StructType, list[str]]:
+    """The row-image struct type for a changelog schema: every changelog
+    column except the envelope-level ones, with binary fields as base64
+    strings on the wire. Returns (wire image struct, binary col names)."""
+    st = StructType.fromDDL(changelog_ddl)
+    binary_cols = [f.name for f in st.fields if isinstance(f.dataType, BinaryType)]
+    fields = [
+        StructField(f.name, StringType()) if f.name in binary_cols else f
+        for f in st.fields
+        if f.name not in _ENVELOPE_COLS
+    ]
+    return StructType(fields), binary_cols
+
+
+def _wire_schema(changelog_ddl: str) -> StructType:
+    img, _ = _image_ddl(changelog_ddl)
+    return StructType(
+        [
+            StructField("before", img),
+            StructField("after", img),
+            StructField(
+                "source",
+                StructType(
+                    [
+                        StructField("name", StringType()),
+                        StructField("seq", LongType()),
+                        StructField("version", LongType()),
+                    ]
+                ),
+            ),
+            StructField("op", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("_corrupt", StringType()),
+        ]
+    )
+
+
+def parse_debezium(lines: DataFrame, changelog_ddl: str = CHANGELOG_DDL) -> DataFrame:
+    """Text lines (column ``value``) -> parsed envelope columns + ``_raw``
+    + ``_corrupt`` + ``_tombstone``. Batch and streaming inputs share this
+    (same contract as jsonl.parse_changelog_jsonl)."""
+    wire = _wire_schema(changelog_ddl)
+    parsed = lines.select(
+        F.col("value").alias("_raw"),
+        F.from_json(
+            "value",
+            wire,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt", **JSON_OPTS},
+        ).alias("_r"),
+    ).select("_raw", "_r.*")
+    # Kafka tombstone: the value is the literal JSON `null` (compaction
+    # marker). from_json files that under _corrupt (a bare null is not a
+    # struct), so detection keys on the RAW line — exact, and cheap.
+    return parsed.withColumn(
+        "_tombstone", F.trim(F.col("_raw")) == F.lit("null")
+    )
+
+
+def _valid_envelope():
+    # isin on a NULL op yields NULL, and a NULL predicate drops the row
+    # from BOTH the events and the dead-letter projection — coalesce to
+    # False so a missing op is a dead letter, never a vanished row.
+    return (
+        F.col("_corrupt").isNull()
+        & ~F.col("_tombstone")
+        & F.coalesce(F.col("op").isin(*_OP_CODES), F.lit(False))
+        & F.col("source.seq").isNotNull()
+    )
+
+
+def debezium_events(parsed: DataFrame, changelog_ddl: str = CHANGELOG_DDL) -> DataFrame:
+    """The good envelopes, flattened to the engine changelog schema (column
+    order = DDL order, binary restored from base64) — the exact shape
+    sources/changelog.py scans, so the streaming pipeline ingests a
+    Debezium topic dump unchanged."""
+    st = StructType.fromDDL(changelog_ddl)
+    _, binary_cols = _image_ddl(changelog_ddl)
+    # image routing: d reads before, everything else reads after
+    img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    op = (
+        F.when(F.col("op").isin("c", "r"), "insert")
+        .when(F.col("op") == "u", "update")
+        .when(F.col("op") == "d", "delete")
+        .otherwise("revert")
+    )
+    cols = []
+    for f in st.fields:
+        if f.name == "op_seq":
+            cols.append(F.col("source.seq").alias("op_seq"))
+        elif f.name == "op":
+            cols.append(op.alias("op"))
+        elif f.name in binary_cols:
+            cols.append(F.unbase64(img.getField(f.name)).alias(f.name))
+        else:
+            cols.append(img.getField(f.name).cast(f.dataType).alias(f.name))
+    return parsed.where(_valid_envelope()).select(*cols)
+
+
+def debezium_dead_letters(parsed: DataFrame) -> DataFrame:
+    """(raw, reason) for lines that cannot enter the changelog: reason in
+    ``malformed`` (unparseable / type-mismatched), ``bad_op`` (valid JSON,
+    op missing or not a Debezium code), ``missing_seq`` (no source.seq —
+    no total order). Tombstones are NOT dead letters (they are protocol,
+    not poison) — count them with ``debezium_tombstones``."""
+    reason = (
+        F.when(F.col("_corrupt").isNotNull(), "malformed")
+        .when(
+            F.col("op").isNull() | ~F.coalesce(F.col("op").isin(*_OP_CODES), F.lit(True)),
+            "bad_op",
+        )
+        .otherwise("missing_seq")
+    )
+    return parsed.where(~_valid_envelope() & ~F.col("_tombstone")).select(
+        F.col("_raw").alias("raw"), reason.alias("reason")
+    )
+
+
+def debezium_tombstones(parsed: DataFrame) -> DataFrame:
+    return parsed.where(F.col("_tombstone")).select(F.col("_raw").alias("raw"))
+
+
+def read_debezium(
+    spark: SparkSession, path: str, changelog_ddl: str = CHANGELOG_DDL
+) -> DataFrame:
+    """Bounded batch read of an envelope JSONL dir (a Debezium topic dump)
+    -> parsed relation for debezium_events / _dead_letters / _tombstones."""
+    return parse_debezium(spark.read.text(path), changelog_ddl)
+
+
+def stream_debezium(
+    spark: SparkSession,
+    path: str,
+    changelog_ddl: str = CHANGELOG_DDL,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Unbounded tail of an envelope dir with file-count backpressure
+    (same O3 contract as the parquet and JSONL sources)."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_debezium(reader.text(path), changelog_ddl)
+
+
+# ---------------------------------------------------------------------------
+# writer: engine changelog rows -> envelopes (ingest-side fixture/export)
+# ---------------------------------------------------------------------------
+
+
+def _b64_image(st: StructType, binary_cols: list[str], prefix: F.Column | None = None):
+    """struct(...) of the image columns with binary as base64 — shared by
+    both writers so the wire shape can never diverge."""
+    cols = []
+    for f in st.fields:
+        if f.name in _ENVELOPE_COLS:
+            continue
+        src = prefix.getField(f.name) if prefix is not None else F.col(f.name)
+        cols.append(
+            F.base64(src).alias(f.name) if f.name in binary_cols else src.alias(f.name)
+        )
+    return F.struct(*cols)
+
+
+def write_debezium(
+    events: DataFrame,
+    path: str,
+    changelog_ddl: str = CHANGELOG_DDL,
+    source_name: str = "gnarly",
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Serialize engine changelog rows as Debezium envelopes. Op mapping is
+    the exact inverse of debezium_events (insert->c, update->u, delete->d,
+    revert->m); deletes put the image in ``before``, everything else in
+    ``after``. ts_ms = epoch millis of warc_ts when present.
+
+    One text file per partition; ``n_files`` coalesces for deterministic
+    micro-batch tests. NOTE for streaming fixtures: a file is one trigger's
+    batch — order files by op_seq ranges (repartitionByRange) if the
+    consumer is retention-sensitive (CLAUDE.md gen_changelog gotcha)."""
+    st = StructType.fromDDL(changelog_ddl)
+    _, binary_cols = _image_ddl(changelog_ddl)
+    img = _b64_image(st, binary_cols)
+    op = (
+        F.when(F.col("op") == "insert", "c")
+        .when(F.col("op") == "update", "u")
+        .when(F.col("op") == "delete", "d")
+        .otherwise("m")
+    )
+    ts_ms = (
+        F.unix_millis(F.col("warc_ts").cast("timestamp")).alias("ts_ms")
+        if "warc_ts" in events.columns
+        else F.lit(None).cast("long").alias("ts_ms")
+    )
+    env = events.select(
+        F.when(F.col("op") == "delete", img).alias("before"),
+        F.when(F.col("op") != "delete", img).alias("after"),
+        F.struct(
+            F.lit(source_name).alias("name"),
+            F.col("op_seq").cast("long").alias("seq"),
+            F.lit(None).cast("long").alias("version"),
+        ).alias("source"),
+        op.alias("op"),
+        ts_ms,
+    )
+    out = env.select(F.to_json(F.struct("*"), JSON_OPTS).alias("value"))
+    if n_files:
+        out = out.coalesce(n_files)
+    out.write.mode(mode).text(path)
+
+
+def feed_to_debezium(
+    feed: DataFrame,
+    key: str,
+    seq_start: int,
+    source_name: str = "gnarly",
+    version: int | None = None,
+) -> DataFrame:
+    """The OUTBOX direction: a lake ``changelog(v_from[, v_to])`` image
+    feed -> one envelope JSON line per changed key (column ``value``).
+
+    update_before/update_after row PAIRS collapse into one ``u`` envelope
+    carrying both images — the Debezium contract downstream consumers
+    (cache invalidation, search sync) rely on for retraction. Envelope seq
+    is ``seq_start + dense rank of key`` (deterministic: a snapshot diff
+    has at most one change per key), so replaying a feed of successive
+    versions yields strictly increasing seqs when callers advance
+    seq_start by the previous count.
+
+    Scale: one shuffle on the key (the groupBy below); the feed itself is
+    changed-rows-only, so this is O(delta), never O(table)."""
+    from pyspark.sql import Window
+
+    data_cols = [c for c in feed.columns if c not in (key, "_change_type")]
+    img = F.struct(F.col(key).alias(key), *[F.col(c) for c in data_cols])
+    tagged = feed.select(
+        F.col(key).alias("_k"),
+        F.when(
+            F.col("_change_type").isin("delete", "update_before"), img
+        ).alias("_before"),
+        F.when(
+            F.col("_change_type").isin("insert", "update_after"), img
+        ).alias("_after"),
+        F.when(F.col("_change_type") == "insert", "c")
+        .when(F.col("_change_type") == "delete", "d")
+        .otherwise("u")
+        .alias("_op"),
+    )
+    merged = tagged.groupBy("_k").agg(
+        F.max("_before").alias("before"),
+        F.max("_after").alias("after"),
+        F.max("_op").alias("_op"),  # {u} or {c} or {d}: pairs agree on 'u'
+    )
+    seq = F.row_number().over(Window.orderBy("_k")) + F.lit(seq_start - 1)
+    env = merged.select(
+        "before",
+        "after",
+        F.struct(
+            F.lit(source_name).alias("name"),
+            seq.cast("long").alias("seq"),
+            F.lit(version).cast("long").alias("version"),
+        ).alias("source"),
+        F.col("_op").alias("op"),
+        F.lit(None).cast("long").alias("ts_ms"),
+    )
+    return env.select(F.to_json(F.struct("*"), JSON_OPTS).alias("value"))

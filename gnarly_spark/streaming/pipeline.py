@@ -1085,6 +1085,13 @@ class CdcIngestPipeline:
                 read_changelog_jsonl(self.spark, paths, self.source_schema),
                 self.source_schema,
             )
+        if self.source_format == "debezium":
+            from gnarly_spark.sources.debezium import debezium_events, read_debezium
+
+            return debezium_events(
+                read_debezium(self.spark, paths, self.source_schema),
+                self.source_schema,
+            )
         if files:
             return self.spark.read.schema(self.source_schema).parquet(*paths)
         return self.spark.read.schema(self.source_schema).parquet(self.source_dir)
@@ -1114,6 +1121,10 @@ class CdcIngestPipeline:
         batch under _dead_letters (idempotent overwrite keyed on batch_id,
         so a refired batch rewrites, never duplicates) and the good rows
         flow through the identical micro-batch program.
+        ``source_format="debezium"`` tails Debezium CDC envelopes
+        (sources/debezium.py — a Kafka-Connect topic dump): before/after
+        images flatten to the changelog schema, Kafka tombstones are
+        dropped as protocol, and poison dead-letters exactly like jsonl.
         """
         self.source_dir = changelog_dir
         self.source_schema = schema or CHANGELOG_DDL
@@ -1155,6 +1166,38 @@ class CdcIngestPipeline:
                     parsed.unpersist()
 
             on_batch = _fb
+        elif source_format == "debezium":
+            from gnarly_spark.sources.debezium import (
+                debezium_dead_letters,
+                debezium_events,
+                stream_debezium,
+            )
+
+            stream = stream_debezium(
+                self.spark,
+                changelog_dir,
+                changelog_ddl=self.source_schema,
+                max_files_per_trigger=max_files_per_trigger,
+            )
+
+            def _fb_dbz(parsed_df: DataFrame, batch_id: int) -> None:
+                # same parse-once + spread rationale as the jsonl branch
+                parsed = parsed_df.repartition(
+                    self.spark.sparkContext.defaultParallelism
+                ).persist()
+                try:
+                    debezium_dead_letters(parsed).write.mode("overwrite").parquet(
+                        os.path.join(self.dead_letter_dir, f"batch={batch_id}")
+                    )
+                    self.process_batch(
+                        debezium_events(parsed, self.source_schema),
+                        batch_id,
+                        prespread=True,
+                    )
+                finally:
+                    parsed.unpersist()
+
+            on_batch = _fb_dbz
         elif source_format == "parquet":
             reader = self.spark.readStream.schema(self.source_schema)
             if max_files_per_trigger:
