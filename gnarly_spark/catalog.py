@@ -1064,6 +1064,38 @@ def cdc_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_delete_vectors",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked
+    WHERE rn = 1 AND op != 'delete' AND NOT (ROUND(value, 4) < 50)
+    """,
+)
+def cdc_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete via positional deletion vectors, oracle-checked
+    end-to-end: commit the changelog's LWW state in two batches, then
+    ``delete_where("last_value < 50")`` — the delete records (file,
+    row_index) positions in a tiny DV file instead of rewriting any
+    bucket (Iceberg v2 positional deletes / Delta deletion vectors,
+    re-expressed Spark-first: _metadata.row_index + a broadcast
+    anti-join at scan time). The read must equal the replay state minus
+    the matched rows; sinks/lake.py delete_where. The no-rewrite claim
+    and the MOR no-resurrection rule are pinned by tests/test_lake_dv.py."""
+    t, _v1 = _two_commit_pages(spark, sf_dir, "gnarly_dv_")
+    t.delete_where("last_value < 50")
+    return t.read().select("url", "last_seq", "last_value")
+
+
+@register(
     "src_jsonl_deadletter",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL})

@@ -161,6 +161,27 @@ def _key_bounds(path: str, key: str) -> list[str] | None:
 #: parquet widening reads Spark 4 supports at scan time (int32 file under a
 #: wider integral read schema, float under double), so evolution never
 #: requires rewriting old base files.
+#: deletion-vector file schema (Iceberg v2 positional deletes): one row
+#: per deleted physical position. file_path is scheme-stripped (matches
+#: the manifest's realpath spelling, not Spark's file:// URI).
+_DV_SCHEMA = "file_path string, row_index bigint"
+
+
+def _tag_positions(df: DataFrame) -> DataFrame:
+    """Append each row's physical identity (``_dv_file``, ``_dv_pos``)
+    from the scan's metadata columns — must be called directly on a
+    parquet scan relation (``_metadata`` exists only there). The file URI
+    is normalized to the manifest's plain-path spelling so DV contents,
+    manifests and join keys all share one form."""
+    return df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:(//)?", ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+
+
 _WIDENINGS = frozenset(
     {
         ("tinyint", "smallint"),
@@ -674,7 +695,14 @@ class ParquetLakeTable:
         schema plus the MOR columns — base files null-fill them, and
         coalesce(_delta_seq, -1) makes every delta newer than base — then
         one max_by per key picks the winner and delete tombstones drop out.
-        """
+
+        When the manifest carries deletion vectors (``dvs`` — see
+        delete_where), the scan is position-filtered FIRST: DV'd physical
+        rows are removed before MOR resolution, so a DV'd delta row can
+        never win and a DV'd base row can never resurface. Every reader
+        (read / lookup / scan_range / scan_box / diff / changelog /
+        compact / rebucket / cluster) funnels through here, so the filter
+        is applied exactly once, everywhere."""
         if m["schema"] is None:
             return None
         bsel = m["buckets"] if buckets is None else {
@@ -686,13 +714,21 @@ class ParquetLakeTable:
         }
         base = [f for fl in bsel.values() for f in fl]
         dfiles = [f for fl in dsel.values() for f in fl]
+        dvs = m.get("dvs") or []
         if not dfiles:
             if not base:
                 return self.spark.createDataFrame([], schema=m["schema"])
-            return self.spark.read.schema(m["schema"]).parquet(*base)
+            df = self.spark.read.schema(m["schema"]).parquet(*base)
+            if dvs:
+                df = self._anti_dvs(_tag_positions(df), dvs).drop(
+                    "_dv_file", "_dv_pos"
+                )
+            return df
         df = self.spark.read.schema(m["schema"] + self._MOR_DDL).parquet(
             *(base + dfiles)
         )
+        if dvs:
+            df = self._anti_dvs(_tag_positions(df), dvs).drop("_dv_file", "_dv_pos")
         data_cols = [c for c in df.columns if c not in ("_op", "_delta_seq")]
         seq = F.coalesce(F.col("_delta_seq"), F.lit(-1).cast("bigint"))
         win = df.groupBy(F.col(self.key).alias("_k")).agg(
@@ -1253,6 +1289,11 @@ class ParquetLakeTable:
             "version": version,
             "buckets": bucket_map,
             "deltas": {},
+            # DVs survive a COW merge: untouched buckets keep their files,
+            # so their recorded delete positions stay live. Entries for
+            # rewritten files go inert (the path leaves the manifest) and
+            # are pruned at the next compact().
+            "dvs": m.get("dvs") or [],
             "batch_ids": (m["batch_ids"] + ([batch_id] if batch_id is not None else []))[-10000:],
             "schema": schema_ddl,
             "parent": m["version"],
@@ -1313,6 +1354,7 @@ class ParquetLakeTable:
                 "version": version,
                 "buckets": m["buckets"],
                 "deltas": dmap,
+                "dvs": m.get("dvs") or [],
                 "batch_ids": (
                     m["batch_ids"] + ([batch_id] if batch_id is not None else [])
                 )[-10000:],
@@ -1322,6 +1364,152 @@ class ParquetLakeTable:
             }
         )
         return True
+
+    # ---- positional deletion vectors (Iceberg v2 deletes, Spark-first) --
+
+    def _anti_dvs(self, tagged: DataFrame, dv_files: list[str]) -> DataFrame:
+        """Remove DV'd positions from a position-tagged relation. The DV
+        relation is tiny relative to the table (positions of deleted rows
+        only) so AQE broadcasts the anti-join; a table whose DV backlog has
+        grown large should compact() — same maintenance contract as the
+        MOR delta backlog."""
+        dv = self.spark.read.schema(_DV_SCHEMA).parquet(*dv_files)
+        return tagged.join(
+            dv,
+            (tagged["_dv_file"] == dv["file_path"])
+            & (tagged["_dv_pos"] == dv["row_index"]),
+            "left_anti",
+        )
+
+    def _dv_paths(self, dv_files: list[str]) -> set[str]:
+        """Distinct data-file paths referenced by these DV files — driver-
+        bounded by the table's file count (same order as the manifest's own
+        path lists)."""
+        if not dv_files:
+            return set()
+        return {
+            r.file_path
+            for r in self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*dv_files)
+            .select("file_path")
+            .distinct()
+            .collect()
+        }
+
+    def delete_where(self, predicate: str, batch_id: int | None = None) -> dict:
+        """Predicate delete via positional deletion vectors (Iceberg v2
+        positional deletes / Delta deletion vectors, re-expressed
+        Spark-first): rows of the CURRENT snapshot matching ``predicate``
+        (a SQL boolean expression over the table's columns) are deleted by
+        recording their physical positions — (file, row_index) pairs in a
+        tiny DV parquet file the manifest references — instead of
+        rewriting data files (COW) or resolving key tombstones (MOR).
+
+        Semantics: the predicate is evaluated against the RESOLVED current
+        view; every physical copy of a matched key is DV'd (base image AND
+        delta images), so MOR resolution can never resurrect an older
+        image of a deleted row. Cost: one scan + one tiny file — a 1-row
+        predicate delete on a 6 GB COW bucket writes ~30 bytes, not 6 GB.
+        On a COW table with no DV backlog the predicate pushes straight
+        into the parquet scan (no join at all).
+
+        Time travel is preserved (older snapshots don't carry the new DV);
+        diff()/changelog() report the rows as deletes. compact() folds DVs
+        into rewritten files and prunes fully-materialized DV files.
+        NOT a compliance delete: the bytes remain in the data files until
+        compact() + expire_snapshots() age them out — purge_keys is the
+        hard-delete path (and refuses to run while retained snapshots
+        carry DVs; see its docstring). The lakefeed incremental source
+        fails loudly on DV commits (state change without delta files —
+        same contract as restore()).
+
+        Returns {"version", "rows_deleted", "positions", "dv_files"};
+        no-ops without a commit when nothing matches."""
+        return self._retrying(lambda: self._delete_where_once(predicate, batch_id))
+
+    def _delete_where_once(self, predicate: str, batch_id: int | None) -> dict:
+        m = self._manifest(self._latest_committed())
+        self._adopt_layout(m)
+        if m["version"] < 0 or m["schema"] is None:
+            return {"version": m["version"], "rows_deleted": 0, "positions": 0,
+                    "dv_files": 0}
+        cond = F.expr(predicate)
+        base = [f for fl in m["buckets"].values() for f in fl]
+        dfiles = [f for fl in m.get("deltas", {}).values() for f in fl]
+        dvs = m.get("dvs") or []
+        if not (base or dfiles):
+            return {"version": m["version"], "rows_deleted": 0, "positions": 0,
+                    "dv_files": 0}
+        version = m["version"] + 1
+        if dfiles:
+            # MOR backlog: matched keys come from the resolved view, then
+            # EVERY physical copy of those keys is DV'd (delete-tombstone
+            # rows belong to already-deleted keys, which the resolved view
+            # excludes, so tombstones stay — they must keep suppressing
+            # their base rows)
+            resolved = self._read_snapshot(m, None)
+            keys = resolved.where(cond).select(self.key).distinct()
+            tagged = _tag_positions(
+                self.spark.read.schema(m["schema"] + self._MOR_DDL).parquet(
+                    *(base + dfiles)
+                )
+            )
+            if dvs:
+                tagged = self._anti_dvs(tagged, dvs)
+            live = tagged.where(~F.col("_op").eqNullSafe(F.lit("delete")))
+            hits = live.join(keys, self.key, "left_semi")
+            rows_deleted = resolved.where(cond).count()
+        else:
+            # COW / compacted: one physical row per key — the predicate
+            # pushes into the scan, no join
+            tagged = _tag_positions(
+                self.spark.read.schema(m["schema"]).parquet(*base)
+            )
+            if dvs:
+                tagged = self._anti_dvs(tagged, dvs)
+            hits = tagged.where(cond)
+            rows_deleted = None
+        dv_rows = hits.select(
+            F.col("_dv_file").alias("file_path"), F.col("_dv_pos").alias("row_index")
+        )
+        out_dir = os.path.join(
+            self.path, "data", f"v{version}-dv-{uuid.uuid4().hex[:8]}"
+        )
+        dv_rows.coalesce(4).write.mode("overwrite").parquet(out_dir)
+        files = [
+            os.path.realpath(os.path.join(out_dir, p))
+            for p in sorted(os.listdir(out_dir))
+            if p.endswith(".parquet")
+        ]
+        n_pos = (
+            self.spark.read.schema(_DV_SCHEMA).parquet(*files).count()
+            if files
+            else 0
+        )
+        if n_pos == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return {"version": m["version"], "rows_deleted": 0, "positions": 0,
+                    "dv_files": 0}
+        self._commit(
+            {
+                "version": version,
+                "buckets": m["buckets"],
+                "deltas": m.get("deltas", {}),
+                "dvs": dvs + files,
+                "batch_ids": (
+                    m["batch_ids"] + ([batch_id] if batch_id is not None else [])
+                )[-10000:],
+                "schema": m["schema"],
+                "parent": m["version"],
+                "mode": self.mode,
+            }
+        )
+        return {
+            "version": version,
+            "rows_deleted": rows_deleted if rows_deleted is not None else n_pos,
+            "positions": n_pos,
+            "dv_files": len(files),
+        }
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Fold outstanding MOR deltas into base files (bucket-granular,
@@ -1370,7 +1558,18 @@ class ParquetLakeTable:
         m = self._manifest(self._latest_committed())
         self._adopt_layout(m)
         dmap = m.get("deltas", {})
-        pending = [int(b) for b, fl in dmap.items() if fl]
+        dvs = m.get("dvs") or []
+        pending = {int(b) for b, fl in dmap.items() if fl}
+        if dvs:
+            # buckets holding DV'd files need compaction too: rewriting
+            # them materializes the deletes so the DV entries (and
+            # eventually the DV files) can be dropped
+            dv_paths = self._dv_paths(dvs)
+            for fmap in (m["buckets"], dmap):
+                for b, fl in fmap.items():
+                    if any(f in dv_paths for f in fl):
+                        pending.add(int(b))
+        pending = sorted(pending)
         todo = pending if buckets is None else [b for b in pending if b in set(buckets)]
         if not todo:
             return {
@@ -1389,11 +1588,29 @@ class ParquetLakeTable:
         for b in todo:
             bucket_map[str(b)] = files.get(str(b), [])  # may resolve empty
             folded += len(new_deltas.pop(str(b), []))
+        # prune fully-materialized DV files: a DV file whose every
+        # referenced data file left the manifest is inert (the anti-join
+        # can never match) — drop it so the read-side DV relation shrinks
+        # with compaction instead of growing forever
+        kept_dvs = dvs
+        if dvs:
+            remaining = {
+                f
+                for fmap in (bucket_map, new_deltas)
+                for fl in fmap.values()
+                for f in fl
+            }
+            kept_dvs = [
+                dvf
+                for dvf in dvs
+                if any(p in remaining for p in self._dv_paths([dvf]))
+            ]
         self._commit(
             {
                 "version": version,
                 "buckets": bucket_map,
                 "deltas": new_deltas,
+                "dvs": kept_dvs,
                 "batch_ids": m["batch_ids"],
                 "schema": m["schema"],
                 "parent": m["version"],
@@ -1403,6 +1620,7 @@ class ParquetLakeTable:
         return {
             "compacted_buckets": len(todo),
             "folded_delta_files": folded,
+            "pruned_dv_files": len(dvs) - len(kept_dvs),
             "version": version,
         }
 
@@ -2013,6 +2231,14 @@ class ParquetLakeTable:
                             str(b[1]) if b else None,
                         )
                     )
+        for f in m.get("dvs") or []:
+            # deletion-vector files are table-level (positions span
+            # buckets): bucket -1, no key bounds
+            try:
+                size = os.path.getsize(f)
+            except OSError:
+                size = None
+            rows.append((f, -1, "dv", size, None, None))
         return self.spark.createDataFrame(
             rows,
             schema="file string, bucket int, kind string, bytes bigint, "
@@ -2245,6 +2471,30 @@ class ParquetLakeTable:
             c: {path_map[f]: v for f, v in fm.items() if f in path_map}
             for c, fm in m.get("col_bounds", {}).items()
         }
+        # deletion vectors reference data files BY PATH, so the clone needs
+        # its own DV files with the paths rewritten to the copies (a raw
+        # copy would point at the source table and filter nothing)
+        out["dvs"] = []
+        if m.get("dvs"):
+            # realpath the targets: the anti-join compares the clone's
+            # scan URIs (always absolute) against these strings
+            remap = self.spark.createDataFrame(
+                [(old, os.path.realpath(new)) for old, new in path_map.items()],
+                schema="file_path string, _new string",
+            )
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(*m["dvs"])
+            mapped = dv.join(remap, "file_path").select(
+                F.col("_new").alias("file_path"), "row_index"
+            )
+            dv_dir = os.path.join(dest, "data", "dv-export")
+            mapped.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+            out["dvs"] = [
+                os.path.realpath(os.path.join(dv_dir, p))
+                for p in sorted(os.listdir(dv_dir))
+                if p.endswith(".parquet")
+            ]
+            for p in out["dvs"]:
+                n_bytes += os.path.getsize(p)
         with open(os.path.join(dest, "_manifests", "v0.json"), "w") as f:
             json.dump(out, f)
         tmp = os.path.join(dest, f"_CURRENT.tmp-{uuid.uuid4().hex[:8]}")
@@ -2309,6 +2559,10 @@ class ParquetLakeTable:
             # out of every kept manifest
             for fl in km.get("deltas", {}).values():
                 live.update(os.path.realpath(f) for f in fl)
+            # deletion-vector files are manifest metadata living in data/:
+            # deleting one would silently RESURRECT its deleted rows in
+            # every kept snapshot that references it
+            live.update(os.path.realpath(f) for f in km.get("dvs") or [])
         # PARKED write-audit-publish stages are live too: a gate-halted
         # stream keeps its stage on disk "for forensics" — once any later
         # commit moves `cur` past the stage's data-dir version, the
@@ -2327,6 +2581,7 @@ class ParquetLakeTable:
                 for section in ("buckets", "deltas"):
                     for fl in sm.get(section, {}).values():
                         live.update(os.path.realpath(f) for f in fl)
+                live.update(os.path.realpath(f) for f in sm.get("dvs") or [])
         deleted = 0
         data_dir = os.path.join(self.path, "data")
         for d in os.listdir(data_dir):
@@ -2388,6 +2643,7 @@ class ParquetLakeTable:
             for section in ("buckets", "deltas"):
                 for fl in km.get(section, {}).values():
                     live.update(os.path.realpath(f) for f in fl)
+            live.update(os.path.realpath(f) for f in km.get("dvs") or [])
         sdir = os.path.join(self.path, "_staged")
         if os.path.isdir(sdir):
             for fn in os.listdir(sdir):
@@ -2401,6 +2657,7 @@ class ParquetLakeTable:
                 for section in ("buckets", "deltas"):
                     for fl in sm.get(section, {}).values():
                         live.update(os.path.realpath(f) for f in fl)
+                live.update(os.path.realpath(f) for f in sm.get("dvs") or [])
         cur = self.current_version() if self.ref == "main" else None
         rows = []
         data_dir = os.path.join(self.path, "data")
@@ -2477,6 +2734,26 @@ class ParquetLakeTable:
         def attempt() -> dict:
             head = self._manifest(self._latest_committed())
             self._adopt_layout(head)
+            # Deletion vectors pin physical ROW POSITIONS; purge rewrites
+            # files (removing rows, shifting every later position), which
+            # would make each retained snapshot's DVs delete the WRONG
+            # rows — resurrecting some deleted rows and vanishing live
+            # ones, silently. Refuse until no retained snapshot carries a
+            # DV: compact() materializes the head's DVs, expire_snapshots()
+            # ages out the historical ones.
+            dv_versions = [
+                v
+                for v in self._retained_versions()
+                if self._manifest(v).get("dvs")
+            ]
+            if dv_versions:
+                raise ValueError(
+                    "purge_keys: retained snapshot(s) "
+                    f"{dv_versions} carry deletion vectors, whose row "
+                    "positions a purge rewrite would invalidate. Run "
+                    "compact() and expire_snapshots() until no retained "
+                    "manifest has DVs, then purge."
+                )
             # coerce literals to the table's key type (see _typed_keys:
             # hashing the raw string on a bigint-keyed table would route
             # to the wrong buckets and "purge" nothing, silently)

@@ -166,6 +166,9 @@ class LakeFeedStreamReader(DataSourceStreamReader):
         self.skip_restore = (
             str(options.get("skipRestoreCommits", "false")).lower() == "true"
         )
+        self.skip_dv = (
+            str(options.get("skipDeleteVectorCommits", "false")).lower() == "true"
+        )
         mv = options.get("maxVersionsPerTrigger")
         self.max_versions = int(mv) if mv is not None else None
         sv = options.get("startingVersion")
@@ -272,6 +275,25 @@ class LakeFeedStreamReader(DataSourceStreamReader):
                 # target's whole delta backlog (already delivered when
                 # those commits first landed) as duplicates. A restore
                 # adds no delta files — emit nothing for it.
+                continue
+            # a delete_where commit adds deletion-vector files, not delta
+            # files: state changed but there is nothing appendable to emit
+            # (same non-append restriction as restore). Compares as a SET
+            # GROWTH test because ordinary merges carry DVs forward and
+            # compact() shrinks the list — neither is a state change.
+            new_dvs = set(man.get("dvs") or []) - set(prev_main.get("dvs") or [])
+            if new_dvs:
+                if not self.skip_dv:
+                    raise RuntimeError(
+                        f"lakefeed: commit v{v} added deletion vectors "
+                        "(delete_where) — rows were deleted without delta "
+                        "files, so an incremental feed cannot represent "
+                        "them. Reprocess from the snapshot, or pass "
+                        "skipDeleteVectorCommits=true to ignore the "
+                        "deletes (downstream will retain the deleted "
+                        "rows)."
+                    )
+                prev_main = man
                 continue
             parts.extend(
                 _FeedPartition(f, self.fields)
