@@ -6,7 +6,8 @@ rewrite_data_files + expire_snapshots procedures).
         jobs/maintenance_job.py --table /lake/pages_pipeline/pages \
         [--keep-last 2] [--compact] [--rebucket N] [--files-per-bucket K] \
         [--cluster col1,col2 [--cluster-bits B]] [--key-bloom-ndv NDV] \
-        [--purge-keys url1,url2] [--compact-hot N] \
+        [--delete-where "PREDICATE"] [--purge-keys url1,url2] \
+        [--compact-hot N] \
         [--create-branch NAME | --fast-forward NAME | --merge-branch NAME \
          | --drop-branch NAME]
 
@@ -65,6 +66,13 @@ def main(argv=None):
     ap.add_argument("--drop-branch", default=None, metavar="NAME",
                     help="remove a branch ref (expiry reclaims its commits)")
     ap.add_argument(
+        "--delete-where", default=None, metavar="PREDICATE",
+        help="predicate delete via positional deletion vectors (no bucket "
+        "rewrite; ParquetLakeTable.delete_where). Runs before compaction, "
+        "so --delete-where + --compact deletes AND materializes in one "
+        "invocation.",
+    )
+    ap.add_argument(
         "--purge-keys", default=None, metavar="K1,K2",
         help="compliance HARD delete: comma-separated merge keys erased "
         "from every retained snapshot (history rewrite; see "
@@ -90,6 +98,8 @@ def main(argv=None):
         key_bloom_ndv=args.key_bloom_ndv,
     )
     out = {"table": args.table, "version_before": tbl.current_version()}
+    if args.delete_where:
+        out["delete_where"] = tbl.delete_where(args.delete_where)
     if args.purge_keys:
         out["purge"] = tbl.purge_keys(
             *[k.strip() for k in args.purge_keys.split(",") if k.strip()]

@@ -203,3 +203,30 @@ def test_lakefeed_fails_loud_on_dv_commit(spark, mor, tmp_path):
     # skip option: feed drains, deletes are NOT represented (documented)
     got = drain("ck2", "o2", skipDeleteVectorCommits="true")
     assert got.where(F.col("url") == "c").count() == 1
+
+
+def test_maintenance_job_delete_where_flag(spark, tmp_path, capsys):
+    """CLI path: --delete-where deletes by DV, and with --compact in the
+    same invocation the DVs are materialized and pruned before expiry."""
+    import json as _json
+
+    from jobs.maintenance_job import main
+
+    t = ParquetLakeTable(
+        spark, str(tmp_path / "p"), key="url", n_buckets=2, mode="mor"
+    )
+    t.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+    main(
+        [
+            "--table", str(tmp_path / "p"),
+            "--delete-where", "v >= 2",
+            "--compact",
+            "--keep-last", "10",
+        ]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delete_where"]["rows_deleted"] == 2
+    assert out["compact"]["pruned_dv_files"] >= 1
+    t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
+    assert _pdf(t2.read()).url.tolist() == ["a"]
+    assert not t2._manifest().get("dvs")
