@@ -69,6 +69,9 @@ HEADLINE = [
     "sim_pq_ann",
     "sim_pq_refined",
     "cdc_branch_publish",
+    "src_cdc_envelope",
+    "web_sitemap_recrawl",
+    "cdc_delete_vectors",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

@@ -1144,3 +1144,82 @@ def web_sitemap_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("last_crawl_ts"))
     )
     return recrawl_from_sitemap(parsed, crawl_state)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (operators/graph.py hits)
+# ---------------------------------------------------------------------------
+
+
+def _hits_oracle() -> str:
+    """Chained-CTE replay of hits(): distinct host adjacency, then
+    _N_ITER integer rounds of sum + max-normalize, formula-identical to
+    operators/graph.py (scale = 10^6, floor divisions)."""
+    from gnarly_spark.operators.graph import HOST_RE, HREF_RE
+
+    href_re = HREF_RE.replace("'", "''")
+    # normalization via MAX(raw) OVER () — NOT a scalar subquery: a
+    # second reference to each round's CTE doubles the inlined expression
+    # tree per round under DuckDB's default CTE inlining (2^n blowup, the
+    # running-argmin lesson in its DuckDB form); the unpartitioned window
+    # keeps the chain strictly linear.
+    rounds = []
+    for i in range(_N_ITER):
+        rounds.append(f"""
+    a{i + 1} AS (
+      SELECT host, CAST((raw * {_SCALE}) //
+        GREATEST(MAX(raw) OVER (), 1) AS BIGINT) AS v
+      FROM (
+        SELECT n.host, CAST(COALESCE(c.c, 0) AS BIGINT) AS raw
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst_host AS host, SUM(h{i}.v) AS c
+          FROM h{i} JOIN e ON h{i}.host = e.src_host
+          GROUP BY e.dst_host) c ON n.host = c.host)),
+    h{i + 1} AS (
+      SELECT host, CAST((raw * {_SCALE}) //
+        GREATEST(MAX(raw) OVER (), 1) AS BIGINT) AS v
+      FROM (
+        SELECT n.host, CAST(COALESCE(c.c, 0) AS BIGINT) AS raw
+        FROM nodes n LEFT JOIN (
+          SELECT e.src_host AS host, SUM(a{i + 1}.v) AS c
+          FROM a{i + 1} JOIN e ON a{i + 1}.host = e.dst_host
+          GROUP BY e.src_host) c ON n.host = c.host))""")
+    return f"""
+    WITH pages AS ({_PAGES_SQL}),
+    links AS (
+      SELECT src, dst FROM (
+        SELECT url AS src,
+               unnest(regexp_extract_all(html, '{href_re}', 1)) AS dst
+        FROM pages)
+      WHERE regexp_extract(dst, '{HOST_RE}', 1) != ''),
+    e AS (
+      SELECT DISTINCT src_host, dst_host FROM (
+        SELECT regexp_extract(src, '{HOST_RE}', 1) AS src_host,
+               regexp_extract(dst, '{HOST_RE}', 1) AS dst_host
+        FROM links)
+      WHERE src_host != dst_host),
+    nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM e
+        UNION ALL SELECT dst_host FROM e)),
+    h0 AS (SELECT host, CAST({_SCALE} AS BIGINT) AS v FROM nodes),
+    {",".join(rounds)}
+    SELECT n.host, a{_N_ITER}.v AS auth, h{_N_ITER}.v AS hub
+    FROM nodes n
+    JOIN a{_N_ITER} ON n.host = a{_N_ITER}.host
+    JOIN h{_N_ITER} ON n.host = h{_N_ITER}.host
+    """
+
+
+@register("graph_hits", _hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the crawl's host graph: the
+    complementary centrality to graph_pagerank (directory-like hosts
+    score as hubs, content-like hosts as authorities). Integer
+    max-normalized fixed point — exact BIGINTs, oracle-checked
+    bit-for-bit against a chained-CTE replay of all 5 rounds. Covers
+    operators/graph.py hits."""
+    from gnarly_spark.operators.graph import extract_links, hits, host_graph
+
+    g = host_graph(extract_links(_pages_df(spark, sf_dir)))
+    return hits(g, n_iter=_N_ITER, scale=_SCALE)

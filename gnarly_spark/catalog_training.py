@@ -2609,3 +2609,85 @@ def text_dsir_weights(spark, sf_dir):
     return dsir_weights(
         docs, F.col("source").isin("src0", "src1", "src2", "src3")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-resemblance (functions/sketches.py kmv_jaccard)
+# ---------------------------------------------------------------------------
+
+# two overlapping url sets derived from events: residues mod 4001 (even
+# event ids) vs the same space shifted +2000 (event ids % 3 = 0) — ~1/3
+# true Jaccard, and both |A| and |B| exceed k so the sketch actually
+# estimates instead of degenerating to the exact set.
+_KMV_K = 256
+_KMV_A_SQL = (
+    "SELECT DISTINCT 'https://u/' || CAST(event_id % 4001 AS VARCHAR) AS id "
+    "FROM events WHERE event_id % 2 = 0"
+)
+_KMV_B_SQL = (
+    "SELECT DISTINCT 'https://u/' || CAST(event_id % 4001 + 2000 AS VARCHAR) AS id "
+    "FROM events WHERE event_id % 3 = 0"
+)
+
+
+@register(
+    "sketch_kmv_jaccard",
+    f"""
+    WITH a AS ({_KMV_A_SQL}),
+    b AS ({_KMV_B_SQL}),
+    ka AS (SELECT md5(id) AS h FROM a ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT md5(id) AS h FROM b ORDER BY h LIMIT {_KMV_K}),
+    u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+          ORDER BY h LIMIT {_KMV_K}),
+    inter AS (SELECT CAST(COUNT(*) AS INT) AS n FROM u
+              WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+    ex AS (SELECT CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT) AS ni,
+                  COUNT(*) AS nu
+           FROM (SELECT a.id IS NOT NULL AS ina, b.id IS NOT NULL AS inb
+                 FROM a FULL OUTER JOIN b ON a.id = b.id))
+    SELECT (SELECT CAST(COUNT(*) AS INT) FROM u) AS k_union,
+           (SELECT n FROM inter) AS n_both,
+           CAST((SELECT n FROM inter) AS DOUBLE)
+             / (SELECT COUNT(*) FROM u) AS jaccard_est,
+           CAST(ni AS DOUBLE) / nu AS jaccard_exact
+    FROM ex
+    """,
+)
+def sketch_kmv_jaccard(spark, sf_dir):
+    """Corpus-overlap probe via KMV bottom-k set sketches (Beyer et al.
+    2007): Jaccard between two url sets estimated from three k-row
+    arrays — the estimator itself is deterministic (md5 order), so the
+    oracle re-derives the ESTIMATE bit-for-bit, alongside the exact
+    Jaccard for reference. At 10^10 rows the exact number needs a full
+    distinct join of both corpora; the sketch needs one distinct +
+    mergeable per-partition bottom-k per side. Covers
+    functions/sketches.py kmv_set_sketch/kmv_jaccard."""
+    from gnarly_spark.functions.sketches import kmv_jaccard
+
+    e = _t(spark, sf_dir, "events")
+    a = e.where(F.col("event_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://u/"), (F.col("event_id") % 4001).cast("string")
+        ).alias("id")
+    )
+    b = e.where(F.col("event_id") % 3 == 0).select(
+        F.concat(
+            F.lit("https://u/"), (F.col("event_id") % 4001 + 2000).cast("string")
+        ).alias("id")
+    )
+    est = kmv_jaccard(a, b, "id", k=_KMV_K)
+    ad = a.distinct().withColumn("_ina", F.lit(True))
+    bd = b.distinct().withColumn("_inb", F.lit(True))
+    ex = (
+        ad.join(bd, "id", "full")
+        .agg(
+            F.sum(
+                F.when(F.col("_ina") & F.col("_inb"), 1).otherwise(0)
+            ).cast("bigint").alias("ni"),
+            F.count(F.lit(1)).alias("nu"),
+        )
+        .select(
+            (F.col("ni").cast("double") / F.col("nu")).alias("jaccard_exact")
+        )
+    )
+    return est.crossJoin(ex)

@@ -371,3 +371,54 @@ def bottomk_oracle_sql(
       FROM ranked WHERE rn <= {k} GROUP BY {group_col})
     SELECT {group_col}, n_sample, {est_cols} FROM sk
     """
+
+
+def kmv_set_sketch(df: DataFrame, id_col: str, k: int = 256) -> DataFrame:
+    """One-row bottom-k SET sketch (KMV: k minimum md5 values over the
+    DISTINCT ids — Beyer et al. 2007). The distinct() is load-bearing:
+    duplicates share a hash, and without it a heavy hitter would occupy
+    multiple sketch slots and bias every estimate. Output: (sketch:
+    array<struct<h,v>>) — the bottomk_sketch format, so bottomk_merge
+    unions KMV sketches too."""
+    return bottomk_sketch(df.select(id_col).distinct(), id_col, id_col, (), k)
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, id_col: str, k: int = 256) -> DataFrame:
+    """Set resemblance from two KMV sketches: J(A,B) estimated as
+
+        |K_k(A ∪ B) ∩ K(A) ∩ K(B)| / |K_k(A ∪ B)|
+
+    (the standard KMV estimator: of the k hash-smallest union members,
+    the fraction present in BOTH sketches). Exact when |A ∪ B| <= k —
+    the sketch IS the set — and deterministic always (md5 order), so an
+    engine twin reproduces it bit-for-bit.
+
+    Scale shape: each side pays one distinct + the mergeable bottom-k
+    (per-partition partials, no global window); everything after runs on
+    three k-row arrays in a single task. This is the cheap corpus-vs-
+    corpus overlap probe (did shard X leak into shard Y; how much does a
+    new crawl overlap the last one) that exact Jaccard — a full
+    distinct-join over both corpora — does at 10^10-row cost.
+
+    Output one row: (k_union, n_both, jaccard_est)."""
+    ka = kmv_set_sketch(a, id_col, k).select(F.col("sketch").alias("ska"))
+    kb = kmv_set_sketch(b, id_col, k).select(F.col("sketch").alias("skb"))
+    both = ka.crossJoin(kb)  # 1x1
+    union_k = F.slice(
+        F.array_sort(
+            F.array_union(  # same-id rows carry identical (h,v) structs
+                F.col("ska"), F.col("skb")
+            )
+        ),
+        1,
+        k,
+    )
+    ah = F.transform(F.col("ska"), lambda s: s["h"])
+    bh = F.transform(F.col("skb"), lambda s: s["h"])
+    uh = F.transform(union_k, lambda s: s["h"])
+    inter = F.size(F.array_intersect(F.array_intersect(uh, ah), bh))
+    return both.select(
+        F.size(uh).cast("int").alias("k_union"),
+        inter.cast("int").alias("n_both"),
+        (inter.cast("double") / F.size(uh)).alias("jaccard_est"),
+    )

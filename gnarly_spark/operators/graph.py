@@ -341,3 +341,82 @@ def anchor_census_read(reducer, ctx) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
     return anchor_rollup(pa)
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999) over (src_host, dst_host) edges —
+    hubs & authorities, the complementary centrality to PageRank (a hub
+    links to many good authorities; an authority is linked by many good
+    hubs — directory pages vs content pages in a crawl frontier).
+
+    All-integer with MAX-normalization instead of L2 (same bin-length
+    move as pagerank/unigram_surprisal: floor division keeps every round
+    bit-identical across engines, so the oracle replays it in chained
+    CTEs):
+
+        araw(v)  = SUM over u->v of hub(u)            (0 if no in-links)
+        auth'(v) = (araw(v) * scale) // max(araw)
+        hraw(u)  = SUM over u->v of auth'(v)          (0 if no out-links)
+        hub'(u)  = (hraw(u) * scale) // max(hraw)
+
+    Edge MULTIPLICITY is ignored (adjacency is 0/1 — classic HITS), so
+    callers pass the distinct host graph; auth0 = hub0 = scale.
+
+    Scale shape: per round, two shuffle joins on the (collapsed, small)
+    host relation + two partial-agg sums; the global max is a scalar
+    aggregate broadcast back with a one-row crossJoin — never a collect,
+    never a window over the whole relation. localCheckpoint per round
+    cuts lineage (plan stays O(1) in n_iter — the duplicate_clusters
+    lesson). Overflow headroom: auth,hub <= scale, raw <= n*scale, raw *
+    scale <= n*scale^2 — scale 10^6 is safe below 9e6 hosts; drop to
+    10^4 beyond.
+    """
+    e = edges.select("src_host", "dst_host").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .unionByName(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    auth = nodes.select("host", F.lit(scale).cast("long").alias("auth"))
+    hub = nodes.select("host", F.lit(scale).cast("long").alias("hub"))
+
+    def _norm(raw_df: DataFrame, col: str) -> DataFrame:
+        mx = raw_df.agg(F.max(col).alias("_mx"))
+        return raw_df.crossJoin(F.broadcast(mx)).select(
+            "host",
+            F.expr(f"({col} * CAST({scale} AS BIGINT)) div greatest(_mx, 1)").alias(
+                col[1:]  # _a -> a
+            ),
+        )
+
+    for _ in range(n_iter):
+        araw = (
+            nodes.join(
+                hub.join(e, hub["host"] == e["src_host"])
+                .select(F.col("dst_host").alias("host"), F.col("hub").alias("c"))
+                .groupBy("host")
+                .agg(F.sum("c").alias("c")),
+                "host",
+                "left",
+            )
+            .select("host", F.coalesce("c", F.lit(0).cast("long")).alias("_auth"))
+        )
+        auth = _norm(araw, "_auth").localCheckpoint(eager=True)
+        hraw = (
+            nodes.join(
+                auth.join(e, auth["host"] == e["dst_host"])
+                .select(F.col("src_host").alias("host"), F.col("auth").alias("c"))
+                .groupBy("host")
+                .agg(F.sum("c").alias("c")),
+                "host",
+                "left",
+            )
+            .select("host", F.coalesce("c", F.lit(0).cast("long")).alias("_hub"))
+        )
+        hub = _norm(hraw, "_hub").localCheckpoint(eager=True)
+    return auth.join(hub, "host")

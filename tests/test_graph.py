@@ -321,3 +321,60 @@ def test_anchor_census_reducer_incremental_matches_batch(spark, tmp_path):
     batch = dict(map(key, anchor_text_census(pages).collect()))
     assert inc == batch
     assert inc["https://a.x/x"] == (4, 2, "good page", 3)
+
+
+def _py_hits(edges, n_iter=5, scale=SCALE):
+    """Independent pure-Python replay of the integer max-normalized HITS
+    fixed point (distinct adjacency)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    auth = {n: scale for n in nodes}
+    hub = {n: scale for n in nodes}
+    for _ in range(n_iter):
+        araw = {n: 0 for n in nodes}
+        for u, v in edges:
+            araw[v] += hub[u]
+        amax = max(max(araw.values()), 1)
+        auth = {n: (araw[n] * scale) // amax for n in nodes}
+        hraw = {n: 0 for n in nodes}
+        for u, v in edges:
+            hraw[u] += auth[v]
+        hmax = max(max(hraw.values()), 1)
+        hub = {n: (hraw[n] * scale) // hmax for n in nodes}
+    return auth, hub
+
+
+def test_hits_matches_python_reference(spark):
+    """Bipartite-ish graph with a clear hub (links to both authorities),
+    a pure authority, a chain node, and a duplicate edge (multiplicity
+    must be ignored)."""
+    from gnarly_spark.operators.graph import hits
+
+    edges = [
+        ("hub1", "auth1"), ("hub1", "auth2"),
+        ("hub2", "auth1"),
+        ("auth2", "mid"), ("mid", "auth1"),
+        ("hub1", "auth1"),  # duplicate: adjacency is 0/1
+    ]
+    e = spark.createDataFrame(edges, schema="src_host string, dst_host string")
+    got = {r.host: (r.auth, r.hub) for r in hits(e, n_iter=5).collect()}
+    pa, ph = _py_hits(edges)
+    assert got == {n: (pa[n], ph[n]) for n in pa}
+    # structure sanity: auth1 is THE authority, hub1 THE hub
+    assert max(pa, key=pa.get) == "auth1"
+    assert max(ph, key=ph.get) == "hub1"
+    # zero-in-degree pure hubs have auth 0; zero-out-degree pure
+    # authorities have hub 0
+    assert got["hub1"][0] == 0 and got["auth1"][1] == 0
+
+
+def test_hits_deterministic_across_runs(spark):
+    from gnarly_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [(f"h{i % 7}", f"h{(i * 3 + 1) % 7}") for i in range(30) if i % 7 != (i * 3 + 1) % 7],
+        schema="src_host string, dst_host string",
+    )
+    a = sorted(map(tuple, hits(e, n_iter=4).collect()))
+    b = sorted(map(tuple, hits(e.repartition(5), n_iter=4).collect()))
+    assert a == b  # partitioning-independent (integer math, no ULPs)

@@ -131,3 +131,43 @@ def test_bottomk_quantile_accuracy_and_small_group(spark):
     assert abs(est["a"]["est_p50"] - 2500) <= 4 / (256**0.5) * 5000
     # group smaller than k: the sample IS the group -> exact median
     assert est["b"]["n_sample"] == 5 and est["b"]["est_p50"] == 2
+
+
+def test_kmv_jaccard_exact_when_k_covers_union(spark):
+    """|A ∪ B| <= k: the sketch IS the set, so the estimate equals the
+    true Jaccard exactly."""
+    from gnarly_spark.functions.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(30)], "id string")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(20, 50)], "id string")
+    r = kmv_jaccard(a, b, "id", k=256).collect()[0]
+    assert r.k_union == 50 and r.n_both == 10
+    assert r.jaccard_est == 10 / 50  # true J = |20..29| / |0..49|
+
+
+def test_kmv_jaccard_matches_python_replay_when_sketched(spark):
+    """k < |union|: replay the estimator in pure Python over hashlib.md5
+    — deterministic, engine-portable (duplicates must not bias it)."""
+    import hashlib
+
+    from gnarly_spark.functions.sketches import kmv_jaccard
+
+    A = [f"a{i}" for i in range(300)] + [f"c{i}" for i in range(200)]
+    B = [f"b{i}" for i in range(300)] + [f"c{i}" for i in range(200)]
+    k = 64
+    a = spark.createDataFrame([(x,) for x in A * 3], "id string")  # dups
+    b = spark.createDataFrame([(x,) for x in B], "id string")
+    r = kmv_jaccard(a, b, "id", k=k).collect()[0]
+
+    def md5(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    ka = sorted(md5(x) for x in set(A))[:k]
+    kb = sorted(md5(x) for x in set(B))[:k]
+    ku = sorted(set(ka) | set(kb))[:k]
+    n_both = sum(1 for h in ku if h in set(ka) and h in set(kb))
+    assert r.k_union == len(ku) == k
+    assert r.n_both == n_both
+    assert r.jaccard_est == n_both / k
+    # and the estimate lands near the true J = 200/800
+    assert abs(r.jaccard_est - 0.25) < 0.12
