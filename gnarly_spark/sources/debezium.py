@@ -331,3 +331,81 @@ def feed_to_debezium(
         F.lit(None).cast("long").alias("ts_ms"),
     )
     return env.select(F.to_json(F.struct("*"), JSON_OPTS).alias("value"))
+
+
+def export_outbox(
+    table,
+    out_dir: str,
+    source_name: str = "gnarly",
+) -> dict:
+    """Incremental OUTBOX export: envelope JSONL for every lake commit
+    since the last export — the transactional-outbox pattern that feeds
+    downstream Debezium consumers (search sync, cache invalidation)
+    from the lake's own change feed, without a message broker in the
+    write path.
+
+    Each run walks the committed versions after the recorded cursor, and
+    per version writes ``{out_dir}/v{N}.jsonl`` from
+    ``feed_to_debezium(table.changelog(N-1, N))``; envelope seqs continue
+    monotonically across runs (cursor + next_seq persist in
+    ``{out_dir}/_outbox_state.json``). Idempotent at the file level: a
+    re-run after a crash rewrites the same per-version files with the
+    same seqs (the changelog between two immutable snapshots is
+    deterministic), so downstream file-stream consumers never see
+    duplicates under at-least-once re-export. The per-version file write
+    is tmp+rename, so a consumer tailing ``*.jsonl`` never reads a
+    half-written batch.
+
+    Cost per run: O(changed rows since cursor) — each changelog() is one
+    key-shuffle over two snapshots' files. Returns {"exported_versions",
+    "envelopes", "from_version", "to_version"}."""
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    state_path = os.path.join(out_dir, "_outbox_state.json")
+    state = {"cursor": -1, "next_seq": 0}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = _json.load(f)
+    head = table.current_version()
+    start = int(state["cursor"])
+    seq = int(state["next_seq"])
+    exported, n_env = [], 0
+    for v in range(max(start, -1) + 1, head + 1):
+        # v=0: everything in the first snapshot is an insert — changelog
+        # needs a from-version, so synthesize the initial feed from read()
+        if v == 0:
+            snap = table.read(version=0)
+            feed = snap.select(
+                table.key,
+                F.lit("insert").alias("_change_type"),
+                *[c for c in snap.columns if c != table.key],
+            )
+        else:
+            feed = table.changelog(v - 1, v)
+        env = feed_to_debezium(
+            feed, key=table.key, seq_start=seq, source_name=source_name,
+            version=v,
+        )
+        tmp = os.path.join(out_dir, f".tmp-v{v}")
+        env.coalesce(1).write.mode("overwrite").text(tmp)
+        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        n = sum(1 for _ in open(os.path.join(tmp, part)))
+        os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"v{v}.jsonl"))
+        _shutil.rmtree(tmp, ignore_errors=True)
+        seq += n
+        n_env += n
+        exported.append(v)
+        # persist AFTER each version: a crash resumes at the next one
+        # with the right seq base
+        with open(state_path + ".tmp", "w") as f:
+            _json.dump({"cursor": v, "next_seq": seq}, f)
+        os.replace(state_path + ".tmp", state_path)
+    return {
+        "exported_versions": exported,
+        "envelopes": n_env,
+        "from_version": start + 1,
+        "to_version": head,
+    }
