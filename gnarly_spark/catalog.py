@@ -1215,6 +1215,62 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_cdx_fetch",
+    """
+    SELECT 'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
+           md5(text) AS cdx_digest,
+           strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+    FROM documents
+    WHERE doc_id % 37 = 0
+    """,
+)
+def src_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl INDEX-read pattern end-to-end: documents are
+    written as record-per-gzip-member WARC segments with CDX-J sidecar
+    pointers (14-digit ts + url/filename/offset/length/digest), a 1-in-37
+    url subset is selected ON THE TINY CDX RELATION, and only those
+    records' byte ranges are fetched (seek + read(length) + one-member
+    gunzip) — never a whole-segment decompress. Every fetched record must
+    match the source row byte-for-byte (md5 over the RANGED bytes) and
+    the CDX digest must agree — one wrong offset/length breaks the hash.
+    Oracle = the same subset straight off documents. Covers
+    sources/warc.py member_gzip/read_cdx/fetch_warc_records — the
+    selective-consumption path a 64k-segment crawl requires."""
+    import tempfile
+
+    from gnarly_spark.sources.warc import fetch_warc_records, read_cdx, write_warc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_add(
+            "SECOND",
+            F.col("doc_id"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("warc_ts"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    work = tempfile.mkdtemp(prefix="gnarly_cdx_")
+    write_warc(docs.repartition(4), work, member_gzip=True)
+    cdx = read_cdx(spark, f"{work}/*.cdx")
+    sel = cdx.where(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long") % 37 == 0
+    )
+    fetched = fetch_warc_records(spark, sel, work)
+    return fetched.join(sel.select("url", "digest"), "url").select(
+        "url",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("digest").alias("cdx_digest"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+
+
+@register(
     "src_cdc_envelope",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL})

@@ -95,13 +95,25 @@ def write_warc(
     payload_col: str = "payload",
     compress: bool = False,
     record_type: str = "response",
+    member_gzip: bool = False,
 ) -> list[tuple[str, int]]:
     """Distributed WARC writer: each partition streams its rows into ONE
     segment file ``part-NNNNN.warc[.gz]`` under ``path`` (the Common-Crawl
     layout: segment count == partition count, so a 1000-executor cluster
     writes 1000 segments concurrently; repartition upstream to choose).
     Returns the manifest [(file, n_records)] — file lists are driver-side
-    metadata by design, never row data."""
+    metadata by design, never row data.
+
+    ``member_gzip=True`` (implies compress) writes Common Crawl's actual
+    record-per-gzip-member layout AND a ``part-NNNNN.cdx`` sidecar index
+    (one line per record: 14-digit timestamp + JSON with url, filename,
+    member offset/length, md5 digest — the CDX-J shape) — the layout that
+    makes single-record RANGED reads possible (fetch_warc_records): a
+    consumer with pointers reads length bytes at offset instead of
+    decompressing the segment. gzip.decompress is multi-member, so the
+    whole-file readers (read_warc/read_wet) consume either layout
+    unchanged."""
+    import json as _json
     import os
 
     from pyspark import TaskContext
@@ -110,6 +122,8 @@ def write_warc(
         raise ValueError(
             f"record_type {record_type!r} not in {sorted(_CONTENT_TYPES)}"
         )
+    if member_gzip:
+        compress = True
     os.makedirs(path, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     sel = df.select(
@@ -119,6 +133,8 @@ def write_warc(
     )
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}{ext}")
@@ -128,41 +144,162 @@ def write_warc(
         # gzip stream); each attempt writes its own temp, the replace is
         # atomic, and a loser's leftover temp stays invisible to readers
         tmp = f"{fname}.{ctx.taskAttemptId()}.inprogress"
+        cdxname = os.path.join(path, f"part-{pid:05d}.cdx")
+        cdx_tmp = f"{cdxname}.{ctx.taskAttemptId()}.inprogress"
         n = 0
         # records STREAM to the open file handle — never a whole-segment
         # BytesIO (+ a second full copy in gzip.compress): a ~1 GB Common
         # Crawl segment held O(record), not 2-3 GB, per concurrent task.
         # mtime=0 keeps the gzip bytes deterministic. The .inprogress
         # rename makes a crashed task's partial file invisible to readers.
+        cdx = open(cdx_tmp, "w") if member_gzip else None
         with open(tmp, "wb") as raw:
             sink = (
-                gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) if compress else raw
+                raw
+                if member_gzip or not compress
+                else gzip.GzipFile(fileobj=raw, mode="wb", mtime=0)
             )
             try:
                 for pdf in batches:
                     for url, ts, payload in zip(
                         pdf["url"], pdf["warc_ts"], pdf["payload"]
                     ):
-                        sink.write(
-                            warc_record_bytes(
-                                url,
-                                ts.to_pydatetime(),
-                                bytes(payload or b""),
-                                record_type,
-                            )
+                        pay = bytes(payload or b"")
+                        rec = warc_record_bytes(
+                            url, ts.to_pydatetime(), pay, record_type
                         )
+                        if member_gzip:
+                            member = gzip.compress(rec, mtime=0)
+                            off = raw.tell()
+                            raw.write(member)
+                            cdx.write(
+                                ts.strftime("%Y%m%d%H%M%S")
+                                + " "
+                                + _json.dumps(
+                                    {
+                                        "url": url,
+                                        "filename": os.path.basename(fname),
+                                        "offset": off,
+                                        "length": len(member),
+                                        "digest": hashlib.md5(pay).hexdigest(),
+                                        "type": record_type,
+                                    },
+                                    sort_keys=True,
+                                )
+                                + "\n"
+                            )
+                        else:
+                            sink.write(rec)
                         n += 1
             finally:
-                if compress:
+                if compress and not member_gzip:
                     sink.close()
+                if cdx is not None:
+                    cdx.close()
         if n:
             os.replace(tmp, fname)
+            if member_gzip:
+                os.replace(cdx_tmp, cdxname)
             yield pd.DataFrame({"file": [fname], "n_records": [n]})
         else:
             os.remove(tmp)
+            if member_gzip:
+                os.remove(cdx_tmp)
 
     manifest = sel.mapInPandas(write_part, "file string, n_records long").collect()
     return [(r["file"], r["n_records"]) for r in manifest]
+
+
+#: CDX-J sidecar schema (read_cdx): pointer rows for ranged record access
+CDX_DDL = (
+    "url string, cdx_ts timestamp_ntz, filename string, offset long, "
+    "length long, digest string, type string"
+)
+
+
+def read_cdx(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Scan CDX sidecar files -> pointer relation (CDX_DDL). This is the
+    Common-Crawl index-read pattern: the CDX relation is ~100 bytes/record
+    where the segments are ~KBs-MBs/record, so selection (by url, host,
+    time window — add ``surt_key(col)`` from functions/url.py for the
+    CC-style range key) runs on the tiny relation and only the matched
+    records' bytes are ever fetched. Pure JVM: text scan + split +
+    from_json."""
+    lines = spark.read.text(path_glob)
+    j = F.expr("substring(value, 16)")
+    meta = F.from_json(
+        j,
+        "url string, filename string, offset long, length long, "
+        "digest string, type string",
+    )
+    return lines.select(
+        meta.getField("url").alias("url"),
+        F.to_timestamp(F.expr("substring(value, 1, 14)"), "yyyyMMddHHmmss")
+        .cast("timestamp_ntz")
+        .alias("cdx_ts"),
+        meta.getField("filename").alias("filename"),
+        meta.getField("offset").alias("offset"),
+        meta.getField("length").alias("length"),
+        meta.getField("digest").alias("digest"),
+        meta.getField("type").alias("type"),
+    )
+
+
+def fetch_warc_records(
+    spark: SparkSession, pointers: DataFrame, segments_dir: str
+) -> DataFrame:
+    """RANGED record fetch: read exactly the records a CDX pointer
+    relation selects — seek(offset), read(length), decompress ONE gzip
+    member, parse one record — instead of decompressing whole segments.
+
+    This is how Common Crawl is actually consumed selectively (the
+    cluster.idx / cdx-*.gz two-step): a 1000-url sample out of a 64k-file
+    crawl touches ~1000 * length bytes, not 64 TB. Pointers are
+    repartitioned by filename and offset-sorted inside each partition, so
+    a task's reads against one segment are sequential-ish and each file
+    opens once per run of consecutive pointers. Output: WARC_RECORD_DDL
+    (url, warc_ts, payload, warc_file) — identical to read_warc, so
+    everything downstream is source-agnostic."""
+    import os
+
+    sel = pointers.select("filename", "offset", "length").repartition(
+        F.col("filename")
+    ).sortWithinPartitions("filename", "offset")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fh, fh_name = None, None
+        try:
+            for pdf in batches:
+                rows = []
+                for fn, off, ln in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"]
+                ):
+                    full = os.path.join(segments_dir, fn)
+                    if fh_name != full:
+                        if fh is not None:
+                            fh.close()
+                        fh = open(full, "rb")
+                        fh_name = full
+                    fh.seek(int(off))
+                    blob = gzip.decompress(fh.read(int(ln)))
+                    # a member holds exactly one record, already selected
+                    # by the pointer — parse it whatever its type. The
+                    # name is de-.gz'd: the blob is ALREADY decompressed
+                    # (a .gz name would make the walk decompress twice).
+                    rows.extend(
+                        _parse_warc_bytes(
+                            fn.replace(".gz", ""), blob, record_type=None
+                        )
+                    )
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "payload", "warc_file"]
+                    )
+        finally:
+            if fh is not None:
+                fh.close()
+
+    return sel.mapInPandas(fetch, WARC_RECORD_DDL)
 
 
 def _parse_warc_date(name: str, raw: str) -> datetime:
@@ -184,7 +321,9 @@ def _parse_warc_bytes(
     Framing walk: header block up to the blank line, Content-Length bytes
     of payload, record separator. Tolerates \\n-only line endings. Only
     records of ``record_type`` ('response' | 'conversion' | 'metadata')
-    are emitted — the framing walk still steps over every record."""
+    are emitted — the framing walk still steps over every record;
+    ``record_type=None`` emits every record (the ranged-fetch path, where
+    the CDX pointer already selected it)."""
     if name.endswith(".gz"):
         blob = gzip.decompress(blob)  # multi-member safe
     i, n = 0, len(blob)
@@ -213,7 +352,7 @@ def _parse_warc_bytes(
         payload = blob[body_start : body_start + length]
         if len(payload) != length:
             raise ValueError(f"{name}: truncated payload at byte {body_start}")
-        if headers.get("warc-type") == record_type:
+        if record_type is None or headers.get("warc-type") == record_type:
             yield (
                 headers["warc-target-uri"],
                 _parse_warc_date(name, headers["warc-date"]),
