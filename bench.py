@@ -72,6 +72,9 @@ HEADLINE = [
     "src_cdc_envelope",
     "web_sitemap_recrawl",
     "cdc_delete_vectors",
+    "graph_hits",
+    "sketch_kmv_jaccard",
+    "src_cdx_fetch",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"
