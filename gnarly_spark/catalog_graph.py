@@ -1223,3 +1223,48 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = host_graph(extract_links(_pages_df(spark, sf_dir)))
     return hits(g, n_iter=_N_ITER, scale=_SCALE)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt -> sitemap discovery (functions/url.py robots_sitemaps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "web_robots_sitemaps",
+    f"""
+    WITH f AS ({_ROBOTS_BODY_SQL})
+    SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM f
+    UNION ALL
+    SELECT host, 'https://' || host || '/sm2.xml' FROM f
+    WHERE CAST(regexp_extract(host, 'h(\\d+)', 1) AS INT) % 2 = 0
+    """,
+)
+def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt: ``Sitemap:`` declarations
+    extracted from the SAME messy robots bodies web_parse_robots parses
+    (the directive is group-independent so the rule parser ignores it and
+    this extractor ignores the rules) — plus a duplicate declaration that
+    must dedup, a lowercase spelling, an inline comment, and a
+    colon-less line that must be ignored. Feeds parse_sitemap_index /
+    parse_sitemap: the full discovery chain. Covers functions/url.py
+    robots_sitemaps."""
+    from gnarly_spark.functions.url import robots_sitemaps
+
+    base = _robots_body_df(spark, sf_dir)
+    extra = F.concat(
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n"),
+        F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n"),
+        F.lit("Sitemap https://"), F.col("host"), F.lit("/no-colon.xml\n"),
+        F.when(
+            F.regexp_extract("host", r"h(\d+)", 1).cast("int") % 2 == 0,
+            F.concat(
+                F.lit("sitemap: https://"), F.col("host"),
+                F.lit("/sm2.xml   # mirror\n"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    bodies = base.select(
+        "host", F.concat(F.col("body"), F.lit("\n"), extra).alias("body")
+    )
+    return robots_sitemaps(bodies)

@@ -506,3 +506,31 @@ def surt_key_sql(canon: str) -> str:
         f"CASE WHEN {canon} IS NOT NULL "
         f"THEN {rev} || {port} || ')' || {tail} END"
     )
+
+
+def robots_sitemaps(
+    files: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Extract ``Sitemap:`` declarations from raw robots.txt bodies —
+    the discovery link between the robots fetch and the sitemap walk
+    (robots_sitemaps -> parse_sitemap_index -> parse_sitemap ->
+    recrawl_from_sitemap is the full publisher-signal chain a crawler
+    runs). Per RFC 9309 / sitemaps.org the directive is group-independent
+    (it applies regardless of User-agent sections), case-insensitive, and
+    its value is an absolute URL; comments strip, lines without a colon
+    are ignored. Output: (host, sitemap_url), de-duplicated per host.
+
+    Scale shape: split + explode + regexp, all map-side JVM; the only
+    shuffle is the final distinct on (host, url) — tiny (declarations,
+    not pages)."""
+    lines = files.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), r"\r?\n")).alias("line"),
+    )
+    clean = F.trim(F.regexp_replace("line", "#.*$", ""))
+    url = F.trim(F.regexp_extract(clean, r"(?i)^sitemap\s*:\s*(\S+)\s*$", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+        .distinct()
+    )

@@ -147,3 +147,61 @@ def test_recrawl_statuses(spark):
     got = {r.url: r.status for r in recrawl_from_sitemap(entries, crawled).collect()}
     # fresh + lastmod-less crawled urls are NOT refetched
     assert got == {"https://a/new": "new", "https://a/stale": "stale"}
+
+
+def test_discovery_chain_robots_to_recrawl(spark):
+    """The full publisher-signal chain on synthetic fixtures:
+    robots.txt -> Sitemap declarations -> sitemap index -> urlset ->
+    recrawl decisions."""
+    import datetime
+
+    from gnarly_spark.functions.url import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /tmp\n"
+                "Sitemap: https://a.com/smidx.xml\n"
+                "Sitemap: https://a.com/smidx.xml\n"  # dup -> one row
+                "sitemap: https://a.com/extra.xml  # lowercase+comment\n"
+                "Sitemap no-colon-ignored\n",
+            )
+        ],
+        schema="host string, body string",
+    )
+    sm = robots_sitemaps(robots).sort("sitemap_url").collect()
+    assert [r.sitemap_url for r in sm] == [
+        "https://a.com/extra.xml",
+        "https://a.com/smidx.xml",
+    ]
+    idx = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "<sitemapindex><sitemap><loc>https://a.com/sm1.xml</loc>"
+                "</sitemap></sitemapindex>",
+            )
+        ],
+        schema="host string, xml string",
+    )
+    children = parse_sitemap_index(idx).collect()
+    assert [c.loc for c in children] == ["https://a.com/sm1.xml"]
+    urlset = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "<urlset><url><loc>https://a.com/p1</loc>"
+                "<lastmod>2026-01-10T00:00:00Z</lastmod></url>"
+                "<url><loc>https://a.com/p2</loc></url></urlset>",
+            )
+        ],
+        schema="host string, xml string",
+    )
+    entries = parse_sitemap(urlset)
+    crawled = spark.createDataFrame(
+        [("https://a.com/p1", datetime.datetime(2026, 1, 5))],
+        schema="url string, last_crawl_ts timestamp_ntz",
+    )
+    got = {r.url: r.status for r in recrawl_from_sitemap(entries, crawled).collect()}
+    assert got == {"https://a.com/p1": "stale", "https://a.com/p2": "new"}
