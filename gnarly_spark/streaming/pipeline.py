@@ -96,6 +96,7 @@ class CdcIngestPipeline:
         files_per_bucket: int = 1,
         quality_gate: list | None = None,
         canonicalize_urls: bool = False,
+        outbox_dir: str | None = None,
     ):
         self.spark = spark
         self.work_dir = work_dir.rstrip("/")
@@ -121,6 +122,13 @@ class CdcIngestPipeline:
         # per page (a crawl feed spells the same page many ways: case,
         # ?utm_*, trailing slash — each would otherwise mint its own row)
         self.canonicalize_urls = canonicalize_urls
+        # outbox_dir: after every commit, export the lake change feed as
+        # Debezium envelope files (sources/debezium.py export_outbox) —
+        # the transactional-outbox pattern: downstream consumers tail the
+        # envelope dir instead of the lake. Idempotent on refires (the
+        # export cursor follows table versions; a no-op merge exports
+        # nothing) and crash-resumable (cursor persists in the outbox).
+        self.outbox_dir = outbox_dir
         # extra reducers running over the same stream (gnarly runs N
         # ReducerRunners over one source, Gnarly.ts:22-28); each has its own
         # sink + batch-id guard so partial crashes repair on refire
@@ -830,6 +838,14 @@ class CdcIngestPipeline:
             t_c = time.monotonic()
             self.target.compact()
             phases["compact"] = round(time.monotonic() - t_c, 3)
+
+        if self.outbox_dir is not None:
+            t_o = time.monotonic()
+            from gnarly_spark.sources.debezium import export_outbox
+
+            ob = export_outbox(self.target, self.outbox_dir)
+            phases["outbox"] = round(time.monotonic() - t_o, 3)
+            phases["outbox_envelopes"] = ob["envelopes"]
 
         n_events = int(log_stats["n"])  # counted on the log-append job
         wall = time.monotonic() - t0

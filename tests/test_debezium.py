@@ -219,3 +219,43 @@ def test_export_outbox_incremental_and_resumable(spark, tmp_path):
     assert ops["a"] == [(0, "c"), (1, "u")]
     assert ops["b"] == [(0, "c"), (2, "d")]
     assert ops["c"] == [(1, "c")]
+
+
+def test_pipeline_outbox_option(spark, to_spark, tmp_path):
+    """outbox_dir: every pipeline commit exports envelope files; the
+    concatenated outbox replays (via the adapter's own parser + LWW) to
+    the pipeline's final table state — lake and outbox can never
+    disagree."""
+    from pyspark.sql import functions as F
+
+    from gnarly_spark.operators.replay import last_writer_wins
+
+    log = gen_changelog(n_blocks=10, events_per_block=4, fork_depth=2)
+    src = str(tmp_path / "src")
+    to_spark(log).repartition(1).write.parquet(src)
+    out = str(tmp_path / "outbox")
+    p = CdcIngestPipeline(spark, str(tmp_path / "work"), outbox_dir=out)
+    p.start(src, available_now=True, max_files_per_trigger=2).awaitTermination()
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) == p.target.current_version() + 1  # one per commit
+    # replay the outbox: parse envelopes, LWW on seq, drop deletes
+    ddl = "op_seq long, op string, url string, text string, lang string"
+    env = spark.read.text(os.path.join(out, "*.jsonl"))
+    rows = debezium_events(parse_debezium(env, ddl), ddl)
+    state = (
+        rows.groupBy("url")
+        .agg(F.max_by(F.struct("op", "text", "lang"), "op_seq").alias("w"))
+        .where(F.col("w.op") != "delete")
+        .select("url", F.col("w.text").alias("text"), F.col("w.lang").alias("lang"))
+    )
+    want = (
+        p.pages()
+        .select("url", "text", "lang")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = state.toPandas().sort_values("url").reset_index(drop=True)
+    from tests.conftest import assert_pdf_equal
+
+    assert_pdf_equal(got, want)
