@@ -230,3 +230,31 @@ def test_maintenance_job_delete_where_flag(spark, tmp_path, capsys):
     t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
     assert _pdf(t2.read()).url.tolist() == ["a"]
     assert not t2._manifest().get("dvs")
+
+
+def test_cluster_materializes_dvs(spark, cow):
+    """cluster() (z-order) resolves the DV-filtered view and rewrites
+    everything — the new snapshot must carry no DVs and no deleted rows."""
+    cow.merge(
+        mk(spark, [(f"u{i}", i) for i in range(20)]), batch_id=0
+    )
+    cow.delete_where("v % 5 = 0")
+    out = cow.cluster(by=["v"])
+    assert out["files"] >= 1
+    assert not cow._manifest().get("dvs")
+    got = sorted(r.v for r in cow.read().collect())
+    assert got == [i for i in range(20) if i % 5 != 0]
+
+
+def test_schema_evolution_on_dv_table(spark, cow):
+    """A widening merge (new column) on a table carrying DVs: the DVs
+    keep filtering old files while new files carry the new column."""
+    cow.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    cow.delete_where("v = 1")
+    cow.merge(
+        mk(spark, [("c", 3, "fresh")], "url string, v int, note string"),
+        batch_id=1,
+    )
+    got = _pdf(cow.read())
+    assert got.url.tolist() == ["b", "c"]
+    assert got.note.tolist() == [None, "fresh"]
