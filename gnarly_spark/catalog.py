@@ -1064,6 +1064,57 @@ def cdc_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_outbox_roundtrip",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_outbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional-outbox loop, oracle-checked end-to-end: the LWW
+    state lands in the lake over two commits, export_outbox serializes
+    each commit's change feed as Debezium envelope files, and the
+    adapter's own parser + a seq-ordered LWW replay of the ENVELOPE
+    STREAM must reproduce the replay oracle exactly — lake state and
+    outbox stream can never disagree (the guarantee a downstream
+    search-sync / cache-invalidation consumer relies on). Covers
+    sources/debezium.py export_outbox + feed_to_debezium + parser in one
+    loop."""
+    import tempfile
+
+    from gnarly_spark.sources.debezium import debezium_events, parse_debezium
+    from gnarly_spark.sources.debezium import export_outbox
+
+    t, _v1 = _two_commit_pages(spark, sf_dir, "gnarly_outbox_")
+    out = tempfile.mkdtemp(prefix="gnarly_outbox_env_")
+    export_outbox(t, out)
+    ddl = "op_seq long, op string, url string, last_seq long, last_value double"
+    env = spark.read.text(f"{out}/*.jsonl")
+    rows = debezium_events(parse_debezium(env, ddl), ddl)
+    return (
+        rows.groupBy("url")
+        .agg(
+            F.max_by(F.struct("op", "last_seq", "last_value"), "op_seq").alias("w")
+        )
+        .where(F.col("w.op") != "delete")
+        .select(
+            "url",
+            F.col("w.last_seq").alias("last_seq"),
+            F.col("w.last_value").alias("last_value"),
+        )
+    )
+
+
+@register(
     "cdc_delete_vectors",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),

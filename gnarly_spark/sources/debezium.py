@@ -106,21 +106,38 @@ def _wire_schema(changelog_ddl: str) -> StructType:
 def parse_debezium(lines: DataFrame, changelog_ddl: str = CHANGELOG_DDL) -> DataFrame:
     """Text lines (column ``value``) -> parsed envelope columns + ``_raw``
     + ``_corrupt`` + ``_tombstone``. Batch and streaming inputs share this
-    (same contract as jsonl.parse_changelog_jsonl)."""
+    (same contract as jsonl.parse_changelog_jsonl).
+
+    Kafka Connect's JsonConverter with ``schemas.enable=true`` wraps every
+    value as ``{"schema": {...}, "payload": <envelope>}`` — auto-detected
+    and unwrapped here (safe: a bare envelope has no top-level ``payload``
+    key, so get_json_object returns NULL and the raw line parses as-is;
+    still one JVM expression, no second scan)."""
     wire = _wire_schema(changelog_ddl)
+    body = F.coalesce(
+        F.get_json_object(F.col("value"), "$.payload"), F.col("value")
+    )
     parsed = lines.select(
         F.col("value").alias("_raw"),
         F.from_json(
-            "value",
+            body,
             wire,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt", **JSON_OPTS},
         ).alias("_r"),
     ).select("_raw", "_r.*")
     # Kafka tombstone: the value is the literal JSON `null` (compaction
     # marker). from_json files that under _corrupt (a bare null is not a
-    # struct), so detection keys on the RAW line — exact, and cheap.
+    # struct), so detection keys on the RAW line — exact, and cheap. A
+    # schemas-enabled tombstone arrives as {"schema":..., "payload":null}:
+    # schema key present + payload null (a real wrapped envelope always
+    # has a non-null payload).
     return parsed.withColumn(
-        "_tombstone", F.trim(F.col("_raw")) == F.lit("null")
+        "_tombstone",
+        (F.trim(F.col("_raw")) == F.lit("null"))
+        | (
+            F.get_json_object(F.col("_raw"), "$.schema").isNotNull()
+            & F.get_json_object(F.col("_raw"), "$.payload").isNull()
+        ),
     )
 
 

@@ -259,3 +259,25 @@ def test_pipeline_outbox_option(spark, to_spark, tmp_path):
     from tests.conftest import assert_pdf_equal
 
     assert_pdf_equal(got, want)
+
+
+def test_schemas_enabled_wrapper_auto_unwrap(spark):
+    """Kafka Connect JsonConverter with schemas.enable=true wraps values
+    as {"schema":..., "payload": envelope}; the parser auto-detects and
+    unwraps, including the wrapped tombstone form."""
+    ddl = "op_seq long, op string, url string"
+    env = {"op": "c", "source": {"seq": 5}, "after": {"url": "https://x/1"}}
+    lines = spark.createDataFrame(
+        [
+            (json.dumps({"schema": {"type": "struct"}, "payload": env}),),
+            (json.dumps(env),),  # bare envelope still parses
+            (json.dumps({"schema": {"type": "struct"}, "payload": None}),),
+            ("null",),
+        ],
+        schema="value string",
+    )
+    parsed = parse_debezium(lines, ddl)
+    ev = debezium_events(parsed, ddl).collect()
+    assert len(ev) == 2 and all(r.url == "https://x/1" and r.op_seq == 5 for r in ev)
+    assert debezium_tombstones(parsed).count() == 2
+    assert debezium_dead_letters(parsed).count() == 0
