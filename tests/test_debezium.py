@@ -281,3 +281,18 @@ def test_schemas_enabled_wrapper_auto_unwrap(spark):
     assert len(ev) == 2 and all(r.url == "https://x/1" and r.op_seq == 5 for r in ev)
     assert debezium_tombstones(parsed).count() == 2
     assert debezium_dead_letters(parsed).count() == 0
+
+
+def test_outbox_job_cli(spark, tmp_path, capsys):
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from jobs.outbox_job import main
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"),
+        batch_id=0,
+    )
+    main(["--table", str(tmp_path / "t"), "--out", str(tmp_path / "ob")])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported_versions"] == 1 and out["envelopes"] == 2
+    assert os.path.exists(str(tmp_path / "ob" / "v0.jsonl"))
