@@ -2997,6 +2997,15 @@ def build_merge_sql(table: str, key: str, columns: list[str], source_view: str =
     )
 
 
+def build_delete_sql(table: str, predicate: str) -> str:
+    """Row-level predicate delete for the Iceberg path: on a v2 table this
+    statement writes positional delete files — Iceberg's native deletion
+    vectors — never rewriting data files (write.delete.mode=merge-on-read).
+    Pure function so the SQL contract tests jar-free, like
+    build_merge_sql."""
+    return f"DELETE FROM {table} WHERE {predicate}"
+
+
 class IcebergLakeTable:
     """MERGE INTO an Iceberg table — the production sink.
 
@@ -3092,6 +3101,20 @@ class IcebergLakeTable:
             build_merge_sql(self.table, self.key, src.columns)
         )
         return True
+
+    def delete_where(self, predicate: str, batch_id=None) -> dict:
+        """Predicate delete — interface parity with
+        ParquetLakeTable.delete_where. On an Iceberg v2 table a row-level
+        ``DELETE FROM ... WHERE`` writes POSITIONAL DELETE files (the same
+        deletion-vector representation the parquet lake implements from
+        scratch) without rewriting data files; compaction
+        (rewrite_position_delete_files / rewrite_data_files) folds them,
+        exactly mirroring the parquet table's compact() contract. SQL via
+        the pure build_delete_sql (contract-tested jar-free)."""
+        self.spark.sql(  # pragma: no cover - needs the Iceberg jar
+            build_delete_sql(self.table, predicate)
+        )
+        return {"table": self.table, "predicate": predicate}
 
     # ---- named snapshot refs (interface parity with ParquetLakeTable) --
 

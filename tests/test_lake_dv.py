@@ -258,3 +258,14 @@ def test_schema_evolution_on_dv_table(spark, cow):
     got = _pdf(cow.read())
     assert got.url.tolist() == ["b", "c"]
     assert got.note.tolist() == [None, "fresh"]
+
+
+def test_iceberg_delete_sql_contract():
+    """Jar-free contract for the production path: IcebergLakeTable
+    delete_where emits a row-level DELETE — Iceberg v2 executes it as
+    positional delete files (its native deletion vectors), mirroring the
+    parquet table's delete_where representation."""
+    from gnarly_spark.sinks.lake import build_delete_sql
+
+    sql = build_delete_sql("lake.db.pages", "lang = 'xx' AND length(text) < 10")
+    assert sql == "DELETE FROM lake.db.pages WHERE lang = 'xx' AND length(text) < 10"

@@ -422,3 +422,62 @@ def test_pq_adc_plan_broadcasts_luts_never_codes(spark):
     rows = topk.collect()
     assert {r.query_id for r in rows} == {0, 1}
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_debezium_parse_is_jvm_only(spark):
+    """The envelope parse (incl. the schemas.enable unwrap) is from_json/
+    get_json_object under codegen — no Python evaluation in the source
+    hot path."""
+    from gnarly_spark.sources.debezium import debezium_events, parse_debezium
+
+    ddl = "op_seq long, op string, url string, v double"
+    lines = spark.createDataFrame([("x",)], "value string")
+    plan = plan_of(debezium_events(parse_debezium(lines, ddl), ddl))
+    assert "EvalPython" not in plan  # Batch- and Arrow- variants both
+
+
+def test_sitemap_parse_is_jvm_only_no_shuffle(spark):
+    """Sitemap explode+regexp parse: map-side JVM, no exchange, no
+    Python."""
+    from gnarly_spark.sources.sitemap import parse_sitemap
+
+    df = spark.createDataFrame([("h", "<urlset/>")], "host string, xml string")
+    plan = plan_of(parse_sitemap(df))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # parse itself never shuffles
+
+
+def test_dv_read_is_anti_join_no_cartesian(spark, tmp_path):
+    """A DV-carrying snapshot reads as scan + LeftAnti against the tiny
+    DV relation — never a cartesian, never Python."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"),
+        batch_id=0,
+    )
+    t.delete_where("v = 1")
+    plan = plan_of(t.read())
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kmv_jaccard_no_global_window(spark):
+    """The ungrouped bottom-k must take the mergeable per-partition path:
+    every Window in the plan is partitioned (no move-everything-to-one-
+    partition sort)."""
+    import re as _re
+
+    from gnarly_spark.functions.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([(f"u{i}",) for i in range(50)], "id string")
+    b = spark.createDataFrame([(f"v{i}",) for i in range(50)], "id string")
+    plan = plan_of(kmv_jaccard(a, b, "id", k=8))
+    # Spark prints an unpartitioned window sort as 'Window [...], [...]'
+    # with an empty partition spec — assert every Window line carries a
+    # partition expression (_pid)
+    for line in plan.splitlines():
+        if _re.search(r"\bWindow\b", line):
+            assert "_pid" in line, line
