@@ -162,22 +162,29 @@ def _key_bounds(path: str, key: str) -> list[str] | None:
 #: wider integral read schema, float under double), so evolution never
 #: requires rewriting old base files.
 #: deletion-vector file schema (Iceberg v2 positional deletes): one row
-#: per deleted physical position. file_path is scheme-stripped (matches
-#: the manifest's realpath spelling, not Spark's file:// URI).
+#: per deleted physical position. file_path is stored EXACTLY as Spark's
+#: ``_metadata.file_path`` spells it (the file:// URI): the scan-side
+#: anti-join then compares raw metadata strings with NO per-row
+#: normalization — a 10^10-row scan pays zero extra string work; the
+#: scheme strip happens only on the tiny DV side (driver/bookkeeping).
 _DV_SCHEMA = "file_path string, row_index bigint"
+
+
+def _strip_uri(p: str) -> str:
+    """file:///x -> /x (manifests record plain realpaths)."""
+    return p[7:] if p.startswith("file://") else (
+        p[5:] if p.startswith("file:") else p
+    )
 
 
 def _tag_positions(df: DataFrame) -> DataFrame:
     """Append each row's physical identity (``_dv_file``, ``_dv_pos``)
     from the scan's metadata columns — must be called directly on a
-    parquet scan relation (``_metadata`` exists only there). The file URI
-    is normalized to the manifest's plain-path spelling so DV contents,
-    manifests and join keys all share one form."""
+    parquet scan relation (``_metadata`` exists only there). The URI is
+    kept verbatim (see _DV_SCHEMA)."""
     return df.select(
         "*",
-        F.regexp_replace(
-            F.col("_metadata.file_path"), "^file:(//)?", ""
-        ).alias("_dv_file"),
+        F.col("_metadata.file_path").alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
 
@@ -1382,13 +1389,14 @@ class ParquetLakeTable:
         )
 
     def _dv_paths(self, dv_files: list[str]) -> set[str]:
-        """Distinct data-file paths referenced by these DV files — driver-
-        bounded by the table's file count (same order as the manifest's own
-        path lists)."""
+        """Distinct data-file paths referenced by these DV files,
+        normalized to the manifests' plain-path spelling — driver-bounded
+        by the table's file count (same order as the manifest's own path
+        lists)."""
         if not dv_files:
             return set()
         return {
-            r.file_path
+            _strip_uri(r.file_path)
             for r in self.spark.read.schema(_DV_SCHEMA)
             .parquet(*dv_files)
             .select("file_path")
@@ -2476,10 +2484,15 @@ class ParquetLakeTable:
         # copy would point at the source table and filter nothing)
         out["dvs"] = []
         if m.get("dvs"):
-            # realpath the targets: the anti-join compares the clone's
-            # scan URIs (always absolute) against these strings
+            # DV contents are file: URIs on both sides — NOTE Spark spells
+            # _metadata.file_path as "file:" + path (single slash), and
+            # the clone's scans will spell its (realpath'd) copies the
+            # same way
             remap = self.spark.createDataFrame(
-                [(old, os.path.realpath(new)) for old, new in path_map.items()],
+                [
+                    (f"file:{old}", f"file:{os.path.realpath(new)}")
+                    for old, new in path_map.items()
+                ],
                 schema="file_path string, _new string",
             )
             dv = self.spark.read.schema(_DV_SCHEMA).parquet(*m["dvs"])
