@@ -1064,6 +1064,37 @@ def cdc_restore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_update_where",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
+                 WHERE op = 'revert' AND revert_of_block IS NOT NULL),
+    live AS (SELECT * FROM changelog
+             WHERE op != 'revert'
+               AND block_hash NOT IN (SELECT block_hash FROM reverted)),
+    ranked AS (SELECT *, row_number() OVER
+                 (PARTITION BY url ORDER BY warc_ts DESC, op_seq DESC) AS rn
+               FROM live)
+    SELECT url, op_seq AS last_seq,
+           CASE WHEN ROUND(value, 4) < 50 THEN ROUND(value, 4) + 1000
+                ELSE ROUND(value, 4) END AS last_value
+    FROM ranked WHERE rn = 1 AND op != 'delete'
+    """,
+)
+def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate update end-to-end (SQL UPDATE ... SET ... WHERE parity):
+    the two-commit LWW state gets ``update_where("last_value < 50",
+    last_value += 1000)`` — matched rows rewritten through the ordinary
+    MERGE in one snapshot-atomic commit, assignments evaluated against
+    the OLD row. The read must equal the replay state with the CASE
+    applied. sinks/lake.py update_where (Iceberg twin emits UPDATE SQL,
+    contract-tested jar-free)."""
+    t, _v1 = _two_commit_pages(spark, sf_dir, "gnarly_upd_")
+    t.update_where("last_value < 50", {"last_value": "last_value + 1000"})
+    return t.read().select("url", "last_seq", "last_value")
+
+
+@register(
     "cdc_outbox_roundtrip",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL}),

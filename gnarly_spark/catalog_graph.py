@@ -1268,3 +1268,82 @@ def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", F.concat(F.col("body"), F.lit("\n"), extra).alias("body")
     )
     return robots_sitemaps(bodies)
+
+
+# ---------------------------------------------------------------------------
+# politeness-aware fetch scheduling (functions/url.py robots_crawl_delay +
+# schedule_fetches)
+# ---------------------------------------------------------------------------
+
+# crawl-delay lines appended to the shared robots bodies, single-sourced:
+#   k%3=0 -> 'Crawl-delay: 2.5'; k%5=0 -> 'crawl-delay: 7' (max wins);
+#   k%7=0 -> junk value (ignored); k%4=0 -> 999 (capped at 60); else 1.0
+_CRAWL_DELAY_CASE = """
+    CASE WHEN k % 4 = 0 THEN 60.0
+         WHEN k % 5 = 0 THEN 7.0
+         WHEN k % 3 = 0 THEN 2.5
+         ELSE 1.0 END
+"""
+
+
+@register(
+    "web_fetch_schedule",
+    f"""
+    WITH due AS (
+      SELECT DISTINCT
+             'https://h' || CAST(event_id % 25 AS VARCHAR) || '.example/p/'
+               || CAST(event_id % 997 AS VARCHAR) AS url,
+             'h' || CAST(event_id % 25 AS VARCHAR) || '.example' AS host
+      FROM events),
+    d AS (SELECT 'h' || CAST(n_nationkey AS VARCHAR) || '.example' AS host,
+                 {_CRAWL_DELAY_CASE.replace("k %", "n_nationkey %")} AS delay_s
+          FROM nation)
+    SELECT due.url, due.host, d.delay_s,
+           CAST(row_number() OVER (PARTITION BY due.host ORDER BY due.url)
+                AS INT) AS fetch_seq,
+           (CAST(row_number() OVER (PARTITION BY due.host ORDER BY due.url)
+                 AS BIGINT) - 1) * d.delay_s AS slot_s
+    FROM due JOIN d ON due.host = d.host
+    """,
+)
+def web_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-frontier politeness step end-to-end: per-host
+    Crawl-delay budgets parsed from the SAME messy robots bodies (max of
+    multiple declarations, junk values ignored, 999 capped at 60,
+    undeclared hosts default 1.0), then a due list assigned fetch slots —
+    fetch k of a host waits k delays (one window shuffle on host; hosts
+    parallelize, per-host serialization IS the politeness contract, the
+    public Mercator/Heritrix queue-per-host design). Oracle re-derives
+    delays from the generation rules and replays the rank/slot window —
+    the robots hop must be invisible. Covers functions/url.py
+    robots_crawl_delay + schedule_fetches."""
+    from gnarly_spark.functions.url import robots_crawl_delay, schedule_fetches
+
+    k = F.col("n_nationkey")
+    base = _robots_body_df(spark, sf_dir)
+    extra = F.concat(
+        F.when(k % 3 == 0, F.lit("Crawl-delay: 2.5\n")).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("crawl-delay: 7\n")).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.lit("Crawl-delay: soon\n")).otherwise(F.lit("")),
+        F.when(k % 4 == 0, F.lit("Crawl-delay: 999\n")).otherwise(F.lit("")),
+    )
+    # bodies = shared messy robots + the delay lines (single relation)
+    bodies = base.join(
+        _t(spark, sf_dir, "nation").select(
+            F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias("host"),
+            extra.alias("_extra"),
+        ),
+        "host",
+    ).select("host", F.concat(F.col("body"), F.lit("\n"), F.col("_extra")).alias("body"))
+    delays = robots_crawl_delay(bodies)
+    e = _t(spark, sf_dir, "events")
+    due = e.select(
+        F.concat(
+            F.lit("https://h"), (F.col("event_id") % 25).cast("string"),
+            F.lit(".example/p/"), (F.col("event_id") % 997).cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("event_id") % 25).cast("string"), F.lit(".example")
+        ).alias("host"),
+    ).distinct()
+    return schedule_fetches(due, delays)

@@ -1519,6 +1519,49 @@ class ParquetLakeTable:
             "dv_files": len(files),
         }
 
+    def update_where(
+        self,
+        predicate: str,
+        set_exprs: dict[str, str],
+        batch_id: int | None = None,
+    ) -> dict:
+        """Predicate update (SQL ``UPDATE ... SET ... WHERE`` / Iceberg
+        UPDATE analog): rows of the current snapshot matching
+        ``predicate`` get ``set_exprs`` ({column: SQL expression})
+        applied and re-committed as an ordinary MERGE of the rewritten
+        rows — one commit, snapshot-atomic, refire-guardable via
+        ``batch_id``. All assignments evaluate against the OLD row in one
+        projection (standard UPDATE semantics: ``{"a": "b", "b": "a"}``
+        swaps). The merge key cannot be assigned (rewriting identity
+        would orphan the old row — use delete + insert explicitly).
+
+        Cost: the matched rows ride the normal merge path — O(matched)
+        delta append on MOR, O(touched buckets) rewrite on COW; the scan
+        side pushes ``predicate`` into the file scan when the table has
+        no MOR/DV backlog (same pushdown story as delete_where's fast
+        path). Returns {"version", "rows_updated"}; no commit when
+        nothing matches."""
+        if not set_exprs:
+            raise ValueError("update_where: empty set_exprs")
+        if self.key in set_exprs:
+            raise ValueError(
+                f"update_where: cannot assign the merge key {self.key!r} — "
+                "rewriting identity would orphan the old row; delete and "
+                "re-insert instead"
+            )
+        bad = [c for c in set_exprs if c not in self.read().columns]
+        if bad:
+            raise ValueError(f"update_where: unknown column(s) {bad}")
+        matched = self.read().where(F.expr(predicate))
+        upserts = matched.withColumns(
+            {c: F.expr(e) for c, e in set_exprs.items()}
+        )
+        n = upserts.count()
+        if n == 0:
+            return {"version": self.current_version(), "rows_updated": 0}
+        self.merge(upserts, batch_id=batch_id)
+        return {"version": self.current_version(), "rows_updated": n}
+
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Fold outstanding MOR deltas into base files (bucket-granular,
         snapshot-atomic): resolve each selected bucket's base ∪ deltas,
@@ -3010,6 +3053,14 @@ def build_merge_sql(table: str, key: str, columns: list[str], source_view: str =
     )
 
 
+def build_update_sql(table: str, predicate: str, set_exprs: dict[str, str]) -> str:
+    """Row-level predicate update for the Iceberg path (v2 executes it
+    merge-on-read with positional deletes + rewritten rows). Pure function
+    so the SQL contract tests jar-free."""
+    sets = ", ".join(f"{c} = {e}" for c, e in sorted(set_exprs.items()))
+    return f"UPDATE {table} SET {sets} WHERE {predicate}"
+
+
 def build_delete_sql(table: str, predicate: str) -> str:
     """Row-level predicate delete for the Iceberg path: on a v2 table this
     statement writes positional delete files — Iceberg's native deletion
@@ -3114,6 +3165,16 @@ class IcebergLakeTable:
             build_merge_sql(self.table, self.key, src.columns)
         )
         return True
+
+    def update_where(self, predicate: str, set_exprs: dict, batch_id=None) -> dict:
+        """Predicate update — interface parity with
+        ParquetLakeTable.update_where; Iceberg v2 executes UPDATE
+        merge-on-read (positional deletes + rewritten rows). SQL via the
+        pure build_update_sql (contract-tested jar-free)."""
+        self.spark.sql(  # pragma: no cover - needs the Iceberg jar
+            build_update_sql(self.table, predicate, set_exprs)
+        )
+        return {"table": self.table, "predicate": predicate}
 
     def delete_where(self, predicate: str, batch_id=None) -> dict:
         """Predicate delete — interface parity with

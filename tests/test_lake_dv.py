@@ -269,3 +269,58 @@ def test_iceberg_delete_sql_contract():
 
     sql = build_delete_sql("lake.db.pages", "lang = 'xx' AND length(text) < 10")
     assert sql == "DELETE FROM lake.db.pages WHERE lang = 'xx' AND length(text) < 10"
+
+
+def test_update_where_basic_and_old_row_semantics(spark, cow):
+    cow.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+    out = cow.update_where("v >= 2", {"v": "v * 10"})
+    assert out["rows_updated"] == 2
+    got = _pdf(cow.read())
+    assert got.v.tolist() == [1, 20, 30]
+    # swap semantics: every assignment sees the OLD row (one projection)
+    t2 = ParquetLakeTable(spark, cow.path + "_swap", key="url")
+    t2.merge(
+        spark.createDataFrame([("k", 1, 2)], "url string, x int, y int"),
+        batch_id=0,
+    )
+    t2.update_where("url = 'k'", {"x": "y", "y": "x"})
+    r = t2.read().collect()[0]
+    assert (r.x, r.y) == (2, 1)
+
+
+def test_update_where_guards_and_noop(spark, cow):
+    cow.merge(mk(spark, [("a", 1)]), batch_id=0)
+    v = cow.current_version()
+    with pytest.raises(ValueError, match="merge key"):
+        cow.update_where("v = 1", {"url": "'z'"})
+    with pytest.raises(ValueError, match="unknown column"):
+        cow.update_where("v = 1", {"nope": "1"})
+    out = cow.update_where("v = 999", {"v": "0"})
+    assert out["rows_updated"] == 0 and cow.current_version() == v
+    # refire idempotence via batch_id
+    cow.update_where("v = 1", {"v": "5"}, batch_id=77)
+    v2 = cow.current_version()
+    cow.update_where("v = 5", {"v": "6"}, batch_id=77)  # refired: no-op merge
+    assert cow.current_version() == v2
+    assert _pdf(cow.read()).v.tolist() == [5]
+
+
+def test_update_where_mor_and_interop_with_dvs(spark, mor):
+    mor.merge(mk(spark, [("a", 1), ("b", 2), ("c", 3)]), batch_id=0)
+    mor.delete_where("v = 2")
+    out = mor.update_where("v >= 1", {"v": "v + 100"})
+    assert out["rows_updated"] == 2  # the DV'd row is not visible to update
+    got = _pdf(mor.read())
+    assert got.url.tolist() == ["a", "c"] and got.v.tolist() == [101, 103]
+
+
+def test_iceberg_update_sql_contract():
+    from gnarly_spark.sinks.lake import build_update_sql
+
+    sql = build_update_sql(
+        "lake.db.pages", "lang = 'xx'", {"lang": "'und'", "text": "trim(text)"}
+    )
+    assert sql == (
+        "UPDATE lake.db.pages SET lang = 'und', text = trim(text) "
+        "WHERE lang = 'xx'"
+    )
