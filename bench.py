@@ -75,6 +75,8 @@ HEADLINE = [
     "graph_hits",
     "sketch_kmv_jaccard",
     "src_cdx_fetch",
+    "web_fetch_schedule",
+    "web_robots_sitemaps",
     # cdc_zorder_scan is deliberately NOT here: it is a maintenance
     # rewrite (build + cluster a lake table per run), not a query —
     # its cost/benefit study lives in BENCH.md "Z-order clustering"

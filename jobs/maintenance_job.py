@@ -66,6 +66,13 @@ def main(argv=None):
     ap.add_argument("--drop-branch", default=None, metavar="NAME",
                     help="remove a branch ref (expiry reclaims its commits)")
     ap.add_argument(
+        "--update-where", default=None, nargs=2,
+        metavar=("PREDICATE", "COL=EXPR[,COL=EXPR]"),
+        help="predicate update via MERGE (ParquetLakeTable.update_where); "
+        "assignments are comma-separated COL=EXPR pairs evaluated against "
+        "the old row. Runs before --delete-where.",
+    )
+    ap.add_argument(
         "--delete-where", default=None, metavar="PREDICATE",
         help="predicate delete via positional deletion vectors (no bucket "
         "rewrite; ParquetLakeTable.delete_where). Runs before compaction, "
@@ -98,6 +105,12 @@ def main(argv=None):
         key_bloom_ndv=args.key_bloom_ndv,
     )
     out = {"table": args.table, "version_before": tbl.current_version()}
+    if args.update_where:
+        pred, assigns = args.update_where
+        set_exprs = dict(
+            kv.split("=", 1) for kv in assigns.split(",") if "=" in kv
+        )
+        out["update_where"] = tbl.update_where(pred, set_exprs)
     if args.delete_where:
         out["delete_where"] = tbl.delete_where(args.delete_where)
     if args.purge_keys:

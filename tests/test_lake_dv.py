@@ -324,3 +324,23 @@ def test_iceberg_update_sql_contract():
         "UPDATE lake.db.pages SET lang = 'und', text = trim(text) "
         "WHERE lang = 'xx'"
     )
+
+
+def test_maintenance_job_update_where_flag(spark, tmp_path, capsys):
+    import json as _json
+
+    from jobs.maintenance_job import main
+
+    t = ParquetLakeTable(spark, str(tmp_path / "p"), key="url", n_buckets=2)
+    t.merge(mk(spark, [("a", 1), ("b", 60)]), batch_id=0)
+    main(
+        [
+            "--table", str(tmp_path / "p"),
+            "--update-where", "v < 50", "v=v+100",
+            "--keep-last", "10",
+        ]
+    )
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["update_where"]["rows_updated"] == 1
+    t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
+    assert _pdf(t2.read()).v.tolist() == [101, 60]
