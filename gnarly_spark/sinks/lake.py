@@ -1404,6 +1404,29 @@ class ParquetLakeTable:
             .collect()
         }
 
+    def _dv_file_map(self, dv_files: list[str]) -> dict[str, set[str]]:
+        """{dv file (manifest spelling) -> referenced data paths (manifest
+        spelling)} in ONE Spark job (input_file_name tags each row's own
+        DV file) — compact() needs both the union (pending-bucket
+        detection) and the per-file sets (pruning), and per-file jobs
+        would be K+1 driver-blocking submissions for K stacked DVs."""
+        if not dv_files:
+            return {}
+        rows = (
+            self.spark.read.schema(_DV_SCHEMA)
+            .parquet(*dv_files)
+            .select(F.input_file_name().alias("dv"), "file_path")
+            .distinct()
+            .collect()
+        )
+        out: dict[str, set[str]] = {f: set() for f in dv_files}
+        by_real = {os.path.realpath(f): f for f in dv_files}
+        for r in rows:
+            key = by_real.get(os.path.realpath(_strip_uri(r.dv)))
+            if key is not None:
+                out[key].add(_strip_uri(r.file_path))
+        return out
+
     def delete_where(self, predicate: str, batch_id: int | None = None) -> dict:
         """Predicate delete via positional deletion vectors (Iceberg v2
         positional deletes / Delta deletion vectors, re-expressed
@@ -1456,7 +1479,15 @@ class ParquetLakeTable:
             # excludes, so tombstones stay — they must keep suppressing
             # their base rows)
             resolved = self._read_snapshot(m, None)
-            keys = resolved.where(cond).select(self.key).distinct()
+            # one row per key in the resolved view, so the matched-keys
+            # relation IS the visible-rows-deleted count — materialize it
+            # once (checkpoint) and both the count and the semi-join read
+            # it, instead of paying the base∪delta max_by resolution twice
+            keys = (
+                resolved.where(cond)
+                .select(self.key)
+                .localCheckpoint(eager=True)
+            )
             tagged = _tag_positions(
                 self.spark.read.schema(m["schema"] + self._MOR_DDL).parquet(
                     *(base + dfiles)
@@ -1466,7 +1497,7 @@ class ParquetLakeTable:
                 tagged = self._anti_dvs(tagged, dvs)
             live = tagged.where(~F.col("_op").eqNullSafe(F.lit("delete")))
             hits = live.join(keys, self.key, "left_semi")
-            rows_deleted = resolved.where(cond).count()
+            rows_deleted = keys.count()
         else:
             # COW / compacted: one physical row per key — the predicate
             # pushes into the scan, no join
@@ -1552,15 +1583,35 @@ class ParquetLakeTable:
         bad = [c for c in set_exprs if c not in self.read().columns]
         if bad:
             raise ValueError(f"update_where: unknown column(s) {bad}")
-        matched = self.read().where(F.expr(predicate))
-        upserts = matched.withColumns(
-            {c: F.expr(e) for c, e in set_exprs.items()}
-        )
-        n = upserts.count()
-        if n == 0:
-            return {"version": self.current_version(), "rows_updated": 0}
-        self.merge(upserts, batch_id=batch_id)
-        return {"version": self.current_version(), "rows_updated": n}
+
+        # the WHOLE read-compute-merge runs inside the CAS retry: a merge
+        # losing the version CAS to a concurrent commit must recompute the
+        # matched set against the WINNER's snapshot — retrying only the
+        # merge with a DataFrame pinned to the stale snapshot would
+        # clobber the concurrent write with values derived from old rows
+        # (the _built_on lost-update class). Same shape as
+        # _delete_where_once.
+        def attempt() -> dict:
+            m = self._manifest(self._latest_committed())
+            self._adopt_layout(m)
+            resolved = self._read_snapshot(m, None)
+            if resolved is None:
+                return {"version": m["version"], "rows_updated": 0}
+            upserts = resolved.where(F.expr(predicate)).withColumns(
+                {c: F.expr(e) for c, e in set_exprs.items()}
+            )
+            n = upserts.count()
+            if n == 0:
+                return {"version": m["version"], "rows_updated": 0}
+            applied = self._merge_once(upserts, None, batch_id)
+            # a refired batch_id makes the merge a no-op: report 0, not
+            # the match count of a commit that never happened
+            return {
+                "version": self.current_version(),
+                "rows_updated": n if applied else 0,
+            }
+
+        return self._retrying(attempt)
 
     def compact(self, buckets: list[int] | None = None) -> dict:
         """Fold outstanding MOR deltas into base files (bucket-granular,
@@ -1611,11 +1662,12 @@ class ParquetLakeTable:
         dmap = m.get("deltas", {})
         dvs = m.get("dvs") or []
         pending = {int(b) for b, fl in dmap.items() if fl}
+        dv_map = self._dv_file_map(dvs)  # one job for detection AND pruning
         if dvs:
             # buckets holding DV'd files need compaction too: rewriting
             # them materializes the deletes so the DV entries (and
             # eventually the DV files) can be dropped
-            dv_paths = self._dv_paths(dvs)
+            dv_paths = set().union(*dv_map.values()) if dv_map else set()
             for fmap in (m["buckets"], dmap):
                 for b, fl in fmap.items():
                     if any(f in dv_paths for f in fl):
@@ -1654,7 +1706,7 @@ class ParquetLakeTable:
             kept_dvs = [
                 dvf
                 for dvf in dvs
-                if any(p in remaining for p in self._dv_paths([dvf]))
+                if any(p in remaining for p in dv_map.get(dvf, ()))
             ]
         self._commit(
             {

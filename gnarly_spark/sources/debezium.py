@@ -323,10 +323,13 @@ def feed_to_debezium(
             F.col("_change_type").isin("delete", "update_before"), img
         ).alias("_before"),
         F.when(
-            F.col("_change_type").isin("insert", "update_after"), img
+            F.col("_change_type").isin("insert", "update_after", "snapshot"), img
         ).alias("_after"),
         F.when(F.col("_change_type") == "insert", "c")
         .when(F.col("_change_type") == "delete", "d")
+        # 'snapshot' -> Debezium's 'r' (initial-snapshot read): a full
+        # state row, not a change — export_outbox's bootstrap files
+        .when(F.col("_change_type") == "snapshot", "r")
         .otherwise("u")
         .alias("_op"),
     )
@@ -373,6 +376,21 @@ def export_outbox(
     is tmp+rename, so a consumer tailing ``*.jsonl`` never reads a
     half-written batch.
 
+    Two non-append wrinkles, handled explicitly:
+
+    - Refs share ONE version-number space (lake.py _commit), so the walk
+      follows the MAIN chain from the snapshots() metadata — a branch
+      commit interleaved in the numbers is never exported (its rows are
+      unpublished), and each main commit diffs against the PREVIOUS MAIN
+      snapshot, not version-minus-one.
+    - A fresh outbox on a mature table (early snapshots expired), or a
+      cursor that fell behind the retention window, cannot be expressed
+      incrementally. The export then emits a SNAPSHOT file: every row of
+      the oldest exportable snapshot as Debezium ``r`` (snapshot-read)
+      envelopes — consumers treat an r-file as a full state refresh, the
+      exact semantic Debezium gives its initial snapshot. Incremental
+      files resume from there.
+
     Cost per run: O(changed rows since cursor) — each changelog() is one
     key-shuffle over two snapshots' files. Returns {"exported_versions",
     "envelopes", "from_version", "to_version"}."""
@@ -389,19 +407,26 @@ def export_outbox(
     head = table.current_version()
     start = int(state["cursor"])
     seq = int(state["next_seq"])
+    # main-chain versions only, ascending (snapshots() is control-plane)
+    mains = sorted(
+        r.version for r in table.snapshots().collect() if r.ref == "main"
+    )
+    main_set = set(mains)
+    todo = [v for v in mains if v > start]
+    prev = start
     exported, n_env = [], 0
-    for v in range(max(start, -1) + 1, head + 1):
-        # v=0: everything in the first snapshot is an insert — changelog
-        # needs a from-version, so synthesize the initial feed from read()
-        if v == 0:
-            snap = table.read(version=0)
+    for v in todo:
+        if prev >= 0 and prev in main_set:
+            feed = table.changelog(prev, v)
+        else:
+            # no incremental base (fresh outbox, or the cursor's snapshot
+            # expired): full-state snapshot file, rows as 'r'
+            snap = table.read(version=v)
             feed = snap.select(
                 table.key,
-                F.lit("insert").alias("_change_type"),
+                F.lit("snapshot").alias("_change_type"),
                 *[c for c in snap.columns if c != table.key],
             )
-        else:
-            feed = table.changelog(v - 1, v)
         env = feed_to_debezium(
             feed, key=table.key, seq_start=seq, source_name=source_name,
             version=v,
@@ -415,6 +440,7 @@ def export_outbox(
         seq += n
         n_env += n
         exported.append(v)
+        prev = v
         # persist AFTER each version: a crash resumes at the next one
         # with the right seq base
         with open(state_path + ".tmp", "w") as f:

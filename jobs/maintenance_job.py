@@ -106,10 +106,23 @@ def main(argv=None):
     )
     out = {"table": args.table, "version_before": tbl.current_version()}
     if args.update_where:
+        import re as _re
+
         pred, assigns = args.update_where
-        set_exprs = dict(
-            kv.split("=", 1) for kv in assigns.split(",") if "=" in kv
-        )
+        # split on commas only where a new `col=` assignment starts — a
+        # comma INSIDE an expression (greatest(v,0)) must not split, and
+        # a fragment without '=' is an operator typo that must fail loud,
+        # never be silently dropped
+        parts = _re.split(r",(?=\s*\w+\s*=)", assigns)
+        bad = [p for p in parts if "=" not in p]
+        if bad:
+            raise SystemExit(
+                f"--update-where: malformed assignment fragment(s) {bad!r} "
+                "(expected COL=EXPR[,COL=EXPR...])"
+            )
+        set_exprs = {
+            k.strip(): v for k, v in (p.split("=", 1) for p in parts)
+        }
         out["update_where"] = tbl.update_where(pred, set_exprs)
     if args.delete_where:
         out["delete_where"] = tbl.delete_where(args.delete_where)

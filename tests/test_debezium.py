@@ -210,14 +210,15 @@ def test_export_outbox_incremental_and_resumable(spark, tmp_path):
     ]
     seqs = sorted(e["source"]["seq"] for e in lines)
     assert seqs == list(range(5))  # monotone, gap-free across runs
-    # the full exported stream parses back: v0 inserts a+b, v1 updates a
-    # and inserts c, v2 deletes b (before image carries the key)
+    # the full exported stream parses back: v0 is the initial snapshot
+    # (Debezium 'r' rows), v1 updates a and inserts c, v2 deletes b
+    # (before image carries the key)
     ops = {}
     for e in lines:
         img = e.get("after") or e.get("before")
         ops.setdefault(img["url"], []).append((e["source"]["version"], e["op"]))
-    assert ops["a"] == [(0, "c"), (1, "u")]
-    assert ops["b"] == [(0, "c"), (2, "d")]
+    assert ops["a"] == [(0, "r"), (1, "u")]
+    assert ops["b"] == [(0, "r"), (2, "d")]
     assert ops["c"] == [(1, "c")]
 
 
@@ -296,3 +297,62 @@ def test_outbox_job_cli(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["exported_versions"] == 1 and out["envelopes"] == 2
     assert os.path.exists(str(tmp_path / "ob" / "v0.jsonl"))
+
+
+def test_export_outbox_skips_branch_commits(spark, tmp_path):
+    """Refs share the version-number space: an interleaved BRANCH commit
+    must not be exported (unpublished data) and the next main commit
+    must diff against the previous MAIN snapshot, not version-minus-one."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(spark.createDataFrame([("a", 1)], "url string, v int"), batch_id=0)
+    br = t.create_branch("wip")
+    br.merge(spark.createDataFrame([("z", 9)], "url string, v int"), batch_id=1)
+    t.merge(spark.createDataFrame([("b", 2)], "url string, v int"), batch_id=2)
+    out = str(tmp_path / "ob")
+    r = export_outbox(t, out)
+    # main chain only: v0 and the later main commit; the branch number gap
+    assert len(r["exported_versions"]) == 2
+    lines = [
+        json.loads(line)
+        for f in sorted(os.listdir(out))
+        if f.endswith(".jsonl")
+        for line in open(os.path.join(out, f))
+    ]
+    urls = {(e.get("after") or e.get("before"))["url"] for e in lines}
+    assert urls == {"a", "b"}  # the branch's 'z' never leaks
+    # and the main diff is main-vs-main: exactly one 'c' for b, no noise
+    assert [e["op"] for e in lines if (e.get("after") or {}).get("url") == "b"] == ["c"]
+
+
+def test_export_outbox_bootstraps_after_retention(spark, tmp_path):
+    """Fresh outbox on a mature table (early snapshots expired): the
+    export emits a full-state snapshot file of 'r' rows, then resumes
+    incrementally — no FileNotFoundError, no silent gap."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    for i in range(4):
+        t.merge(
+            spark.createDataFrame([(f"u{i}", i)], "url string, v int"),
+            batch_id=i,
+        )
+    t.expire_snapshots(keep_last=2)  # v0/v1 manifests gone
+    out = str(tmp_path / "ob")
+    r = export_outbox(t, out)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert len(files) == len(r["exported_versions"]) == 2
+    first = [json.loads(x) for x in open(os.path.join(out, files[0]))]
+    assert all(e["op"] == "r" for e in first)  # full-state snapshot file
+    assert {e["after"]["url"] for e in first} == {"u0", "u1", "u2"}
+    second = [json.loads(x) for x in open(os.path.join(out, files[1]))]
+    assert [e["op"] for e in second] == ["c"] and second[0]["after"]["url"] == "u3"
+    # the parser ingests 'r' as insert (Debezium snapshot-read semantics)
+    ddl = "op_seq long, op string, url string, v int"
+    rows = debezium_events(
+        parse_debezium(spark.read.text(os.path.join(out, "*.jsonl")), ddl), ddl
+    )
+    assert rows.where(F.col("op") == "insert").count() == 4

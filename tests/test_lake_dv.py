@@ -300,8 +300,9 @@ def test_update_where_guards_and_noop(spark, cow):
     # refire idempotence via batch_id
     cow.update_where("v = 1", {"v": "5"}, batch_id=77)
     v2 = cow.current_version()
-    cow.update_where("v = 5", {"v": "6"}, batch_id=77)  # refired: no-op merge
+    refired = cow.update_where("v = 5", {"v": "6"}, batch_id=77)  # no-op merge
     assert cow.current_version() == v2
+    assert refired["rows_updated"] == 0  # never report a commit that didn't happen
     assert _pdf(cow.read()).v.tolist() == [5]
 
 
