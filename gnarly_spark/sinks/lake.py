@@ -1160,8 +1160,16 @@ class ParquetLakeTable:
         delete_keys: DataFrame | None,
         batch_id: int | None,
         commit_fn=None,
+        manifest: dict | None = None,
     ) -> bool:
-        m = self._manifest(self._latest_committed())
+        # `manifest`: a caller that DERIVED upserts from a specific
+        # snapshot pins it here, so a commit that lands between the
+        # caller's read and this merge trips _commit's _built_on check
+        # (CommitConflict -> the caller's retry recomputes) instead of
+        # being silently built over with stale-derived values
+        m = manifest if manifest is not None else self._manifest(
+            self._latest_committed()
+        )
         self._adopt_layout(m)
         if batch_id is not None and batch_id in m["batch_ids"]:
             return False
@@ -1461,6 +1469,12 @@ class ParquetLakeTable:
     def _delete_where_once(self, predicate: str, batch_id: int | None) -> dict:
         m = self._manifest(self._latest_committed())
         self._adopt_layout(m)
+        # refire guard, same as _merge_once: a re-delivered batch must
+        # no-op, not re-evaluate the predicate against a LATER snapshot
+        # (rows merged since the original run would be deleted unseen)
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return {"version": m["version"], "rows_deleted": 0, "positions": 0,
+                    "dv_files": 0}
         if m["version"] < 0 or m["schema"] is None:
             return {"version": m["version"], "rows_deleted": 0, "positions": 0,
                     "dv_files": 0}
@@ -1529,7 +1543,7 @@ class ParquetLakeTable:
             shutil.rmtree(out_dir, ignore_errors=True)
             return {"version": m["version"], "rows_deleted": 0, "positions": 0,
                     "dv_files": 0}
-        self._commit(
+        committed_v = self._commit(
             {
                 "version": version,
                 "buckets": m["buckets"],
@@ -1544,7 +1558,10 @@ class ParquetLakeTable:
             }
         )
         return {
-            "version": version,
+            # the COMMITTED number, not the pre-allocation guess — refs
+            # share the version space and _commit may have bumped past a
+            # number another ref took
+            "version": committed_v,
             "rows_deleted": rows_deleted if rows_deleted is not None else n_pos,
             "positions": n_pos,
             "dv_files": len(files),
@@ -1603,7 +1620,10 @@ class ParquetLakeTable:
             n = upserts.count()
             if n == 0:
                 return {"version": m["version"], "rows_updated": 0}
-            applied = self._merge_once(upserts, None, batch_id)
+            # pin the snapshot the upserts were computed from: without it
+            # _merge_once would re-read the head and absorb a commit that
+            # landed during count(), writing stale-derived values over it
+            applied = self._merge_once(upserts, None, batch_id, manifest=m)
             # a refired batch_id makes the merge a no-op: report 0, not
             # the match count of a commit that never happened
             return {
@@ -1675,6 +1695,40 @@ class ParquetLakeTable:
         pending = sorted(pending)
         todo = pending if buckets is None else [b for b in pending if b in set(buckets)]
         if not todo:
+            # no bucket needs data work, but FULLY-INERT DV files (every
+            # referenced path already left the manifest — e.g. a COW
+            # merge rewrote the DV'd bucket) still need a control-plane
+            # prune: without it the dvs list persists forever, every read
+            # pays the anti-join, and purge_keys' DV guard can never
+            # clear (its own remediation says "run compact()")
+            if dvs:
+                current = {
+                    f for fmap in (m["buckets"], dmap)
+                    for fl in fmap.values() for f in fl
+                }
+                kept = [
+                    dvf for dvf in dvs
+                    if any(p in current for p in dv_map.get(dvf, ()))
+                ]
+                if kept != dvs:
+                    v = self._commit(
+                        {
+                            "version": m["version"] + 1,
+                            "buckets": m["buckets"],
+                            "deltas": dmap,
+                            "dvs": kept,
+                            "batch_ids": m["batch_ids"],
+                            "schema": m["schema"],
+                            "parent": m["version"],
+                            "mode": self.mode,
+                        }
+                    )
+                    return {
+                        "compacted_buckets": 0,
+                        "folded_delta_files": 0,
+                        "pruned_dv_files": len(dvs) - len(kept),
+                        "version": v,
+                    }
             return {
                 "compacted_buckets": 0,
                 "folded_delta_files": 0,
@@ -1708,7 +1762,7 @@ class ParquetLakeTable:
                 for dvf in dvs
                 if any(p in remaining for p in dv_map.get(dvf, ()))
             ]
-        self._commit(
+        committed_v = self._commit(
             {
                 "version": version,
                 "buckets": bucket_map,
@@ -1724,7 +1778,7 @@ class ParquetLakeTable:
             "compacted_buckets": len(todo),
             "folded_delta_files": folded,
             "pruned_dv_files": len(dvs) - len(kept_dvs),
-            "version": version,
+            "version": committed_v,
         }
 
     def rebucket(self, n_buckets: int) -> dict:
@@ -2692,19 +2746,33 @@ class ParquetLakeTable:
                 live.update(os.path.realpath(f) for f in sm.get("dvs") or [])
         deleted = 0
         data_dir = os.path.join(self.path, "data")
+        # In-flight guard FLOOR: a writer names its data dir after ITS
+        # REF's next version — main writers use cur+1, but a LIVE BRANCH
+        # whose head trails main writes v{branch_head+1}, which can be
+        # far BELOW cur (refs share one number space). Guarding only
+        # `> cur` would let expire delete a branch merge's freshly
+        # written files mid-commit; the floor is the minimum live ref
+        # head, so every ref's in-flight dirs are protected.
+        guard_floor = min(
+            [cur]
+            + [
+                int(e.get("version", cur))
+                for e in self._branch_entries()
+            ]
+        )
         for d in os.listdir(data_dir):
             # data dirs are named v{version}-{uuid}; a dir from a version
-            # NEWER than the current manifest belongs to an in-flight,
-            # not-yet-committed merge — never touch it (racing a concurrent
-            # ingest must not delete its files). A dir we can't attribute
-            # at all gets the same protection: never delete what we can't
-            # prove ours and committed (the conservative side of orphan
-            # cleanup).
+            # NEWER than the guard floor may belong to an in-flight,
+            # not-yet-committed writer of SOME live ref — never touch it
+            # (racing a concurrent ingest must not delete its files). A
+            # dir we can't attribute at all gets the same protection:
+            # never delete what we can't prove ours and committed (the
+            # conservative side of orphan cleanup).
             try:
                 dir_version = int(d.split("-", 1)[0].lstrip("v"))
             except ValueError:
                 dir_version = None
-            if dir_version is None or dir_version > cur:
+            if dir_version is None or dir_version > guard_floor:
                 continue
             full = os.path.join(data_dir, d)
             for root, _, files in os.walk(full):
@@ -2719,7 +2787,7 @@ class ParquetLakeTable:
                 dir_version = int(d.split("-", 1)[0].lstrip("v"))
             except ValueError:
                 dir_version = None
-            if dir_version is None or dir_version > cur:
+            if dir_version is None or dir_version > guard_floor:
                 continue
             full = os.path.join(data_dir, d)
             if not any(f.endswith(".parquet") for _, _, fs in os.walk(full) for f in fs):
@@ -2842,6 +2910,24 @@ class ParquetLakeTable:
         def attempt() -> dict:
             head = self._manifest(self._latest_committed())
             self._adopt_layout(head)
+            # Parked write-audit-publish stages reference data files BY
+            # PATH; the rewrite below unlinks replaced files, which would
+            # destroy a parked stage's readability (read_staged ->
+            # FileNotFound) despite the docstring's "Not touched" promise.
+            # The documented contract is "publish or abandon them first" —
+            # enforce it loudly instead of silently breaking the stage.
+            sdir = os.path.join(self.path, "_staged")
+            parked = (
+                [fn for fn in os.listdir(sdir) if fn.endswith(".json")]
+                if os.path.isdir(sdir)
+                else []
+            )
+            if parked:
+                raise ValueError(
+                    f"purge_keys: {len(parked)} parked staged commit(s) "
+                    "reference data files this purge would rewrite — "
+                    "publish_staged() or abandon_staged() them first"
+                )
             # Deletion vectors pin physical ROW POSITIONS; purge rewrites
             # files (removing rows, shifting every later position), which
             # would make each retained snapshot's DVs delete the WRONG

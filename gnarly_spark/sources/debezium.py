@@ -141,6 +141,19 @@ def parse_debezium(lines: DataFrame, changelog_ddl: str = CHANGELOG_DDL) -> Data
     )
 
 
+def _routable_image():
+    # the image the op routes to must EXIST: a 'd' with a null before (or
+    # c/u/r with a null after) would otherwise flatten to a NULL-key
+    # changelog row — a delete that silently no-ops downstream (NULL
+    # never equi-joins) instead of dead-lettering. 'm' control messages
+    # are exempt (an out-of-band message may carry no image).
+    return (
+        F.when(F.col("op") == "d", F.col("before").isNotNull())
+        .when(F.col("op") == "m", F.lit(True))
+        .otherwise(F.col("after").isNotNull())
+    )
+
+
 def _valid_envelope():
     # isin on a NULL op yields NULL, and a NULL predicate drops the row
     # from BOTH the events and the dead-letter projection — coalesce to
@@ -150,6 +163,7 @@ def _valid_envelope():
         & ~F.col("_tombstone")
         & F.coalesce(F.col("op").isin(*_OP_CODES), F.lit(False))
         & F.col("source.seq").isNotNull()
+        & F.coalesce(_routable_image(), F.lit(False))
     )
 
 
@@ -185,15 +199,18 @@ def debezium_dead_letters(parsed: DataFrame) -> DataFrame:
     """(raw, reason) for lines that cannot enter the changelog: reason in
     ``malformed`` (unparseable / type-mismatched), ``bad_op`` (valid JSON,
     op missing or not a Debezium code), ``missing_seq`` (no source.seq —
-    no total order). Tombstones are NOT dead letters (they are protocol,
-    not poison) — count them with ``debezium_tombstones``."""
+    no total order), ``no_image`` (the op's routed image is null — e.g. a
+    'd' without a before: it would flatten to a NULL-key delete that
+    silently no-ops downstream). Tombstones are NOT dead letters (they
+    are protocol, not poison) — count them with ``debezium_tombstones``."""
     reason = (
         F.when(F.col("_corrupt").isNotNull(), "malformed")
         .when(
             F.col("op").isNull() | ~F.coalesce(F.col("op").isin(*_OP_CODES), F.lit(True)),
             "bad_op",
         )
-        .otherwise("missing_seq")
+        .when(F.col("source.seq").isNull(), "missing_seq")
+        .otherwise("no_image")
     )
     return parsed.where(~_valid_envelope() & ~F.col("_tombstone")).select(
         F.col("_raw").alias("raw"), reason.alias("reason")
@@ -316,7 +333,15 @@ def feed_to_debezium(
     from pyspark.sql import Window
 
     data_cols = [c for c in feed.columns if c not in (key, "_change_type")]
-    img = F.struct(F.col(key).alias(key), *[F.col(c) for c in data_cols])
+
+    def _wire_col(c: str):
+        # binary travels base64, the SAME explicit contract write_debezium
+        # uses (one wire format, two writers — never two encodings)
+        if isinstance(feed.schema[c].dataType, BinaryType):
+            return F.base64(F.col(c)).alias(c)
+        return F.col(c).alias(c)
+
+    img = F.struct(_wire_col(key), *[_wire_col(c) for c in data_cols])
     tagged = feed.select(
         F.col(key).alias("_k"),
         F.when(

@@ -356,3 +356,42 @@ def test_export_outbox_bootstraps_after_retention(spark, tmp_path):
         parse_debezium(spark.read.text(os.path.join(out, "*.jsonl")), ddl), ddl
     )
     assert rows.where(F.col("op") == "insert").count() == 4
+
+
+def test_unroutable_image_dead_letters_not_null_key_row(spark):
+    """A 'd' without a before image (or c/u without after) must dead-
+    letter as no_image — flattening it would emit a NULL-key delete that
+    silently no-ops downstream (NULL never equi-joins)."""
+    ddl = "op_seq long, op string, url string"
+    lines = spark.createDataFrame(
+        [
+            ('{"op": "d", "source": {"seq": 1}}',),
+            ('{"op": "c", "source": {"seq": 2}}',),
+            ('{"op": "m", "source": {"seq": 3}}',),  # control: image optional
+            ('{"op": "d", "source": {"seq": 4}, "before": {"url": "u"}}',),
+        ],
+        schema="value string",
+    )
+    parsed = parse_debezium(lines, ddl)
+    dead = debezium_dead_letters(parsed).toPandas()
+    assert sorted(dead["reason"]) == ["no_image", "no_image"]
+    ev = debezium_events(parsed, ddl).collect()
+    assert {(r.op, r.url) for r in ev} == {("revert", None), ("delete", "u")}
+
+
+def test_outbox_binary_columns_base64_contract(spark):
+    """feed_to_debezium must put binary columns on the wire as explicit
+    base64 — the same contract write_debezium uses — and the parser must
+    restore the exact bytes."""
+    feed = spark.createDataFrame(
+        [("k1", "insert", bytearray(b"\x00\xffraw"))],
+        schema="url string, _change_type string, html binary",
+    )
+    env = feed_to_debezium(feed, key="url", seq_start=0)
+    e = json.loads(env.collect()[0].value)
+    import base64
+
+    assert e["after"]["html"] == base64.b64encode(b"\x00\xffraw").decode()
+    ddl = "op_seq long, op string, url string, html binary"
+    back = debezium_events(parse_debezium(env, ddl), ddl).collect()[0]
+    assert bytes(back.html) == b"\x00\xffraw"

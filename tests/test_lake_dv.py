@@ -345,3 +345,49 @@ def test_maintenance_job_update_where_flag(spark, tmp_path, capsys):
     assert out["update_where"]["rows_updated"] == 1
     t2 = ParquetLakeTable(spark, str(tmp_path / "p"), key="url")
     assert _pdf(t2.read()).v.tolist() == [101, 60]
+
+
+def test_data_files_reports_dv_kind(spark, cow):
+    cow.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    cow.delete_where("v = 1")
+    df = cow.data_files().toPandas()
+    dv_rows = df[df.kind == "dv"]
+    assert len(dv_rows) >= 1
+    assert (dv_rows.bucket == -1).all() and dv_rows.bytes.notna().all()
+
+
+def test_compact_prunes_inert_dvs_without_pending_buckets(spark, cow):
+    """COW: a merge rewrites the DV'd bucket, making the DV inert; a
+    later compact() with NOTHING pending must still prune it (else reads
+    pay the anti-join forever and purge_keys can never clear)."""
+    cow.merge(mk(spark, [(f"u{i}", i) for i in range(12)]), batch_id=0)
+    cow.delete_where("v = 3")
+    # rewrite EVERY bucket so all DV refs go inert (upsert all keys)
+    cow.merge(mk(spark, [(f"u{i}", i + 100) for i in range(12)]), batch_id=1)
+    assert cow._manifest().get("dvs")  # carried forward, now inert
+    stats = cow.compact()
+    assert stats["compacted_buckets"] == 0  # control-plane only
+    assert stats["pruned_dv_files"] >= 1
+    assert not cow._manifest().get("dvs")
+    # and the purge guard clears after expiry of the DV-carrying history
+    cow.expire_snapshots(keep_last=1)
+    assert cow.purge_keys("u5")["rows_purged"] == 1
+
+
+def test_delete_where_batch_id_refire_is_noop(spark, cow):
+    cow.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    out = cow.delete_where("v = 1", batch_id=9)
+    assert out["rows_deleted"] == 1
+    v = cow.current_version()
+    refired = cow.delete_where("v = 2", batch_id=9)  # must NOT re-evaluate
+    assert refired["rows_deleted"] == 0 and cow.current_version() == v
+    assert _pdf(cow.read()).url.tolist() == ["b"]
+
+
+def test_purge_refuses_with_parked_stage(spark, cow):
+    cow.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    token = cow.merge_staged(mk(spark, [("c", 3)]), batch_id=1)
+    with pytest.raises(ValueError, match="staged"):
+        cow.purge_keys("a")
+    cow.abandon_staged(token)
+    assert cow.purge_keys("a")["rows_purged"] == 1
