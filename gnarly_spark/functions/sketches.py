@@ -379,8 +379,17 @@ def kmv_set_sketch(df: DataFrame, id_col: str, k: int = 256) -> DataFrame:
     duplicates share a hash, and without it a heavy hitter would occupy
     multiple sketch slots and bias every estimate. Output: (sketch:
     array<struct<h,v>>) — the bottomk_sketch format, so bottomk_merge
-    unions KMV sketches too."""
-    return bottomk_sketch(df.select(id_col).distinct(), id_col, id_col, (), k)
+    unions KMV sketches too. NULL ids are dropped (md5(NULL) = NULL
+    sorts FIRST, so a NULL would claim a guaranteed slot in every sketch
+    and null-safe array_intersect would count it as overlap — the same
+    reason hll_add filters NULL keys)."""
+    return bottomk_sketch(
+        df.select(id_col).where(F.col(id_col).isNotNull()).distinct(),
+        id_col,
+        id_col,
+        (),
+        k,
+    )
 
 
 def kmv_jaccard(a: DataFrame, b: DataFrame, id_col: str, k: int = 256) -> DataFrame:
@@ -420,5 +429,9 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, id_col: str, k: int = 256) -> DataFr
     return both.select(
         F.size(uh).cast("int").alias("k_union"),
         inter.cast("int").alias("n_both"),
-        (inter.cast("double") / F.size(uh)).alias("jaccard_est"),
+        # guard the empty-input probe: size(union)=0 would DIVIDE_BY_ZERO
+        # under default-ANSI Spark 4; two empty sets have J = 0
+        F.when(F.size(uh) == 0, F.lit(0.0))
+        .otherwise(inter.cast("double") / F.size(uh))
+        .alias("jaccard_est"),
     )

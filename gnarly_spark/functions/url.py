@@ -559,7 +559,10 @@ def robots_crawl_delay(
     declared = (
         lines.select("host", val.alias("v"))
         .where(F.col("v") != "")
-        .select("host", F.col("v").cast("double").alias("v"))
+        # try_cast: the regex admits '1.2.3' / '.'; under Spark 4's
+        # default ANSI mode a plain cast would THROW on the first wild
+        # robots file instead of yielding the NULL the filter expects
+        .select("host", F.expr("try_cast(v AS DOUBLE)").alias("v"))
         .where(F.col("v").isNotNull())
         .groupBy("host")
         .agg(F.least(F.max("v"), F.lit(float(max_delay))).alias("delay_s"))
@@ -576,6 +579,7 @@ def schedule_fetches(
     url_col: str = "url",
     host_col: str = "host",
     priority_col: str | None = None,
+    default_delay: float = 1.0,
 ) -> DataFrame:
     """Politeness-aware fetch slots for a due list (the crawl-frontier
     step after recrawl_from_sitemap/recrawl_schedule decide WHAT to
@@ -588,14 +592,20 @@ def schedule_fetches(
     BY DESIGN (that is what politeness means) — parallelism comes from
     the number of hosts, which is exactly how production frontiers
     (e.g. the Mercator/Heritrix queue-per-host design, public) shard.
-    Output: due columns + delay_s + fetch_seq (1-based within host) +
-    slot_s (seconds offset)."""
+    Output: ALL due columns carried through + delay_s + fetch_seq
+    (1-based within host) + slot_s (seconds offset). Hosts missing from
+    ``delays`` fall back to ``default_delay`` — pass the same value given
+    to robots_crawl_delay or the politeness budget silently diverges."""
     from pyspark.sql import Window
 
-    d = due.select(F.col(url_col).alias("url"), F.col(host_col).alias("host"),
-                   *([F.col(priority_col).alias("_prio")] if priority_col else []))
+    carry = [c for c in due.columns if c not in (url_col, host_col)]
+    d = due.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        *[F.col(c) for c in carry],
+    )
     order = (
-        [F.col("_prio").asc_nulls_last(), F.col("url").asc()]
+        [F.col(priority_col).asc_nulls_last(), F.col("url").asc()]
         if priority_col
         else [F.col("url").asc()]
     )
@@ -603,9 +613,9 @@ def schedule_fetches(
     j = d.join(F.broadcast(delays.select("host", "delay_s")), "host", "left")
     return (
         j.withColumn("fetch_seq", F.row_number().over(w))
-        .withColumn("delay_s", F.coalesce("delay_s", F.lit(1.0)))
+        .withColumn("delay_s", F.coalesce("delay_s", F.lit(float(default_delay))))
         .withColumn(
             "slot_s", (F.col("fetch_seq") - 1).cast("double") * F.col("delay_s")
         )
-        .select("url", "host", "delay_s", "fetch_seq", "slot_s")
+        .select("url", "host", *carry, "delay_s", "fetch_seq", "slot_s")
     )

@@ -70,6 +70,14 @@ def _parse_lastmod(raw: F.Column) -> F.Column:
     return F.coalesce(
         F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
         F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        # fractional seconds and minute precision are both legal in the
+        # W3C datetime profile sitemaps.org references — common
+        # generators emit millisecond lastmods, and a NULL here would
+        # silently exempt those pages from 'stale' forever
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm'Z'")),
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
         F.try_to_timestamp(raw, F.lit("yyyy-MM-dd")),
     ).cast("timestamp_ntz")
 
@@ -105,8 +113,13 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
             opt["lastmod"].alias("lastmod"),
             _parse_lastmod(opt["lastmod"]).alias("lastmod_ts"),
             opt["changefreq"].alias("changefreq"),
-            opt["priority"].cast("double").alias("priority"),
+            opt["priority"].alias("_prio_raw"),
         )
+        # try_cast: wild sitemaps carry junk priorities; a plain cast
+        # THROWS under default-ANSI Spark 4 — junk must become NULL,
+        # never fail the batch (the module's stated contract)
+        .withColumn("priority", F.expr("try_cast(_prio_raw AS DOUBLE)"))
+        .drop("_prio_raw")
     )
 
 
@@ -209,17 +222,23 @@ def recrawl_from_sitemap(
     cadence for those stays with the observed-change scheduler,
     cdc_recrawl_schedule).
 
-    Scale: one equi-join on the url. The sitemap side is O(site entries);
-    at 10^10 crawled pages the crawl-state side is the big relation, so
-    the join key must reach its scan — a plain left join from the sitemap
-    side lets AQE broadcast the (much smaller) sitemap relation."""
+    Scale: at 10^10 crawled pages the crawl-state relation is the big
+    side, and a plain left join from the sitemap side CANNOT broadcast
+    (Spark builds only the non-preserved side of an outer join — the
+    big one here), so it would shuffle the whole crawl state. Instead,
+    the big relation is probed with one broadcast-INNER join (sitemap
+    side is the build side, crawl state streams through map-side, ZERO
+    shuffles) whose tiny output — the sitemap urls that WERE crawled —
+    then left-joins the sitemap relation broadcast-to-broadcast."""
     sm = sitemap_entries.select(
         F.col(url_col).alias("_u"), F.col("lastmod"), F.col("lastmod_ts")
     )
     cs = crawl_state.select(
         F.col(crawl_url_col).alias("_u"), F.col(crawl_ts_col).alias("_crawled")
     )
-    j = sm.join(cs, "_u", "left")
+    # one streaming pass over the big relation; output is sitemap-sized
+    seen = cs.join(F.broadcast(sm.select("_u")), "_u", "inner")
+    j = sm.join(F.broadcast(seen), "_u", "left")
     status = F.when(F.col("_crawled").isNull(), "new").when(
         F.col("lastmod_ts") > F.col("_crawled"), "stale"
     )

@@ -197,9 +197,31 @@ def write_warc(
                 if cdx is not None:
                     cdx.close()
         if n:
-            os.replace(tmp, fname)
             if member_gzip:
-                os.replace(cdx_tmp, cdxname)
+                # PAIR publish: the segment and its CDX sidecar must come
+                # from ONE attempt — two racing attempts interleaving two
+                # os.replace calls could commit segment A with index B
+                # (row order differs across attempts after a shuffle, so
+                # offsets differ and every ranged read mis-seeks). An
+                # O_EXCL lock file elects a single publisher; losers keep
+                # their temps invisible. If a previous winner died between
+                # lock and publish (pair incomplete), the retry takes
+                # over — fetch fails loud, never silently, in the
+                # remaining crash window.
+                lock = fname + ".pub"
+                try:
+                    os.close(os.open(lock, os.O_CREAT | os.O_EXCL))
+                    won = True
+                except FileExistsError:
+                    won = not (os.path.exists(fname) and os.path.exists(cdxname))
+                if won:
+                    os.replace(cdx_tmp, cdxname)
+                    os.replace(tmp, fname)
+                else:
+                    os.remove(tmp)
+                    os.remove(cdx_tmp)
+            else:
+                os.replace(tmp, fname)
             yield pd.DataFrame({"file": [fname], "n_records": [n]})
         else:
             os.remove(tmp)
@@ -267,10 +289,15 @@ def fetch_warc_records(
     ).sortWithinPartitions("filename", "offset")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # bounded emission: a 10k-pointer Arrow batch of MB-sized records
+        # must NOT accumulate into one giant list + pandas copy (the same
+        # O(record)-not-O(segment) memory rule write_warc streams under)
+        flush_rows, flush_bytes = 256, 64 << 20
         fh, fh_name = None, None
+        rows: list = []
+        nbytes = 0
         try:
             for pdf in batches:
-                rows = []
                 for fn, off, ln in zip(
                     pdf["filename"], pdf["offset"], pdf["length"]
                 ):
@@ -283,18 +310,27 @@ def fetch_warc_records(
                     fh.seek(int(off))
                     blob = gzip.decompress(fh.read(int(ln)))
                     # a member holds exactly one record, already selected
-                    # by the pointer — parse it whatever its type. The
-                    # name is de-.gz'd: the blob is ALREADY decompressed
-                    # (a .gz name would make the walk decompress twice).
-                    rows.extend(
-                        _parse_warc_bytes(
-                            fn.replace(".gz", ""), blob, record_type=None
-                        )
-                    )
-                if rows:
-                    yield pd.DataFrame(
-                        rows, columns=["url", "warc_ts", "payload", "warc_file"]
-                    )
+                    # by the pointer — parse it whatever its type
+                    # (already_decompressed: the .gz name must not
+                    # trigger a second decompress). warc_file is spelled
+                    # exactly like read_warc's binaryFile path ("file:" +
+                    # absolute path), so downstream joins/groupBys on
+                    # warc_file are source-agnostic.
+                    for url, ts, payload, _ in _parse_warc_bytes(
+                        fn, blob, record_type=None, already_decompressed=True
+                    ):
+                        rows.append((url, ts, payload, f"file:{full}"))
+                        nbytes += len(payload)
+                        if len(rows) >= flush_rows or nbytes >= flush_bytes:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=["url", "warc_ts", "payload", "warc_file"],
+                            )
+                            rows, nbytes = [], 0
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["url", "warc_ts", "payload", "warc_file"]
+                )
         finally:
             if fh is not None:
                 fh.close()
@@ -315,7 +351,10 @@ def _parse_warc_date(name: str, raw: str) -> datetime:
 
 
 def _parse_warc_bytes(
-    name: str, blob: bytes, record_type: str = "response"
+    name: str,
+    blob: bytes,
+    record_type: str | None = "response",
+    already_decompressed: bool = False,
 ) -> Iterator[tuple]:
     """Yield (url, warc_ts, payload, file) from one WARC file's bytes.
     Framing walk: header block up to the blank line, Content-Length bytes
@@ -323,8 +362,9 @@ def _parse_warc_bytes(
     records of ``record_type`` ('response' | 'conversion' | 'metadata')
     are emitted — the framing walk still steps over every record;
     ``record_type=None`` emits every record (the ranged-fetch path, where
-    the CDX pointer already selected it)."""
-    if name.endswith(".gz"):
+    the CDX pointer already selected it; that path also sets
+    ``already_decompressed`` since it gunzips the member itself)."""
+    if name.endswith(".gz") and not already_decompressed:
         blob = gzip.decompress(blob)  # multi-member safe
     i, n = 0, len(blob)
     while i < n:

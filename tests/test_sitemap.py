@@ -205,3 +205,43 @@ def test_discovery_chain_robots_to_recrawl(spark):
     )
     got = {r.url: r.status for r in recrawl_from_sitemap(entries, crawled).collect()}
     assert got == {"https://a.com/p1": "stale", "https://a.com/p2": "new"}
+
+
+def test_wild_input_never_crashes_ansi(spark):
+    """Default-ANSI Spark 4: junk priority and fractional/minute lastmod
+    forms must degrade (NULL / parsed), never throw."""
+    df = spark.createDataFrame(
+        [
+            ("h", "<urlset>"
+             "<url><loc>https://a/1</loc><priority>high</priority>"
+             "<lastmod>2026-01-05T10:00:00.123Z</lastmod></url>"
+             "<url><loc>https://a/2</loc><priority>0.7</priority>"
+             "<lastmod>2026-01-05T10:00Z</lastmod></url>"
+             "<url><loc>https://a/3</loc><priority>1</priority></url>"
+             "</urlset>")
+        ],
+        schema="host string, xml string",
+    )
+    got = {r.loc: r for r in parse_sitemap(df).collect()}
+    assert got["https://a/1"].priority is None  # junk -> NULL, no crash
+    assert got["https://a/1"].lastmod_ts == datetime.datetime(
+        2026, 1, 5, 10, 0, 0, 123000
+    )  # fractional seconds parse
+    assert got["https://a/2"].priority == 0.7
+    assert got["https://a/2"].lastmod_ts == datetime.datetime(2026, 1, 5, 10, 0)
+    assert got["https://a/3"].priority == 1.0  # integer spelling
+
+
+def test_schedule_fetches_carries_columns_and_default(spark):
+    from gnarly_spark.functions.url import schedule_fetches
+
+    due = spark.createDataFrame(
+        [("https://a/1", "a", "stale"), ("https://a/2", "a", "new"),
+         ("https://b/1", "b", "new")],
+        schema="url string, host string, status string",
+    )
+    delays = spark.createDataFrame([("a", 2.0)], "host string, delay_s double")
+    got = {r.url: r for r in schedule_fetches(due, delays, default_delay=5.0).collect()}
+    assert got["https://a/2"].status == "new"  # due columns carried
+    assert got["https://a/1"].slot_s == 0.0 and got["https://a/2"].slot_s == 2.0
+    assert got["https://b/1"].delay_s == 5.0  # caller's default, not 1.0

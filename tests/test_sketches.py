@@ -171,3 +171,17 @@ def test_kmv_jaccard_matches_python_replay_when_sketched(spark):
     assert r.jaccard_est == n_both / k
     # and the estimate lands near the true J = 200/800
     assert abs(r.jaccard_est - 0.25) < 0.12
+
+
+def test_kmv_null_ids_and_empty_inputs(spark):
+    """NULL ids must not claim sketch slots (disjoint sets with NULLs
+    would fake overlap); empty inputs return J=0, not DIVIDE_BY_ZERO."""
+    from gnarly_spark.functions.sketches import kmv_jaccard
+
+    a = spark.createDataFrame([("a1",), (None,)], "id string")
+    b = spark.createDataFrame([("b1",), (None,)], "id string")
+    r = kmv_jaccard(a, b, "id", k=4).collect()[0]
+    assert r.n_both == 0 and r.jaccard_est == 0.0  # truly disjoint
+    e = spark.createDataFrame([], "id string")
+    r2 = kmv_jaccard(e, e, "id", k=4).collect()[0]
+    assert r2.k_union == 0 and r2.jaccard_est == 0.0

@@ -299,3 +299,19 @@ def test_cdx_fetch_corrupt_pointer_fails_loud(spark, tmp_path):
     bad = cdx.limit(1).withColumn("offset", F.col("offset") + 3)
     with pytest.raises(Exception):  # mid-member seek: not a gzip stream
         fetch_warc_records(spark, bad, str(tmp_path)).collect()
+
+
+def test_cdx_fetch_warc_file_spelling_matches_read_warc(spark, tmp_path):
+    """fetch_warc_records spells warc_file exactly like read_warc's
+    binaryFile path (file: + absolute path), so cross-source joins on
+    warc_file work."""
+    from gnarly_spark.sources.warc import fetch_warc_records, read_cdx
+
+    docs = _docs(spark, n=8)
+    write_warc(docs.repartition(1), str(tmp_path), member_gzip=True)
+    whole = {r.warc_file for r in read_warc(spark, f"{tmp_path}/*.warc.gz").collect()}
+    cdx = read_cdx(spark, f"{tmp_path}/*.cdx")
+    ranged = {
+        r.warc_file for r in fetch_warc_records(spark, cdx, str(tmp_path)).collect()
+    }
+    assert ranged == whole  # identical spelling, joinable
