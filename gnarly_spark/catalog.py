@@ -2190,6 +2190,46 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_set_ops",
+    f"""
+    WITH changelog AS ({_CHANGELOG_SQL}),
+    ins AS (SELECT url FROM changelog WHERE op = 'insert'),
+    upd AS (SELECT url FROM changelog WHERE op = 'update'),
+    del AS (SELECT url FROM changelog WHERE op = 'delete')
+    SELECT 'insert_and_update' AS setop, COUNT(*) AS n FROM
+      (SELECT url FROM ins INTERSECT SELECT url FROM upd)
+    UNION ALL
+    SELECT 'inserted_never_deleted', COUNT(*) FROM
+      (SELECT url FROM ins EXCEPT SELECT url FROM del)
+    UNION ALL
+    SELECT 'updated_or_deleted', COUNT(*) FROM
+      (SELECT url FROM upd UNION SELECT url FROM del)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators (INTERSECT / EXCEPT / UNION DISTINCT)
+    over per-op url sets — each compiles to one hash aggregate over a
+    single shuffle (Spark rewrites INTERSECT/EXCEPT as semi/anti joins
+    on distinct inputs), so the coverage claim is the plan, not just the
+    counts."""
+    ch = _changelog_df(spark, sf_dir)
+    ins = ch.where(F.col("op") == "insert").select("url")
+    upd = ch.where(F.col("op") == "update").select("url")
+    dele = ch.where(F.col("op") == "delete").select("url")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("setop"), F.count(F.lit(1)).alias("n")
+        )
+
+    return (
+        one("insert_and_update", ins.intersect(upd))
+        .unionByName(one("inserted_never_deleted", ins.subtract(dele)))
+        .unionByName(one("updated_or_deleted", upd.union(dele).distinct()))
+    )
+
+
+@register(
     "q_pivot",
     f"""
     WITH changelog AS ({_CHANGELOG_SQL})
