@@ -57,6 +57,39 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_query(
+    scored: DataFrame, order_cols, k: int, query_col: str = "query_id"
+) -> DataFrame:
+    """Two-phase per-query top-k rank: local top-k per (input partition,
+    query), then a global merge rank over the <= k * n_partitions
+    survivors per query. Adds column ``rank`` (1-based, <= k).
+
+    Why not one ``Window.partitionBy(query_col)`` over the scored
+    relation: that routes EVERY scored corpus row for a query into a
+    single task's sort — fine at sf0.1, a scale killer at 1e10 corpus
+    rows (PQ-ADC scores the whole corpus per query). Same
+    partials-then-tiny-merge shape as the ungrouped bottom-k sketch
+    (functions/sketches.py bottomk_sketch). Results are bit-identical to
+    the single-window rank: every global top-k row is in the top-k of
+    its own partition, and ``order_cols`` must be a total order (ties
+    broken by an id column) so both phases sort deterministically.
+
+    The local window's exchange hashes on (_pid, query) — parallelism is
+    n_partitions × n_queries small sorted groups instead of one
+    corpus-sized group per query; shuffle volume is unchanged.
+    """
+    lw = Window.partitionBy("_pid", query_col).orderBy(*order_cols)
+    gw = Window.partitionBy(query_col).orderBy(*order_cols)
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", F.row_number().over(lw))
+        .where(F.col("_lrk") <= k)
+        .withColumn("rank", F.row_number().over(gw))
+        .where(F.col("rank") <= k)
+        .drop("_pid", "_lrk")
+    )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -80,12 +113,9 @@ def cosine_topk(
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return topk_per_query(
+        scored, [F.desc("cos"), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cos", "rank")
 
 
 def neardup_pairs(
@@ -272,6 +302,9 @@ def ivf_build(
         e.withColumn("_r", F.xxhash64(F.concat_ws(":", F.lit(seed), F.col("id"))))
         .orderBy("_r")
         .limit(n_centroids)
+        # the unpartitioned window below sees <= n_centroids rows (the
+        # limit's single TakeOrdered output) — WindowExec's "No Partition
+        # Defined" warning is safe here, the relation is bounded by design
         .select(
             (F.row_number().over(W.orderBy("_r")) - 1).cast("int").alias("cluster"),
             F.col("vec").alias("cvec"),
@@ -444,6 +477,8 @@ def ivf_build_fixed(
         e.withColumn("_r", _init_rank(F.col("id")))
         .orderBy("_r", "id")
         .limit(n_centroids)
+        # unpartitioned window over <= n_centroids rows (bounded by the
+        # limit) — the WindowExec single-partition warning is safe here
         .select(
             (F.row_number().over(W.orderBy("_r", "id")) - 1).cast("int").alias(
                 "cluster"
@@ -514,11 +549,8 @@ def ivf_ann_topk_fixed(
         F.col("id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    return topk_per_query(scored, [F.desc("cos"), F.col("id")], k).select(
+        "query_id", F.col("id").alias("neighbor_id"), "cos", "rank"
     )
 
 
@@ -667,11 +699,8 @@ def ivf_ann_topk(
         F.col("id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    return topk_per_query(scored, [F.desc("cos"), F.col("id")], k).select(
+        "query_id", F.col("id").alias("neighbor_id"), "cos", "rank"
     )
 
 
@@ -723,11 +752,8 @@ def lsh_ann_topk(
         F.col("id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    return topk_per_query(scored, [F.desc("cos"), F.col("id")], k).select(
+        "query_id", F.col("id").alias("neighbor_id"), "cos", "rank"
     )
 
 
@@ -789,11 +815,8 @@ def ivf_query_partitioned(
         F.col("id") != F.col("query_id")
     )
     scored = cand.withColumn("cos", F.round(cosine(F.col("qv"), F.col("vec")), 6))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", F.col("id").alias("neighbor_id"), "cos", "rank")
+    return topk_per_query(scored, [F.desc("cos"), F.col("id")], k).select(
+        "query_id", F.col("id").alias("neighbor_id"), "cos", "rank"
     )
 
 
@@ -951,6 +974,8 @@ def pq_build_fixed(
         e.withColumn("_r", _init_rank(F.col("id")))
         .orderBy("_r", "id")
         .limit(n_codes)
+        # unpartitioned window over <= n_codes rows (bounded by the
+        # limit) — the WindowExec single-partition warning is safe here
         .select(
             (F.row_number().over(W.orderBy("_r", "id")) - 1).cast("int").alias(
                 "code"
@@ -1057,12 +1082,9 @@ def pq_ann_topk_fixed(
         .where(F.col("id") != F.col("query_id"))
         .select("query_id", F.col("id").alias("neighbor_id"), adist.alias("adist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adist", "rank")
-    )
+    return topk_per_query(
+        scored, [F.col("adist"), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "adist", "rank")
 
 
 def pq_ann_topk_refined(
@@ -1106,9 +1128,8 @@ def pq_ann_topk_refined(
             F.round(cosine(F.col("_qv"), F.col("_v")), 6).alias("cos"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    # cand is already bounded (k_coarse ADC survivors per query), but the
+    # same two-phase rank keeps one code shape across every serving path
+    return topk_per_query(
+        cand, [F.desc("cos"), F.col("neighbor_id")], k
+    ).select("query_id", "neighbor_id", "cos", "rank")

@@ -481,3 +481,42 @@ def test_kmv_jaccard_no_global_window(spark):
     for line in plan.splitlines():
         if _re.search(r"\bWindow\b", line):
             assert "_pid" in line, line
+
+
+def test_ann_topk_rank_is_two_phase_no_corpus_window(spark):
+    """VERDICT r03 finding #1: the ANN/brute-force serving rank must never
+    route a corpus-sized relation through Window.partitionBy(query_id)
+    alone (one task per query sorting |corpus| rows). The local phase
+    ranks per (input partition, query); the only query_id-partitioned
+    window sits ABOVE the local-top-k filter, i.e. over the
+    <= k * n_partitions survivors."""
+    import re as _re
+
+    from gnarly_spark.operators.similarity import cosine_topk
+
+    corpus = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 16), "
+            "j -> cast(pmod(xxhash64(id, j), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    topk = cosine_topk(corpus, [0, 1, 2], k=3)
+    plan = plan_of(topk)
+    lines = plan.splitlines()
+    win_lines = [(i, l) for i, l in enumerate(lines) if _re.search(r"\bWindow\b", l)]
+    assert win_lines, plan
+    filt = [i for i, l in enumerate(lines) if "Filter" in l and "_lrk" in l]
+    assert filt, "local top-k filter missing from plan"
+    for i, line in win_lines:
+        if "_pid" in line:
+            continue  # local phase: partitioned by (_pid, query_id)
+        # global merge rank: allowed only above the local-top-k filter
+        # (children print after the parent in the tree string)
+        assert "query_id" in line, line
+        assert any(j > i for j in filt), f"corpus-sized per-query window: {line}"
+    # the local sort spreads across (_pid, query) groups, not one/query
+    assert "hashpartitioning(_pid" in plan
+    rows = topk.collect()
+    assert {r.query_id for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rank <= 3 for r in rows)
