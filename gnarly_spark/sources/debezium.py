@@ -288,8 +288,20 @@ def write_debezium(
         .when(F.col("op") == "delete", "d")
         .otherwise("m")
     )
+    # warc_ts is TIMESTAMP_NTZ: compute epoch-millis from its own
+    # date/time fields (wall clock read AS UTC) — a cast to TIMESTAMP
+    # would re-interpret the wall clock in the session timezone and
+    # silently shift ts_ms for non-UTC callers (ADVICE r03; the CLAUDE.md
+    # "never unix_* on NTZ" gotcha). to_date/date_format on NTZ are
+    # timezone-free.
     ts_ms = (
-        F.unix_millis(F.col("warc_ts").cast("timestamp")).alias("ts_ms")
+        (
+            F.unix_date(F.to_date("warc_ts")) * F.lit(86400000).cast("long")
+            + F.date_format("warc_ts", "HH").cast("long") * 3600000
+            + F.date_format("warc_ts", "mm").cast("long") * 60000
+            + F.date_format("warc_ts", "ss").cast("long") * 1000
+            + F.date_format("warc_ts", "SSS").cast("long")
+        ).alias("ts_ms")
         if "warc_ts" in events.columns
         else F.lit(None).cast("long").alias("ts_ms")
     )
@@ -316,6 +328,8 @@ def feed_to_debezium(
     seq_start: int,
     source_name: str = "gnarly",
     version: int | None = None,
+    with_seq: bool = False,
+    n_ranges: int | None = None,
 ) -> DataFrame:
     """The OUTBOX direction: a lake ``changelog(v_from[, v_to])`` image
     feed -> one envelope JSON line per changed key (column ``value``).
@@ -323,13 +337,29 @@ def feed_to_debezium(
     update_before/update_after row PAIRS collapse into one ``u`` envelope
     carrying both images — the Debezium contract downstream consumers
     (cache invalidation, search sync) rely on for retraction. Envelope seq
-    is ``seq_start + dense rank of key`` (deterministic: a snapshot diff
+    is ``seq_start + rank of key`` (deterministic: a snapshot diff
     has at most one change per key), so replaying a feed of successive
     versions yields strictly increasing seqs when callers advance
     seq_start by the previous count.
 
-    Scale: one shuffle on the key (the groupBy below); the feed itself is
-    changed-rows-only, so this is O(delta), never O(table)."""
+    Seq assignment is two-phase distributed (VERDICT r03 #2): a global
+    ``row_number().over(Window.orderBy(key))`` would funnel the whole
+    relation through ONE task's sort — tolerable on a per-commit delta,
+    a single-task table scan on export_outbox's snapshot bootstrap.
+    Instead: range-partition on the key (range i holds strictly smaller
+    keys than range i+1), rank locally per range, and add the cumulative
+    count of lower ranges (the classic zipWithIndex two-phase). The
+    resulting seq equals the global rank by key EXACTLY, wherever the
+    sampled range boundaries happen to land, so re-exports reproduce
+    identical seqs.
+
+    Scale: shuffles are key-hash (groupBy) + key-range + per-range rank,
+    all parallel and O(input); the feed itself is changed-rows-only, so
+    the common path is O(delta). ``with_seq=True`` additionally returns
+    the ``_seq`` column so callers can range-order output files.
+
+    Cost note: the offset computation collects one (partition, count) row
+    per range — bounded control-plane metadata, never data rows."""
     from pyspark.sql import Window
 
     data_cols = [c for c in feed.columns if c not in (key, "_change_type")]
@@ -363,8 +393,38 @@ def feed_to_debezium(
         F.max("_after").alias("after"),
         F.max("_op").alias("_op"),  # {u} or {c} or {d}: pairs agree on 'u'
     )
-    seq = F.row_number().over(Window.orderBy("_k")) + F.lit(seq_start - 1)
-    env = merged.select(
+    sess = feed.sparkSession
+    n_parts = max(1, n_ranges or sess.sparkContext.defaultParallelism)
+    ranged = (
+        merged.repartitionByRange(n_parts, "_k")
+        .withColumn("_pid", F.spark_partition_id())
+        # pin partition ids: the counts job and the rank job below must
+        # see the SAME pid per row (range boundaries are sampled once)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["_pid"], r["count"])
+        for r in ranged.groupBy("_pid").count().collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    if offsets:
+        off = F.coalesce(
+            F.try_element_at(
+                F.create_map(
+                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+                ),
+                F.col("_pid"),
+            ),
+            F.lit(0),
+        )
+    else:
+        off = F.lit(0)
+    lw = Window.partitionBy("_pid").orderBy("_k")
+    seq = F.row_number().over(lw) + off + F.lit(seq_start - 1)
+    env = ranged.select(
         "before",
         "after",
         F.struct(
@@ -374,8 +434,14 @@ def feed_to_debezium(
         ).alias("source"),
         F.col("_op").alias("op"),
         F.lit(None).cast("long").alias("ts_ms"),
+        seq.cast("long").alias("_seq"),
     )
-    return env.select(F.to_json(F.struct("*"), JSON_OPTS).alias("value"))
+    out_cols = (["_seq"] if with_seq else []) + [
+        F.to_json(F.struct("before", "after", "source", "op", "ts_ms"), JSON_OPTS).alias(
+            "value"
+        )
+    ]
+    return env.select(*out_cols)
 
 
 def export_outbox(
@@ -454,13 +520,35 @@ def export_outbox(
             )
         env = feed_to_debezium(
             feed, key=table.key, seq_start=seq, source_name=source_name,
-            version=v,
+            version=v, with_seq=True,
         )
         tmp = os.path.join(out_dir, f".tmp-v{v}")
-        env.coalesce(1).write.mode("overwrite").text(tmp)
-        part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
-        n = sum(1 for _ in open(os.path.join(tmp, part)))
-        os.replace(os.path.join(tmp, part), os.path.join(out_dir, f"v{v}.jsonl"))
+        # parallel write, then sequential file concat: range-partition on
+        # seq so part-00000 < part-00001 in envelope order — no
+        # coalesce(1) single-task sort/encode even when the bootstrap
+        # path pushes a whole snapshot through here (VERDICT r03 #2 /
+        # ADVICE r03). The concat is pure streaming file I/O.
+        n_out = max(1, env.sparkSession.sparkContext.defaultParallelism)
+        (
+            env.repartitionByRange(n_out, "_seq")
+            .sortWithinPartitions("_seq")
+            .select("value")
+            .write.mode("overwrite")
+            .text(tmp)
+        )
+        parts = sorted(p for p in os.listdir(tmp) if p.startswith("part-"))
+        n = 0
+        cat = os.path.join(tmp, "_cat.jsonl")
+        with open(cat, "wb") as outf:
+            for p in parts:
+                with open(os.path.join(tmp, p), "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        n += chunk.count(b"\n")
+                        outf.write(chunk)
+        os.replace(cat, os.path.join(out_dir, f"v{v}.jsonl"))
         _shutil.rmtree(tmp, ignore_errors=True)
         seq += n
         n_env += n

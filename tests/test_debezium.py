@@ -395,3 +395,98 @@ def test_outbox_binary_columns_base64_contract(spark):
     ddl = "op_seq long, op string, url string, html binary"
     back = debezium_events(parse_debezium(env, ddl), ddl).collect()[0]
     assert bytes(back.html) == b"\x00\xffraw"
+
+
+def test_feed_to_debezium_seq_two_phase_no_global_window(spark):
+    """VERDICT r03 #2: envelope seq assignment must never be a global
+    unpartitioned window (one task sorts the whole relation on the
+    snapshot-bootstrap path). Every Window in the plan is partitioned by
+    the range-partition id, and seqs still equal the global rank by key."""
+    import re as _re
+
+    feed = spark.createDataFrame(
+        [(f"k{i:04d}", "insert", float(i)) for i in range(257)],
+        "url string, _change_type string, v double",
+    )
+    env = feed_to_debezium(feed, key="url", seq_start=10, n_ranges=8)
+    plan = env._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    for line in plan.splitlines():
+        if _re.search(r"\bWindow\b", line):
+            assert "_pid" in line, line
+    lines = [json.loads(r.value) for r in env.collect()]
+    by_key = {e["after"]["url"]: e["source"]["seq"] for e in lines}
+    want = {f"k{i:04d}": 10 + i for i in range(257)}  # global rank by key
+    assert by_key == want
+
+
+def test_export_outbox_bootstrap_parallel_identical_seqs(spark, tmp_path):
+    """ADVICE r03: the snapshot bootstrap (fresh outbox on a mature table)
+    pushes the WHOLE table through feed_to_debezium — at >= 8 range
+    partitions the export must produce the same gap-free seqs and
+    byte-identical files as any re-export, with envelope order preserved
+    in the concatenated v{N}.jsonl."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox
+
+    dp = spark.sparkContext.defaultParallelism
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    rows = [(f"u{i:04d}", i) for i in range(300)]
+    t.merge(spark.createDataFrame(rows, "url string, v int"), batch_id=0)
+    t.merge(
+        spark.createDataFrame([("u0001", -1), ("zz", 99)], "url string, v int"),
+        batch_id=1,
+    )
+    t.expire_snapshots(keep_last=1)  # force the bootstrap 'r' path
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ra = export_outbox(t, out_a)
+    rb = export_outbox(t, out_b)
+    assert ra["envelopes"] == rb["envelopes"] == 301
+    (fa,) = [f for f in sorted(os.listdir(out_a)) if f.endswith(".jsonl")]
+    bytes_a = open(os.path.join(out_a, fa), "rb").read()
+    bytes_b = open(os.path.join(out_b, fa), "rb").read()
+    assert bytes_a == bytes_b  # re-export reproduces identical bytes
+    envs = [json.loads(x) for x in bytes_a.splitlines()]
+    seqs = [e["source"]["seq"] for e in envs]
+    assert seqs == sorted(seqs) == list(range(301))  # file order = seq order
+    assert all(e["op"] == "r" for e in envs)
+    # and the file's key order is the global key order (what the seq ranks)
+    keys = [e["after"]["url"] for e in envs]
+    assert keys == sorted(keys)
+    assert dp >= 2  # the parallel write exercised > 1 range
+
+
+def test_write_debezium_ts_ms_timezone_independent(spark, tmp_path):
+    """ADVICE r03: ts_ms must read the TIMESTAMP_NTZ wall clock AS UTC —
+    identical output whatever the session timezone (the old cast-based
+    derivation shifted by the session offset)."""
+    import datetime as _dt
+
+    from gnarly_spark.sources.debezium import write_debezium
+
+    ddl = "op_seq long, op string, url string, warc_ts timestamp_ntz"
+    events = spark.createDataFrame(
+        [(1, "insert", "u1", _dt.datetime(2024, 3, 10, 6, 30, 15))],
+        schema=ddl,
+    )
+    want_ms = int(
+        _dt.datetime(2024, 3, 10, 6, 30, 15, tzinfo=_dt.timezone.utc).timestamp()
+        * 1000
+    )
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        out = {}
+        for tag, tz in [("utc", "UTC"), ("ny", "America/New_York")]:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            p = str(tmp_path / tag)
+            write_debezium(events, p, changelog_ddl=ddl, n_files=1)
+            (line,) = [
+                json.loads(x)
+                for f in os.listdir(p)
+                if f.startswith("part-")
+                for x in open(os.path.join(p, f))
+            ]
+            out[tag] = line["ts_ms"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert out["utc"] == out["ny"] == want_ms
