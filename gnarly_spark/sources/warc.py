@@ -203,23 +203,29 @@ def write_warc(
                 # os.replace calls could commit segment A with index B
                 # (row order differs across attempts after a shuffle, so
                 # offsets differ and every ranged read mis-seeks). An
-                # O_EXCL lock file elects a single publisher; losers keep
-                # their temps invisible. If a previous winner died between
-                # lock and publish (pair incomplete), the retry takes
-                # over — fetch fails loud, never silently, in the
-                # remaining crash window.
-                lock = fname + ".pub"
+                # exclusive flock serializes publishers: each finishing
+                # attempt replaces BOTH files wholesale inside the lock,
+                # so the committed pair is always one attempt's coherent
+                # (segment, index). The kernel releases the lock if a
+                # publisher dies mid-pair, and the next attempt's
+                # wholesale republish heals the half-published state.
+                # Re-running write_warc into an existing dir therefore
+                # atomically republishes the pair — the same overwrite
+                # semantics as the non-member path (ADVICE r03: the old
+                # O_EXCL create-once lock made every rerun keep the OLD
+                # bytes while reporting the NEW counts). flock is local-FS
+                # scoped, matching this writer (a shared-nothing object
+                # store would use a rename-manifest commit instead).
+                import fcntl
+
+                lockfd = os.open(fname + ".pub", os.O_CREAT | os.O_RDWR)
+                fcntl.flock(lockfd, fcntl.LOCK_EX)
                 try:
-                    os.close(os.open(lock, os.O_CREAT | os.O_EXCL))
-                    won = True
-                except FileExistsError:
-                    won = not (os.path.exists(fname) and os.path.exists(cdxname))
-                if won:
                     os.replace(cdx_tmp, cdxname)
                     os.replace(tmp, fname)
-                else:
-                    os.remove(tmp)
-                    os.remove(cdx_tmp)
+                finally:
+                    fcntl.flock(lockfd, fcntl.LOCK_UN)
+                    os.close(lockfd)
             else:
                 os.replace(tmp, fname)
             yield pd.DataFrame({"file": [fname], "n_records": [n]})

@@ -315,3 +315,25 @@ def test_cdx_fetch_warc_file_spelling_matches_read_warc(spark, tmp_path):
         r.warc_file for r in fetch_warc_records(spark, cdx, str(tmp_path)).collect()
     }
     assert ranged == whole  # identical spelling, joinable
+
+
+def test_member_gzip_rerun_republishes_pair(spark, tmp_path):
+    """ADVICE r03: re-running write_warc into an existing dir must
+    atomically republish BOTH pair files with the new content (the old
+    O_EXCL lock kept the stale segment+CDX while the manifest reported
+    the new counts). Ranged fetch over the republished pair must still
+    seek correctly — pair coherence from one attempt."""
+    from gnarly_spark.sources.warc import fetch_warc_records, read_cdx
+
+    d1 = _docs(spark, 10)
+    write_warc(d1.repartition(1), str(tmp_path), member_gzip=True)
+    d2 = _docs(spark, 25)  # different content, same output dir
+    manifest = write_warc(d2.repartition(1), str(tmp_path), member_gzip=True)
+    assert sum(n for _, n in manifest) == 25
+    back = read_warc(spark, f"{tmp_path}/*.warc.gz")
+    assert back.count() == 25  # new bytes actually published
+    cdx = read_cdx(spark, f"{tmp_path}/*.cdx")
+    assert cdx.count() == 25  # sidecar republished with the segment
+    # ranged reads through the republished index hit exact members
+    got = fetch_warc_records(spark, cdx.limit(5), str(tmp_path))
+    assert got.count() == 5
