@@ -19,6 +19,28 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# end-to-end DEMOS (multi-job lake/pipeline exercises — expensive by
+# design, ~12 real jobs each for cdc_branch_publish etc.): timed and
+# reported, but totaled separately so per-query regressions in the
+# operator-shaped CORE stay legible against this box's VM steal
+# (VERDICT r03 ask #8: report both totals)
+DEMOS = {
+    "cdc_branch_publish",
+    "cdc_delete_vectors",
+    "cdc_incremental_merge",
+    "pipeline_web_curation",
+    "src_cdc_envelope",
+    "src_cdx_fetch",
+    "web_sitemap_recrawl",
+    "web_robots_sitemaps",
+    "web_fetch_schedule",
+    "sim_semdedup_pairs",
+    "sim_pq_ann",
+    "sim_pq_refined",
+    "graph_pagerank",
+    "graph_hits",
+}
+
 HEADLINE = [
     "cdc_replay_lww",
     "cdc_fold_abelian",
@@ -93,6 +115,26 @@ def main():
     from gnarly_spark.session import get_spark
 
     spark = get_spark(app_name="gnarly_bench", cpus=cpus, shuffle_partitions=cpus)
+    # Benign-noise suppression (VERDICT r03 #3): FileStreamSink's metadata
+    # probe logs a WARN + FileNotFoundException stack when a read glob is
+    # resolved (the query then passes), and the bounded seed-selection
+    # windows log the single-partition WindowExec warning on inputs
+    # limited to n_centroids rows — neither is actionable, and the stack
+    # made the driver's bench record open mid-trace. Scoped to these two
+    # loggers only; everything else keeps WARN.
+    try:
+        jvm = spark.sparkContext._jvm
+        for noisy in (
+            # Spark 4 moved FileStreamSink under .streaming.sinks
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+            "org.apache.spark.sql.execution.streaming.FileStreamSink",
+            "org.apache.spark.sql.execution.window.WindowExec",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                noisy, jvm.org.apache.logging.log4j.Level.ERROR
+            )
+    except Exception:
+        pass  # logging tweak only — never fail the bench over it
     qs = entrymod.queries()
 
     # warm the JVM/codegen/Arrow-UDF paths once (not timed): one full run of
@@ -119,10 +161,17 @@ def main():
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     total = round(sum(timings.values()), 3)
+    core_total = round(
+        sum(v for k, v in timings.items() if k not in DEMOS), 3
+    )
     out = {
         "metric": "total wall sec over headline CDC/dedup/similarity/relational queries",
         "value": total,
         "unit": "sec",
+        "core_total_sec": core_total,  # operator-shaped subset
+        "demo_total_sec": round(total - core_total, 3),  # e2e lake/pipeline demos
+        "n_core": sum(1 for k in timings if k not in DEMOS),
+        "n_demo": sum(1 for k in timings if k in DEMOS),
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
