@@ -855,30 +855,22 @@ def _lang_score_sql(words: list[str]) -> str:
     return " + ".join(_count_word_sql(w) for w in words)
 
 
-@register(
-    "text_lang_id",
-    f"""
-    WITH scored AS (
-      SELECT doc_id,
-             {_lang_score_sql(["the", "a", "of", "and"])} AS s_en,
-             {_lang_score_sql(["der", "die", "und", "das"])} AS s_de,
-             {_lang_score_sql(["le", "la", "et", "les"])} AS s_fr,
-             {_lang_score_sql(["el", "los", "y", "una"])} AS s_es
-      FROM documents)
-    SELECT doc_id,
-           CASE WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
-                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
-                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
-                WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
-                ELSE 'und' END AS pred_lang
-    FROM scored
-    """,
-)
+def _langid_oracle() -> str:
+    from gnarly_spark.functions.langid import oracle_sql_langid
+
+    return oracle_sql_langid()
+
+
+@register("text_lang_id", _langid_oracle())
 def text_lang_id(spark, sf_dir):
-    from gnarly_spark.functions.text import lang_id
+    """Char-trigram NB language ID over the committed 24-language model
+    (functions/langid.py) — upgraded from the 4-language stopword scorer
+    (VERDICT r03 missing #3). The oracle replays the identical integer
+    scoring over the identical parquet model in DuckDB."""
+    from gnarly_spark.functions.langid import lang_id_ngram
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    return d.select("doc_id", lang_id_ngram(F.col("text")).alias("pred_lang"))
 
 
 @register(

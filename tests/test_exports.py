@@ -9,7 +9,7 @@ def test_public_api_surface():
     from gnarly_spark import (
         catalog, catalog_training, datagen, fixtures, quality, reducers, session,
     )
-    from gnarly_spark.functions import extraction, paths, text, url
+    from gnarly_spark.functions import extraction, langid, paths, text, url
     from gnarly_spark.operators import audit, dedup, fold, multimodal, replay, similarity
     from gnarly_spark.sinks import lake
     from gnarly_spark.sources import changelog
@@ -29,6 +29,11 @@ def test_public_api_surface():
             "lm_quality", "pack_sequences", "shard_assign", "write_shards",
             "bpe_token_count", "train_bpe_merges", "bpe_count_sql",
             "bpe_tokenize", "bpe_tokenize_sql",
+        ],
+        langid: [
+            "lang_id_ngram", "train_model", "write_model", "load_model",
+            "norm_expr", "oracle_sql_langid", "model_path", "LANGS",
+            "SEED_TEXT",
         ],
         paths: ["parse_path"],
         url: [
