@@ -65,6 +65,7 @@ def test_public_api_surface():
             "media_metadata", "extract_media_features",
             "media_repartition_by_bytes", "sample_frames",
             "extract_image_dims", "decode_image_header", "extract_av_metadata",
+            "extract_av_frames", "ffmpeg_available",
         ],
         lake: [
             "ParquetLakeTable", "IcebergLakeTable", "bucket_of",
