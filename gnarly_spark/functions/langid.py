@@ -294,11 +294,11 @@ def model_path() -> str:
 
 def _norm_py(text: str) -> str:
     """Training-side normalization — same construction the runtime does
-    JVM-side: lower, collapse non-letter runs to one space, isolate
-    Han/kana chars, re-collapse, trim, pad one space each side."""
+    JVM-side: case-fold-pin, lower, collapse non-letter runs to one
+    space, isolate Han/kana chars, re-collapse, trim, pad."""
     import re
 
-    s = re.sub(NOT_LETTER_RE, " ", text.lower())
+    s = re.sub(NOT_LETTER_RE, " ", text.replace("İ", "i").lower().replace("ς", "σ"))
     s = re.sub(CJK_CAPTURE, r" \1 ", s)
     s = re.sub(" +", " ", s).strip()
     return " " + s + " "
@@ -353,16 +353,16 @@ def write_model(path: str | None = None) -> str:
     return path
 
 
-_LOADED = None  # per-process memo: (langs, floors ndarray, {gram: ndarray})
+_LOADED: dict = {}  # per-process memo BY PATH: (langs, floors, {gram: vec})
 
 
 def load_model(path: str | None = None):
-    global _LOADED
-    if _LOADED is None:
+    key = os.path.abspath(path or model_path())
+    if key not in _LOADED:
         import numpy as np
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path or model_path())
+        t = pq.read_table(key)
         gram = t.column("gram").to_pylist()
         lang = t.column("lang").to_pylist()
         ord_ = t.column("lang_ord").to_pylist()
@@ -379,15 +379,26 @@ def load_model(path: str | None = None):
                 if vec is None:
                     vec = vecs[g] = np.zeros(len(langs), dtype=np.int64)
                 vec[idx[l]] = wt
-        _LOADED = (langs, floors, vecs)
-    return _LOADED
+        _LOADED[key] = (langs, floors, vecs)
+    return _LOADED[key]
 
 
 def norm_expr(col):
-    """JVM-side normalization: lower, collapse non-letter runs (explicit
-    Unicode ranges — byte-identical under Java regex and DuckDB's RE2),
-    isolate Han/kana chars, re-collapse, trim, pad one space each side."""
-    s = F.regexp_replace(F.lower(col), NOT_LETTER_RE, " ")
+    """JVM-side normalization: case-fold-pin, lower, collapse non-letter
+    runs (explicit Unicode ranges — byte-identical under Java regex and
+    DuckDB's RE2), isolate Han/kana chars, re-collapse, trim, pad one
+    space each side.
+
+    Case-fold pinning: Java toLowerCase applies Unicode SPECIAL casing
+    (U+0130 'İ' -> 'i' + combining dot; word-final 'Σ' -> 'ς') while
+    DuckDB applies simple casing ('İ' -> 'i', 'Σ' -> 'σ') — the two
+    engines would normalize Turkish/Greek uppercase to DIFFERENT grams.
+    Pin both: translate 'İ' -> 'i' BEFORE lower (kills the special
+    mapping) and 'ς' -> 'σ' AFTER (collapses both sigma lowercasings,
+    and pre-existing final sigmas with them). These are the only two
+    non-locale SpecialCasing divergences over the supported ranges."""
+    s = F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
+    s = F.regexp_replace(s, NOT_LETTER_RE, " ")
     s = F.regexp_replace(s, CJK_CAPTURE, " $1 ")
     s = F.regexp_replace(s, " +", " ")
     return F.concat(F.lit(" "), F.trim(s), F.lit(" "))
@@ -446,16 +457,20 @@ def oracle_sql_langid(doc_table: str = "documents", text_col: str = "text") -> s
       SELECT doc_id,
              ' ' || trim(regexp_replace(
                       regexp_replace(
-                        regexp_replace(lower({text_col}),
-                                       '{NOT_LETTER_RE}', ' ', 'g'),
+                        regexp_replace(
+                          translate(lower(translate({text_col}, 'İ', 'i')),
+                                    'ς', 'σ'),
+                          '{NOT_LETTER_RE}', ' ', 'g'),
                         '{CJK_CAPTURE}', ' \\1 ', 'g'),
                       ' +', ' ', 'g'))
                  || ' ' AS t
       FROM {doc_table}),
-    grams AS (
+    grams AS MATERIALIZED (
       SELECT doc_id, unnest([t[g:g+2] for g in range(1, len(t) - 1)]) AS gram
       FROM norm WHERE len(t) >= 3),
     tot AS (SELECT doc_id, COUNT(*) AS ng FROM grams GROUP BY doc_id),
+    -- grams is referenced twice (tot + hits): MATERIALIZED, or DuckDB
+    -- inlines the 3-regex normalization + per-char unnest into both
     hits AS (
       SELECT g.doc_id, m.lang, SUM(m.w) AS hw, COUNT(*) AS nm
       FROM grams g JOIN m USING (gram) GROUP BY g.doc_id, m.lang),

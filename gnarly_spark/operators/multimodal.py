@@ -24,6 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Iterator
 
 import pandas as pd
@@ -297,10 +298,10 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
     # frame-decode via ffmpeg when the binary exists, loud otherwise
     if ffmpeg_available():
         if media_type.startswith("audio/"):
-            _, n, rms = _ffmpeg_audio(payload or b"")
+            _, n, rms, _tr = _ffmpeg_audio(payload or b"")
             return [float(n), round(rms, 6)] + sha_feats[2:]
         if media_type.startswith("video/"):
-            n_frames, w, h, luma, _fps = _ffmpeg_video(payload or b"")
+            n_frames, w, h, luma, _fps, _tr = _ffmpeg_video(payload or b"")
             return [float(n_frames), float(w), float(h), round(luma, 6)] + sha_feats[4:]
     raise NotImplementedError(
         f"real decode of {media_type} needs ffmpeg — not on PATH in this "
@@ -322,10 +323,20 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
 # seekable on a pipe and ffmpeg refuses them.
 
 
-def ffmpeg_available() -> bool:
+@_functools.lru_cache(maxsize=8)
+def _ffmpeg_on(path_env: str) -> bool:
     import shutil
 
-    return shutil.which("ffmpeg") is not None
+    return shutil.which("ffmpeg", path=path_env) is not None
+
+
+def ffmpeg_available() -> bool:
+    # memoized per PATH value: _decode_stub may probe once per row and a
+    # which() walk stats every PATH dir — but tests (and callers) that
+    # re-point PATH must still see the change, so the cache key is PATH
+    import os
+
+    return _ffmpeg_on(os.environ.get("PATH", ""))
 
 
 def _run_ffmpeg(payload: bytes, out_args: list[str]) -> tuple[bytes, str]:
@@ -359,42 +370,74 @@ def _run_ffmpeg(payload: bytes, out_args: list[str]) -> tuple[bytes, str]:
 _AV_RATE = 16000  # mono resample rate for audio features
 
 
-def _ffmpeg_audio(payload: bytes) -> tuple[float, int, float]:
-    """(duration_s, n_samples, mean_rms) via decode to mono s16le."""
+#: audio decode bound: mono 16 kHz s16le capped at _AUD_MAX_S seconds —
+#: ≤ ~19 MB of pipe buffer per row regardless of source length
+_AUD_MAX_S = 600
+
+
+def _ffmpeg_audio(
+    payload: bytes, max_seconds: int = _AUD_MAX_S
+) -> tuple[float, int, float, bool]:
+    """(duration_s, n_samples, mean_rms, truncated) via decode to mono
+    s16le at _AV_RATE, bounded to max_seconds."""
     import numpy as np
 
     out, _ = _run_ffmpeg(
         payload,
-        ["-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1", "-ar", str(_AV_RATE), "pipe:1"],
+        ["-t", str(max_seconds), "-f", "s16le", "-acodec", "pcm_s16le",
+         "-ac", "1", "-ar", str(_AV_RATE), "pipe:1"],
     )
     x = np.frombuffer(out, dtype="<i2").astype(np.float64) / 32768.0
     n = int(x.size)
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
-    return n / _AV_RATE, n, rms
+    return n / _AV_RATE, n, rms, n >= max_seconds * _AV_RATE
 
 
-def _ffmpeg_video(payload: bytes) -> tuple[int, int, int, float, float | None]:
-    """(n_frames, width, height, mean_luma, fps) via decode to rawvideo
-    gray; dims and fps come from ffmpeg's own stream line (one decode
-    pass total). fps is None when the stream line carries no rate."""
+#: video decode bounds: frames are downscaled to _VID_SCALE² gray (4 KB
+#: each) and capped at _VID_MAX_FRAMES — a 1080p hour-long clip costs
+#: ≤ _VID_MAX_FRAMES * 4 KB of pipe buffer, never duration * w * h raw
+#: bytes in the Python worker. Reported dims still come from the stream
+#: line (the real resolution); n_frames == the cap means "at least".
+_VID_SCALE = 64
+_VID_MAX_FRAMES = 256
+
+
+def _ffmpeg_video(
+    payload: bytes, max_frames: int = _VID_MAX_FRAMES
+) -> tuple[int, int, int, float, float | None, bool]:
+    """(n_frames, width, height, mean_luma, fps, truncated) via decode of
+    the FIRST video stream (-map 0:v:0 — default 'best' selection could
+    decode an attached cover/thumbnail stream whose dims differ from the
+    stream line we parse) with -noautorotate (display-matrix rotation
+    would swap decoded w/h vs the container line). Frames are downscaled
+    to a fixed gray raster, so frame counting is independent of the
+    reported dims. fps is None when the stream line carries no rate."""
     import re
 
     import numpy as np
 
-    out, err = _run_ffmpeg(payload, ["-f", "rawvideo", "-pix_fmt", "gray", "pipe:1"])
+    out, err = _run_ffmpeg(
+        payload,
+        [
+            "-map", "0:v:0", "-noautorotate", "-frames:v", str(max_frames),
+            "-vf", f"scale={_VID_SCALE}:{_VID_SCALE}",
+            "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
+        ],
+    )
     m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b", err)
     if not m:
         raise ValueError(f"ffmpeg reported no video stream dims: ...{err[-200:]}")
     w, h = int(m.group(1)), int(m.group(2))
     fm = re.search(r"\b([\d.]+)\s*fps\b", err)
     fps = float(fm.group(1)) if fm else None
-    n_frames = len(out) // (w * h)
+    frame_bytes = _VID_SCALE * _VID_SCALE
+    n_frames = len(out) // frame_bytes
     if n_frames:
-        frame = np.frombuffer(out[: n_frames * w * h], dtype=np.uint8)
+        frame = np.frombuffer(out, dtype=np.uint8, count=n_frames * frame_bytes)
         luma = float(frame.mean() / 255.0)
     else:
         luma = 0.0
-    return n_frames, w, h, luma, fps
+    return n_frames, w, h, luma, fps, n_frames >= max_frames
 
 
 AV_FRAMES_DDL = (
@@ -438,20 +481,25 @@ def extract_av_frames(
                     chunk[id_col], chunk[type_col], chunk[binary_col]
                 ):
                     p = bytes(p or b"")
-                    if mt.startswith("audio/"):
-                        dur, n, level = _ffmpeg_audio(p)
+                    if isinstance(mt, str) and mt.startswith("audio/"):
+                        dur, n, level, trunc = _ffmpeg_audio(p)
                         wav = _wav_header(p)
                         hdr = (wav[0] / 1000.0) if wav else None
                         w = h = None
-                    elif mt.startswith("video/"):
-                        n, w, h, level, fps = _ffmpeg_video(p)
+                    elif isinstance(mt, str) and mt.startswith("video/"):
+                        n, w, h, level, fps, trunc = _ffmpeg_video(p)
                         mp4 = _mp4_duration(p)
                         hdr = (mp4[0] / 1000.0) if mp4 else None
                         dur = (n / fps) if fps else None
                     else:
-                        raise ValueError(f"extract_av_frames: not A/V: {mt}")
+                        # None/odd types fail loud WITH the row id — an
+                        # AttributeError from None.startswith names nothing
+                        raise ValueError(
+                            f"extract_av_frames: not A/V: {mt!r} (doc_id={did})"
+                        )
                     verified = (
-                        hdr is not None
+                        not trunc
+                        and hdr is not None
                         and dur is not None
                         and abs(dur - hdr) <= 0.1 + 0.02 * max(hdr, 0.0)
                     )

@@ -407,7 +407,7 @@ def _fake_ffmpeg(tmp_path):
               python3 -c "import sys,struct; sys.stdout.buffer.write(struct.pack('<h', 16384) * 16000)"
             else
               echo "  Stream #0:0: Video: h264 (High), yuv420p, 320x240, 25 fps, 25 tbr" >&2
-              python3 -c "import sys; sys.stdout.buffer.write(bytes([128]) * (320*240*10))"
+              python3 -c "import sys; sys.stdout.buffer.write(bytes([128]) * (64*64*10))"
             fi
             """
         )
@@ -427,11 +427,12 @@ def test_ffmpeg_parsers_with_fake_binary(tmp_path, monkeypatch):
 
     monkeypatch.setenv("PATH", _fake_ffmpeg(tmp_path) + ":" + os.environ["PATH"])
     assert ffmpeg_available()
-    dur, n, rms = _ffmpeg_audio(b"RIFFfake")
-    assert n == 16000 and dur == 1.0 and abs(rms - 0.5) < 1e-6
-    n_frames, w, h, luma, fps = _ffmpeg_video(b"fakemp4")
+    dur, n, rms, trunc = _ffmpeg_audio(b"RIFFfake")
+    assert n == 16000 and dur == 1.0 and abs(rms - 0.5) < 1e-6 and not trunc
+    # dims/fps come from the stream line; frames from the SCALED raster
+    n_frames, w, h, luma, fps, vtrunc = _ffmpeg_video(b"fakemp4")
     assert (n_frames, w, h, fps) == (10, 320, 240, 25.0)
-    assert abs(luma - 128 / 255.0) < 1e-6
+    assert abs(luma - 128 / 255.0) < 1e-6 and not vtrunc
 
 
 def test_extract_av_frames_requires_ffmpeg(spark, tmp_path, monkeypatch):
