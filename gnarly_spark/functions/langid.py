@@ -395,8 +395,12 @@ def norm_expr(col):
     engines would normalize Turkish/Greek uppercase to DIFFERENT grams.
     Pin both: translate 'İ' -> 'i' BEFORE lower (kills the special
     mapping) and 'ς' -> 'σ' AFTER (collapses both sigma lowercasings,
-    and pre-existing final sigmas with them). These are the only two
-    non-locale SpecialCasing divergences over the supported ranges."""
+    and pre-existing final sigmas with them). These are the two
+    non-locale SpecialCasing divergences over the supported ranges;
+    LOCALE-conditional casing (a tr_TR/az/lt-locale JVM lowers even
+    ASCII 'I' to 'ı') is pinned at the session level instead —
+    session.py sets -Duser.language=en on driver and executors, which
+    every lower()-with-DuckDB-twin expression in the repo relies on."""
     s = F.translate(F.lower(F.translate(col, "İ", "i")), "ς", "σ")
     s = F.regexp_replace(s, NOT_LETTER_RE, " ")
     s = F.regexp_replace(s, CJK_CAPTURE, " $1 ")

@@ -296,6 +296,8 @@ def _decode_stub(payload: bytes, media_type: str, decode_real: bool) -> list[flo
         return [float(mp4[0]), float(mp4[1])] + sha_feats[2:]
     # types beyond the pure-Python header walkers (mp3, ogg, webm, ...):
     # frame-decode via ffmpeg when the binary exists, loud otherwise
+    if not isinstance(media_type, str):
+        raise ValueError(f"media row with non-string media_type: {media_type!r}")
     if ffmpeg_available():
         if media_type.startswith("audio/"):
             _, n, rms, _tr = _ffmpeg_audio(payload or b"")
@@ -390,7 +392,10 @@ def _ffmpeg_audio(
     x = np.frombuffer(out, dtype="<i2").astype(np.float64) / 32768.0
     n = int(x.size)
     rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
-    return n / _AV_RATE, n, rms, n >= max_seconds * _AV_RATE
+    # 0.5% margin: ffmpeg's -t cut can land a resampler frame short of
+    # the exact cap — anything within it is treated as truncated (an
+    # exactly-cap-length file is conservatively flagged too)
+    return n / _AV_RATE, n, rms, n >= 0.995 * max_seconds * _AV_RATE
 
 
 #: video decode bounds: frames are downscaled to _VID_SCALE² gray (4 KB
@@ -486,11 +491,16 @@ def extract_av_frames(
                         wav = _wav_header(p)
                         hdr = (wav[0] / 1000.0) if wav else None
                         w = h = None
+                        if trunc:
+                            # cap hit: the decoded duration is NOT the
+                            # media's duration — NULL, never a silently
+                            # wrong 600.0 for a 2-hour file
+                            dur = None
                     elif isinstance(mt, str) and mt.startswith("video/"):
                         n, w, h, level, fps, trunc = _ffmpeg_video(p)
                         mp4 = _mp4_duration(p)
                         hdr = (mp4[0] / 1000.0) if mp4 else None
-                        dur = (n / fps) if fps else None
+                        dur = (n / fps) if (fps and not trunc) else None
                     else:
                         # None/odd types fail loud WITH the row id — an
                         # AttributeError from None.startswith names nothing

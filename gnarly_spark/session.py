@@ -44,6 +44,22 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pin the JVM's default locale: Java toLowerCase/toUpperCase are
+        # locale-CONDITIONAL (a tr_TR/az/lt JVM lowers ASCII 'I' to 'ı'),
+        # which would silently break every lower()-based expression whose
+        # DuckDB oracle twin uses locale-independent simple casing
+        # (langid normalization, case-insensitive equality). en_US is the
+        # root-casing behavior both DuckDB and Python str.lower() match
+        # (modulo the two Unicode SpecialCasing entries langid pins
+        # explicitly).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
     )
     # only set master when not already running under spark-submit
     if "SPARK_CONNECT_MODE_ENABLED" not in os.environ and not os.environ.get("SPARK_MASTER"):

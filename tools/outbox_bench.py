@@ -10,7 +10,8 @@ byte-identical v-files (same seqs, same order).
     PYTHONPATH=/root/repo python tools/outbox_bench.py [n_rows]
 
 MEASURED FINDING (round 4, this box): the OLD single-task shape is
-FASTER here (1M: 4.4 vs 5.9 s; 4M: 12.3 vs 17.8 s) — this box has ONE
+FASTER here (1M best-of-2: 2.7 vs 3.0 s; 4M single-leg: 12.3 vs
+17.8 s) — this box has ONE
 virtual disk (CLAUDE.md: parquet I/O ceiling scales 0.29 from 8->32
 cores), so the new path's localCheckpoint + 32-file parallel write +
 sequential concat pays disk costs the single-task CPU encode avoids.
@@ -70,7 +71,8 @@ def old_shape_export(feed, out_path: str) -> int:
     tmp = out_path + ".tmp"
     env.coalesce(1).write.mode("overwrite").text(tmp)
     part = next(p for p in os.listdir(tmp) if p.startswith("part-"))
-    n = sum(1 for _ in open(os.path.join(tmp, part)))
+    with open(os.path.join(tmp, part)) as f:
+        n = sum(1 for _ in f)
     os.replace(os.path.join(tmp, part), out_path)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
@@ -94,6 +96,16 @@ def main():
     )
     t.expire_snapshots(keep_last=1)  # force the 'r' bootstrap path
 
+    import subprocess
+
+    # CLAUDE.md: benchmarks are polluted by ANY concurrent Spark session
+    probe = subprocess.run(
+        ["pgrep", "-af", "pytest|check_oracle"], capture_output=True, text=True
+    )
+    if probe.stdout.strip():
+        print(f"WARNING: concurrent Spark work detected:\n{probe.stdout}",
+              file=sys.stderr)
+
     out = {"n_rows": n_rows, "cpus": cpus}
     snap = t.read()
     feed = snap.select(
@@ -101,26 +113,35 @@ def main():
         F.lit("snapshot").alias("_change_type"),
         *[c for c in snap.columns if c != "url"],
     )
-    t0 = time.monotonic()
-    n_old = old_shape_export(feed, os.path.join(work, "old_v1.jsonl"))
-    out["old_single_task_sec"] = round(time.monotonic() - t0, 3)
+    # best-of-2 per variant (CLAUDE.md: VM timing variance is large);
+    # export_outbox advances a cursor, so each leg gets a fresh dir
+    best_old = None
+    for i in range(2):
+        t0 = time.monotonic()
+        n_old = old_shape_export(feed, os.path.join(work, f"old_v1_{i}.jsonl"))
+        dt = time.monotonic() - t0
+        best_old = dt if best_old is None else min(best_old, dt)
+    out["old_single_task_sec"] = round(best_old, 3)
 
-    t0 = time.monotonic()
-    r = export_outbox(t, os.path.join(work, "outbox"))
-    out["new_two_phase_sec"] = round(time.monotonic() - t0, 3)
+    best_new = None
+    for i in range(2):
+        t0 = time.monotonic()
+        r = export_outbox(t, os.path.join(work, f"outbox_{i}"))
+        dt = time.monotonic() - t0
+        best_new = dt if best_new is None else min(best_new, dt)
+    out["new_two_phase_sec"] = round(best_new, 3)
     out["speedup"] = round(out["old_single_task_sec"] / out["new_two_phase_sec"], 2)
     assert r["envelopes"] == n_old == n_rows, (r, n_old)
     # seqs must be the global key rank in both: spot-check line order
     vfile = next(
-        os.path.join(work, "outbox", f)
-        for f in sorted(os.listdir(os.path.join(work, "outbox")))
+        os.path.join(work, "outbox_1", f)
+        for f in sorted(os.listdir(os.path.join(work, "outbox_1")))
         if f.endswith(".jsonl")
     )
     import itertools
-    import json as _json
 
     with open(vfile) as f:
-        first = [_json.loads(x)["source"]["seq"] for x in itertools.islice(f, 1000)]
+        first = [json.loads(x)["source"]["seq"] for x in itertools.islice(f, 1000)]
     out["seqs_ordered"] = first == list(range(1000))
     print(json.dumps(out))
     spark.stop()
