@@ -148,3 +148,17 @@ def test_spark_matches_duckdb_oracle_on_mixed_docs(spark, tmp_path):
     )
     want = dict(con.execute(oracle_sql_langid()).fetchall())
     assert got == want
+
+
+def test_session_jvm_locale_is_pinned(spark):
+    """Gate-critical invariant (round 4): Java toLowerCase is locale-
+    CONDITIONAL — a tr_TR-default JVM lowers ASCII 'I' to dotless 'ı',
+    silently breaking every lower()-based expression whose DuckDB twin
+    uses simple casing (langid normalization first among them).
+    session.py pins -Duser.language=en on driver and executors; this
+    test fails if a refactor ever drops the pin."""
+    jvm = spark.sparkContext._jvm
+    loc = jvm.java.util.Locale.getDefault().toString()
+    assert loc.startswith("en"), f"JVM default locale {loc} — pin dropped?"
+    (row,) = spark.sql("SELECT lower('ISTANBUL') AS a").collect()
+    assert row.a == "istanbul"
