@@ -520,3 +520,32 @@ def test_ann_topk_rank_is_two_phase_no_corpus_window(spark):
     rows = topk.collect()
     assert {r.query_id for r in rows} == {0, 1, 2}
     assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_rank_limit_filter_gets_window_group_limit(spark):
+    """Documents + pins the round-4 root-cause finding: Spark >= 3.5
+    rewrites `row_number().over(partitionBy(q).orderBy(s)) <= k` into
+    WindowGroupLimit Partial (map-side, BEFORE the exchange) + Final —
+    which is why the pre-r4 single-window ANN rank never actually pushed
+    a corpus through one task (tools/topk_bench.py measured parity with
+    the explicit two-phase). If a Spark upgrade or conf change ever
+    drops this rewrite, this test fires and the explicit topk_per_query
+    becomes the only safe shape — at which point the A/B should be
+    re-run."""
+    from pyspark.sql import Window
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 7).alias("query_id"),
+        F.col("id").alias("n"),
+        (F.col("id") % 997).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "n")
+    ranked = df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= 10)
+    plan = plan_of(ranked)
+    assert "WindowGroupLimit" in plan, plan
+    # the Partial (pre-exchange) instance is the scale property: lines
+    # print parent-first, so Partial must appear AFTER the Exchange line
+    lines = plan.splitlines()
+    partial = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l]
+    exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l]
+    assert partial and exch and partial[0] > exch[0], plan
