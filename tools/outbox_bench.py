@@ -10,8 +10,8 @@ byte-identical v-files (same seqs, same order).
     PYTHONPATH=/root/repo python tools/outbox_bench.py [n_rows]
 
 MEASURED FINDING (round 4, this box): the OLD single-task shape is
-FASTER here (1M best-of-2: 2.7 vs 3.0 s; 4M single-leg: 12.3 vs
-17.8 s) — this box has ONE
+FASTER here (best-of-2 — 1M: 2.7 vs 3.0 s; 4M: 11.3 vs 13.1 s, the
+gap narrowing as the single task's sort/encode grows) — this box has ONE
 virtual disk (CLAUDE.md: parquet I/O ceiling scales 0.29 from 8->32
 cores), so the new path's localCheckpoint + 32-file parallel write +
 sequential concat pays disk costs the single-task CPU encode avoids.
