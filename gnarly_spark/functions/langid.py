@@ -408,15 +408,21 @@ def norm_expr(col):
     return F.concat(F.lit(" "), F.trim(s), F.lit(" "))
 
 
-_MATRIX: dict = {}  # per-process memo BY PATH: (vocab row index, W matrix)
+_MATRIX: dict = {}  # per-process memo BY MODEL IDENTITY: (vocab index, W)
 
 
-def _matrix(model, path_key: str):
+def _matrix(model):
     """Dense scoring matrix: row per vocab gram + one trailing floor row
     (the miss target), so a document scores as W[gram_row_ids].sum(0) —
     one numpy gather-sum instead of a Python loop of per-gram vector
-    adds (2-4x on the Arrow batch path; identical integer results)."""
-    if path_key not in _MATRIX:
+    adds (2-4x on the Arrow batch path; identical integer results).
+
+    Keyed by ``id(model)``: _LOADED memoizes one tuple per abspath and
+    never evicts, so model identity and matrix cache cannot diverge even
+    when a process loads several models (previously a constant key let a
+    second load_model(custom_path) silently reuse the first matrix)."""
+    key = id(model)
+    if key not in _MATRIX:
         import numpy as np
 
         langs, floors, vecs = model
@@ -425,16 +431,16 @@ def _matrix(model, path_key: str):
         for g, i in vocab.items():
             w[i] = vecs[g]
         w[len(vocab)] = floors  # miss row
-        _MATRIX[path_key] = (vocab, w)
-    return _MATRIX[path_key]
+        _MATRIX[key] = (vocab, w)
+    return _MATRIX[key]
 
 
-def _score_norms(norms, model, path_key: str = "default"):
+def _score_norms(norms, model):
     import numpy as np
     import pandas as pd
 
     langs, _floors, _vecs = model
-    vocab, w = _matrix(model, path_key)
+    vocab, w = _matrix(model)
     miss = len(vocab)
     out = []
     for t in norms:

@@ -407,33 +407,66 @@ _VID_SCALE = 64
 _VID_MAX_FRAMES = 256
 
 
+def _video_stream_lines(err: str) -> list[tuple[str, int, int]]:
+    """All input video stream lines from an ffmpeg stderr dump, in stream
+    order (== the 0:v:K mapping ordinal), as (line, width, height)."""
+    import re
+
+    lines = []
+    for line in err.splitlines():
+        m = re.search(
+            r"Stream #\d+:\d+.*?: Video: .*?\b(\d{2,5})x(\d{2,5})\b", line
+        )
+        if m:
+            lines.append((line, int(m.group(1)), int(m.group(2))))
+    return lines
+
+
 def _ffmpeg_video(
     payload: bytes, max_frames: int = _VID_MAX_FRAMES
 ) -> tuple[int, int, int, float, float | None, bool]:
     """(n_frames, width, height, mean_luma, fps, truncated) via decode of
-    the FIRST video stream (-map 0:v:0 — default 'best' selection could
-    decode an attached cover/thumbnail stream whose dims differ from the
-    stream line we parse) with -noautorotate (display-matrix rotation
-    would swap decoded w/h vs the container line). Frames are downscaled
-    to a fixed gray raster, so frame counting is independent of the
-    reported dims. fps is None when the stream line carries no rate."""
+    the first NON-attached-pic video stream, with -noautorotate
+    (display-matrix rotation would swap decoded w/h vs the container
+    line). Audio files with embedded cover art (MP3/M4A) expose the
+    cover as a video stream flagged '(attached pic)' — and it sorts
+    FIRST, so a plain -map 0:v:0 would report thumbnail dims and a
+    1-frame decode as the video features. The first run maps 0:v:0; if
+    the stderr stream dump shows the real video at a later ordinal, one
+    re-run maps it directly (only cover-art-bearing files pay the second
+    pass). A container whose only video streams are attached pics keeps
+    the 0:v:0 decode — the cover IS its visual content. Frames are
+    downscaled to a fixed gray raster, so frame counting is independent
+    of the reported dims. fps is None when the stream line carries no
+    rate."""
     import re
 
     import numpy as np
 
-    out, err = _run_ffmpeg(
-        payload,
-        [
-            "-map", "0:v:0", "-noautorotate", "-frames:v", str(max_frames),
-            "-vf", f"scale={_VID_SCALE}:{_VID_SCALE}",
-            "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
-        ],
-    )
-    m = re.search(r"Video:.*?\b(\d{2,5})x(\d{2,5})\b", err)
-    if not m:
+    def _decode(ordinal: int) -> tuple[bytes, str]:
+        return _run_ffmpeg(
+            payload,
+            [
+                "-map", f"0:v:{ordinal}", "-noautorotate",
+                "-frames:v", str(max_frames),
+                "-vf", f"scale={_VID_SCALE}:{_VID_SCALE}",
+                "-f", "rawvideo", "-pix_fmt", "gray", "pipe:1",
+            ],
+        )
+
+    out, err = _decode(0)
+    streams = _video_stream_lines(err)
+    if not streams:
         raise ValueError(f"ffmpeg reported no video stream dims: ...{err[-200:]}")
-    w, h = int(m.group(1)), int(m.group(2))
-    fm = re.search(r"\b([\d.]+)\s*fps\b", err)
+    pick = next(
+        (i for i, (ln, _, _) in enumerate(streams) if "attached pic" not in ln),
+        0,  # attached-pic-only container: keep the 0:v:0 decode
+    )
+    if pick > 0:
+        out, err = _decode(pick)
+        streams = _video_stream_lines(err)
+    line, w, h = streams[pick]
+    fm = re.search(r"\b([\d.]+)\s*fps\b", line)
     fps = float(fm.group(1)) if fm else None
     frame_bytes = _VID_SCALE * _VID_SCALE
     n_frames = len(out) // frame_bytes

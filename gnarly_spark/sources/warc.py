@@ -216,13 +216,23 @@ def write_warc(
                 # bytes while reporting the NEW counts). flock is local-FS
                 # scoped, matching this writer (a shared-nothing object
                 # store would use a rename-manifest commit instead).
+                #
+                # Order INSIDE the pair matters too (ADVICE r04): flock
+                # serializes writers but not readers, so a reader can
+                # land between the two os.replace calls. Segment FIRST,
+                # index LAST: a reader holding the not-yet-replaced OLD
+                # index seeks into the new segment and fails the gzip
+                # member header / digest check loudly (fetch_warc_records
+                # verifies and retries), whereas the old index-first
+                # order could hand a NEW index over the OLD shorter
+                # segment — offsets past EOF or mid-member reads.
                 import fcntl
 
                 lockfd = os.open(fname + ".pub", os.O_CREAT | os.O_RDWR)
                 fcntl.flock(lockfd, fcntl.LOCK_EX)
                 try:
-                    os.replace(cdx_tmp, cdxname)
                     os.replace(tmp, fname)
+                    os.replace(cdx_tmp, cdxname)
                 finally:
                     fcntl.flock(lockfd, fcntl.LOCK_UN)
                     os.close(lockfd)
@@ -290,11 +300,17 @@ def fetch_warc_records(
     everything downstream is source-agnostic."""
     import os
 
-    sel = pointers.select("filename", "offset", "length").repartition(
+    has_digest = "digest" in pointers.columns
+    cols = ["filename", "offset", "length"] + (["digest"] if has_digest else [])
+    sel = pointers.select(*cols).repartition(
         F.col("filename")
     ).sortWithinPartitions("filename", "offset")
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import time
+        import zlib
+
         # bounded emission: a 10k-pointer Arrow batch of MB-sized records
         # must NOT accumulate into one giant list + pandas copy (the same
         # O(record)-not-O(segment) memory rule write_warc streams under)
@@ -304,27 +320,71 @@ def fetch_warc_records(
         nbytes = 0
         try:
             for pdf in batches:
-                for fn, off, ln in zip(
-                    pdf["filename"], pdf["offset"], pdf["length"]
+                digests = pdf["digest"] if has_digest else [None] * len(pdf)
+                for fn, off, ln, dg in zip(
+                    pdf["filename"], pdf["offset"], pdf["length"], digests
                 ):
                     full = os.path.join(segments_dir, fn)
-                    if fh_name != full:
-                        if fh is not None:
-                            fh.close()
-                        fh = open(full, "rb")
-                        fh_name = full
-                    fh.seek(int(off))
-                    blob = gzip.decompress(fh.read(int(ln)))
-                    # a member holds exactly one record, already selected
-                    # by the pointer — parse it whatever its type
-                    # (already_decompressed: the .gz name must not
-                    # trigger a second decompress). warc_file is spelled
-                    # exactly like read_warc's binaryFile path ("file:" +
-                    # absolute path), so downstream joins/groupBys on
-                    # warc_file are source-agnostic.
-                    for url, ts, payload, _ in _parse_warc_bytes(
-                        fn, blob, record_type=None, already_decompressed=True
-                    ):
+                    # Torn-pair tolerance (ADVICE r04): write_warc's flock
+                    # serializes PUBLISHERS, but a reader can still land
+                    # between the segment and index replaces, or hold a
+                    # pointer row read before a wholesale republish. Such
+                    # a stale pointer seeks into bytes that aren't the
+                    # member it named — surfacing as a gzip header/CRC
+                    # error, a parse error, or (worst case: a valid but
+                    # WRONG member) a digest mismatch vs the CDX md5.
+                    # All three retry with a reopened handle — the window
+                    # is two renames wide, so one republish settles it —
+                    # and fail loud after bounded attempts.
+                    parsed = None
+                    last_err: Exception | None = None
+                    for attempt in range(3):
+                        try:
+                            if fh_name != full or attempt:
+                                if fh is not None:
+                                    fh.close()
+                                fh = open(full, "rb")
+                                fh_name = full
+                            fh.seek(int(off))
+                            blob = gzip.decompress(fh.read(int(ln)))
+                            # a member holds exactly one record, already
+                            # selected by the pointer — parse it whatever
+                            # its type (already_decompressed: the .gz name
+                            # must not trigger a second decompress)
+                            parsed = list(
+                                _parse_warc_bytes(
+                                    fn,
+                                    blob,
+                                    record_type=None,
+                                    already_decompressed=True,
+                                )
+                            )
+                            if dg is not None and any(
+                                hashlib.md5(p).hexdigest() != dg
+                                for _, _, p, _ in parsed
+                            ):
+                                raise ValueError(
+                                    f"payload digest mismatch vs CDX for "
+                                    f"{fn}@{off}"
+                                )
+                            break
+                        except (OSError, EOFError, ValueError, zlib.error) as e:
+                            last_err = e
+                            parsed = None
+                            if fh is not None:
+                                fh.close()
+                                fh, fh_name = None, None
+                            time.sleep(0.05 * (attempt + 1))
+                    if parsed is None:
+                        raise RuntimeError(
+                            f"ranged WARC fetch failed after retries: "
+                            f"{fn}@{off}+{ln}"
+                        ) from last_err
+                    # warc_file is spelled exactly like read_warc's
+                    # binaryFile path ("file:" + absolute path), so
+                    # downstream joins/groupBys on warc_file are
+                    # source-agnostic.
+                    for url, ts, payload, _ in parsed:
                         rows.append((url, ts, payload, f"file:{full}"))
                         nbytes += len(payload)
                         if len(rows) >= flush_rows or nbytes >= flush_bytes:

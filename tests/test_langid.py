@@ -162,3 +162,56 @@ def test_session_jvm_locale_is_pinned(spark):
     assert loc.startswith("en"), f"JVM default locale {loc} — pin dropped?"
     (row,) = spark.sql("SELECT lower('ISTANBUL') AS a").collect()
     assert row.a == "istanbul"
+
+
+def test_locale_guard_fails_loud_on_unpinned_cluster(spark):
+    """ADVICE r04: builder confs don't reach spark-submit-owned JVMs, so
+    get_spark now runtime-asserts the pin. The guard passes on the pinned
+    session (executor probe included) and rejects a tr-locale driver."""
+    from types import SimpleNamespace
+
+    import pytest as _pytest
+
+    from gnarly_spark.session import _assert_locale_pinned
+
+    _assert_locale_pinned(spark, probe_executor=True)  # pinned: no raise
+
+    fake = SimpleNamespace(
+        sparkContext=SimpleNamespace(
+            _jvm=SimpleNamespace(
+                java=SimpleNamespace(
+                    util=SimpleNamespace(
+                        Locale=SimpleNamespace(
+                            getDefault=lambda: SimpleNamespace(
+                                getLanguage=lambda: "tr"
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+    with _pytest.raises(RuntimeError, match="user.language"):
+        _assert_locale_pinned(fake, probe_executor=False)
+
+
+def test_matrix_memo_tracks_model_identity(tmp_path):
+    """ADVICE r04: the scoring-matrix memo was keyed by a constant, so a
+    second load_model(custom_path) silently reused the first model's
+    matrix. Now keyed by model identity: two loads of the same bytes at
+    different paths get DISTINCT (equal) matrices."""
+    import shutil
+
+    import numpy as np
+
+    from gnarly_spark.functions.langid import _matrix, load_model, model_path
+
+    copy = tmp_path / "langid_copy.parquet"
+    shutil.copyfile(model_path(), copy)
+    m_default = load_model()
+    m_copy = load_model(str(copy))
+    assert m_default is not m_copy
+    vocab_a, w_a = _matrix(m_default)
+    vocab_b, w_b = _matrix(m_copy)
+    assert w_a is not w_b  # per-model entries, no silent reuse
+    assert vocab_a == vocab_b and np.array_equal(w_a, w_b)  # same bytes

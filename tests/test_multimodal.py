@@ -435,6 +435,51 @@ def test_ffmpeg_parsers_with_fake_binary(tmp_path, monkeypatch):
     assert abs(luma - 128 / 255.0) < 1e-6 and not vtrunc
 
 
+def _fake_ffmpeg_cover_art(tmp_path):
+    """A PATH-shadowing ffmpeg imitating an audio file with embedded cover
+    art: video stream 0 is a 600x600 mjpeg '(attached pic)' (decodes to
+    ONE frame), stream 1 is the real 320x240 h264 at 25 fps (decodes to
+    10 frames). Both stream lines appear in every stderr dump, as real
+    ffmpeg prints the full input dump regardless of -map."""
+    import stat
+    import textwrap
+
+    d = tmp_path / "bin"
+    d.mkdir()
+    sh = d / "ffmpeg"
+    sh.write_text(
+        textwrap.dedent(
+            """\
+            #!/bin/bash
+            echo "  Stream #0:0: Video: mjpeg (Baseline), yuvj420p, 600x600 [SAR 1:1 DAR 1:1], 90k tbr (attached pic)" >&2
+            echo "  Stream #0:1: Video: h264 (High), yuv420p, 320x240, 25 fps, 25 tbr" >&2
+            if [[ "$*" == *0:v:1* ]]; then
+              python3 -c "import sys; sys.stdout.buffer.write(bytes([128]) * (64*64*10))"
+            else
+              python3 -c "import sys; sys.stdout.buffer.write(bytes([255]) * (64*64*1))"
+            fi
+            """
+        )
+    )
+    sh.chmod(sh.stat().st_mode | stat.S_IEXEC)
+    return str(d)
+
+
+def test_ffmpeg_video_skips_attached_pic_stream(tmp_path, monkeypatch):
+    """Cover-art-bearing files must report the REAL video stream's dims
+    and frames, not the thumbnail's (ADVICE r04: attached_pic is 0:v:0)."""
+    import os
+
+    from gnarly_spark.operators.multimodal import _ffmpeg_video
+
+    monkeypatch.setenv(
+        "PATH", _fake_ffmpeg_cover_art(tmp_path) + ":" + os.environ["PATH"]
+    )
+    n_frames, w, h, luma, fps, trunc = _ffmpeg_video(b"fakemp3withcover")
+    assert (n_frames, w, h, fps) == (10, 320, 240, 25.0)
+    assert abs(luma - 128 / 255.0) < 1e-6 and not trunc
+
+
 def test_extract_av_frames_requires_ffmpeg(spark, tmp_path, monkeypatch):
     """Degrades loudly and at plan-build time when the binary is absent."""
     import pytest as _pytest

@@ -301,6 +301,27 @@ def test_cdx_fetch_corrupt_pointer_fails_loud(spark, tmp_path):
         fetch_warc_records(spark, bad, str(tmp_path)).collect()
 
 
+def test_cdx_fetch_digest_mismatch_fails_loud(spark, tmp_path):
+    """A pointer that names a VALID gzip member but the wrong record (the
+    torn-republish worst case: stale index over a new segment where an
+    old offset happens to land on a member boundary) must not silently
+    return the wrong bytes — the CDX md5 check rejects it after bounded
+    retries (ADVICE r04)."""
+    from gnarly_spark.sources.warc import fetch_warc_records, read_cdx
+
+    docs = _docs(spark, n=6)
+    write_warc(docs.repartition(1), str(tmp_path), member_gzip=True)
+    cdx = read_cdx(spark, f"{tmp_path}/*.cdx")
+    # swap one pointer's digest for another record's: offset/length still
+    # decode a clean member, so only the digest check can catch it
+    two = cdx.orderBy("offset").limit(2).collect()
+    bad = cdx.where(F.col("offset") == two[0]["offset"]).withColumn(
+        "digest", F.lit(two[1]["digest"])
+    )
+    with pytest.raises(Exception, match="after retries"):
+        fetch_warc_records(spark, bad, str(tmp_path)).collect()
+
+
 def test_cdx_fetch_warc_file_spelling_matches_read_warc(spark, tmp_path):
     """fetch_warc_records spells warc_file exactly like read_warc's
     binaryFile path (file: + absolute path), so cross-source joins on
