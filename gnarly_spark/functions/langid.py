@@ -408,14 +408,17 @@ def norm_expr(col):
     return F.concat(F.lit(" "), F.trim(s), F.lit(" "))
 
 
-_MATRIX: dict = {}  # per-process memo BY MODEL IDENTITY: (vocab index, W)
+_MATRIX: dict = {}  # per-process memo BY MODEL IDENTITY: (vocab index, W, keys)
 
 
 def _matrix(model):
     """Dense scoring matrix: row per vocab gram + one trailing floor row
-    (the miss target), so a document scores as W[gram_row_ids].sum(0) —
-    one numpy gather-sum instead of a Python loop of per-gram vector
-    adds (2-4x on the Arrow batch path; identical integer results).
+    (the miss target), so a document scores as W[gram_row_ids].sum(0),
+    plus the sorted-int64 trigram key index (_score_norms's vectorized
+    lookup): every vocab gram is exactly 3 chars (_grams), and Unicode
+    codepoints fit 21 bits, so a trigram packs losslessly into one int64
+    ``c0<<42 | c1<<21 | c2`` — gram lookup becomes np.searchsorted
+    instead of a per-gram Python dict probe.
 
     Keyed by ``id(model)``: _LOADED memoizes one tuple per abspath and
     never evicts, so model identity and matrix cache cannot diverge even
@@ -431,36 +434,86 @@ def _matrix(model):
         for g, i in vocab.items():
             w[i] = vecs[g]
         w[len(vocab)] = floors  # miss row
-        _MATRIX[key] = (vocab, w)
+        packed = np.fromiter(
+            (
+                (ord(g[0]) << 42) | (ord(g[1]) << 21) | ord(g[2])
+                for g in sorted(vocab)
+            ),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+        order = np.argsort(packed, kind="stable")
+        _MATRIX[key] = (vocab, w, packed[order], order.astype(np.int64))
     return _MATRIX[key]
 
 
+#: grams per vectorized scoring chunk: bounds the (chunk, n_langs) int64
+#: W-gather temp to ~25 MB per Python worker whatever the Arrow batch size
+_SCORE_CHUNK_GRAMS = 1 << 17
+
+
 def _score_norms(norms, model):
+    """Vectorized NB scoring (VERDICT r04 #4): the former per-doc Python
+    loop (a dict probe per gram) is now one numpy pipeline per bounded
+    chunk of documents — pack every trigram of the chunk into int64 keys
+    straight from the UTF-32 code units, binary-search the sorted vocab
+    keys, gather W rows, and np.add.reduceat per-document segments.
+    Integer sums and first-max argmax are bit-identical to the scalar
+    formulation (and to the DuckDB oracle replay)."""
     import numpy as np
     import pandas as pd
 
     langs, _floors, _vecs = model
-    vocab, w = _matrix(model)
-    miss = len(vocab)
-    out = []
-    for t in norms:
-        if t is None:
-            out.append("und")
-            continue
-        grams = _grams(t)
-        n = len(grams)
-        if not n:
-            out.append("und")
-            continue
-        ids = np.fromiter(
-            (vocab.get(g, miss) for g in grams), dtype=np.int64, count=n
-        )
-        matched = int((ids != miss).sum())
-        # zero matched grams (incl. empty text): no evidence -> 'und'
-        if not matched:
-            out.append("und")
-            continue
-        out.append(langs[int(np.argmax(w[ids].sum(axis=0)))])
+    _vocab, w, vkeys, vrows = _matrix(model)
+    miss = len(vkeys)
+    texts = list(norms)
+    out = ["und"] * len(texts)
+    lang_arr = np.array(langs)
+
+    # chunk docs so each pipeline pass stays memory-bounded
+    i = 0
+    n_docs = len(texts)
+    while i < n_docs:
+        j, grams_in_chunk = i, 0
+        while j < n_docs and (j == i or grams_in_chunk < _SCORE_CHUNK_GRAMS):
+            t = texts[j]
+            if t is not None:
+                grams_in_chunk += max(len(t) - 2, 0)
+            j += 1
+        chunk = [t if t is not None else "" for t in texts[i:j]]
+        lens = np.fromiter((len(t) for t in chunk), np.int64, count=len(chunk))
+        ng = np.maximum(lens - 2, 0)
+        total = int(ng.sum())
+        if total:
+            codes = np.frombuffer(
+                "".join(chunk).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            starts = np.cumsum(lens) - lens
+            # flat gram start positions: per doc, starts[d] + 0..ng[d]-1
+            intra = np.arange(total) - np.repeat(
+                np.cumsum(ng) - ng, ng
+            )
+            seg = np.repeat(starts, ng) + intra
+            k = (codes[seg] << 42) | (codes[seg + 1] << 21) | codes[seg + 2]
+            if miss:
+                pos = np.searchsorted(vkeys, k)
+                np.clip(pos, 0, miss - 1, out=pos)
+                hit = vkeys[pos] == k
+                rows = np.where(hit, vrows[pos], miss)
+            else:  # empty vocab: every gram is a miss
+                hit = np.zeros(total, dtype=bool)
+                rows = np.zeros(total, dtype=np.int64)
+            nz = np.flatnonzero(ng)
+            ng_nz = ng[nz]
+            segs = np.cumsum(ng_nz) - ng_nz  # first gram of each nz doc
+            scores = np.add.reduceat(w[rows], segs, axis=0)
+            matched = np.add.reduceat(hit.astype(np.int64), segs)
+            best = lang_arr[np.argmax(scores, axis=1)]
+            for d, m, b in zip(nz, matched, best):
+                # zero matched grams (incl. empty text): no evidence
+                if m:
+                    out[i + int(d)] = str(b)
+        i = j
     return pd.Series(out)
 
 

@@ -330,6 +330,7 @@ def feed_to_debezium(
     version: int | None = None,
     with_seq: bool = False,
     n_ranges: int | None = None,
+    small_delta_rows: int = 100_000,
 ) -> DataFrame:
     """The OUTBOX direction: a lake ``changelog(v_from[, v_to])`` image
     feed -> one envelope JSON line per changed key (column ``value``).
@@ -358,8 +359,23 @@ def feed_to_debezium(
     the common path is O(delta). ``with_seq=True`` additionally returns
     the ``_seq`` column so callers can range-order output files.
 
-    Cost note: the offset computation collects one (partition, count) row
-    per range — bounded control-plane metadata, never data rows."""
+    Small-delta fast path (ADVICE r04): a merged feed of at most
+    ``small_delta_rows`` keys takes the single-window
+    ``row_number().over(orderBy(key))`` instead — one task sorts a
+    bounded delta, and the per-version export pays one count job rather
+    than the two-phase path's checkpoint + per-range collect (measured
+    slower on tiny deltas). Both paths compute seq == the exact global
+    rank by key, so which one ran is unobservable in the output and
+    re-exports stay byte-identical either way.
+
+    Cost notes for the two-phase (bootstrap-scale) path: the offset
+    computation collects one (partition, count) row per range — bounded
+    control-plane metadata, never data rows — and the eager
+    ``localCheckpoint`` that pins partition ids materializes the WHOLE
+    merged feed in executor storage for the job's lifetime and is not
+    recoverable on executor loss (Spark recomputes from the checkpoint,
+    which no longer exists on the lost executor); a failed export run is
+    simply re-run — the files it writes are idempotent."""
     from pyspark.sql import Window
 
     data_cols = [c for c in feed.columns if c not in (key, "_change_type")]
@@ -394,37 +410,46 @@ def feed_to_debezium(
         F.max("_op").alias("_op"),  # {u} or {c} or {d}: pairs agree on 'u'
     )
     sess = feed.sparkSession
-    n_parts = max(1, n_ranges or sess.sparkContext.defaultParallelism)
-    ranged = (
-        merged.repartitionByRange(n_parts, "_k")
-        .withColumn("_pid", F.spark_partition_id())
-        # pin partition ids: the counts job and the rank job below must
-        # see the SAME pid per row (range boundaries are sampled once)
-        .localCheckpoint()
-    )
-    counts = sorted(
-        (r["_pid"], r["count"])
-        for r in ranged.groupBy("_pid").count().collect()
-    )
-    offsets, acc = {}, 0
-    for pid, n in counts:
-        offsets[pid] = acc
-        acc += n
-    if offsets:
-        off = F.coalesce(
-            F.try_element_at(
-                F.create_map(
-                    *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
-                ),
-                F.col("_pid"),
-            ),
-            F.lit(0),
-        )
+    n_merged = merged.count()  # AQE reuses this shuffle downstream
+    if n_merged <= small_delta_rows:
+        # bounded delta: one-task sort is cheaper than checkpoint +
+        # per-range offsets; identical seqs (global rank by key)
+        base = merged
+        seq = F.row_number().over(Window.orderBy("_k")) + F.lit(seq_start - 1)
     else:
-        off = F.lit(0)
-    lw = Window.partitionBy("_pid").orderBy("_k")
-    seq = F.row_number().over(lw) + off + F.lit(seq_start - 1)
-    env = ranged.select(
+        n_parts = max(1, n_ranges or sess.sparkContext.defaultParallelism)
+        ranged = (
+            merged.repartitionByRange(n_parts, "_k")
+            .withColumn("_pid", F.spark_partition_id())
+            # pin partition ids: the counts job and the rank job below
+            # must see the SAME pid per row (range boundaries are
+            # sampled once)
+            .localCheckpoint()
+        )
+        counts = sorted(
+            (r["_pid"], r["count"])
+            for r in ranged.groupBy("_pid").count().collect()
+        )
+        offsets, acc = {}, 0
+        for pid, n in counts:
+            offsets[pid] = acc
+            acc += n
+        if offsets:
+            off = F.coalesce(
+                F.try_element_at(
+                    F.create_map(
+                        *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+                    ),
+                    F.col("_pid"),
+                ),
+                F.lit(0),
+            )
+        else:
+            off = F.lit(0)
+        base = ranged
+        lw = Window.partitionBy("_pid").orderBy("_k")
+        seq = F.row_number().over(lw) + off + F.lit(seq_start - 1)
+    env = base.select(
         "before",
         "after",
         F.struct(
@@ -448,6 +473,8 @@ def export_outbox(
     table,
     out_dir: str,
     source_name: str = "gnarly",
+    max_single_file_bytes: int = 256 << 20,
+    small_delta_rows: int = 100_000,
 ) -> dict:
     """Incremental OUTBOX export: envelope JSONL for every lake commit
     since the last export — the transactional-outbox pattern that feeds
@@ -482,9 +509,29 @@ def export_outbox(
       exact semantic Debezium gives its initial snapshot. Incremental
       files resume from there.
 
+    File layout is size-adaptive (VERDICT r04). A version whose export
+    fits in ``max_single_file_bytes`` publishes the single
+    ``v{N}.jsonl`` (the common incremental-delta shape). A larger one —
+    the snapshot bootstrap above all — publishes
+    ``v{N}-part-{i:05d}.jsonl`` files in envelope-seq order plus a
+    ``v{N}.manifest.json`` listing each part's count and seq range;
+    the parts are the parallel write's own range-ordered output renamed
+    into place (no driver-side concat: the old single-file concat
+    streamed the whole bootstrap through one driver file handle, and
+    assumed the parts live on a driver-local FS). Each part is
+    tmp+rename atomic and the manifest lands LAST, so a consumer that
+    needs all-of-version semantics gates on the manifest, while plain
+    ``v*.jsonl`` file-stream tailers (which both layouts match) just see
+    parts arrive — safe under at-least-once replay because envelope seq
+    is the idempotency key. Re-exports clean up the other layout's
+    files and any higher-numbered stale parts, so a crashed or
+    reconfigured earlier attempt can't leave a mixed layout behind.
+
     Cost per run: O(changed rows since cursor) — each changelog() is one
-    key-shuffle over two snapshots' files. Returns {"exported_versions",
-    "envelopes", "from_version", "to_version"}."""
+    key-shuffle over two snapshots' files; the multi-file path adds one
+    parallel line-count pass over the written parts (for the manifest +
+    seq advance) instead of the old serial driver concat. Returns
+    {"exported_versions", "envelopes", "from_version", "to_version"}."""
     import json as _json
     import os
     import shutil as _shutil
@@ -520,14 +567,13 @@ def export_outbox(
             )
         env = feed_to_debezium(
             feed, key=table.key, seq_start=seq, source_name=source_name,
-            version=v, with_seq=True,
+            version=v, with_seq=True, small_delta_rows=small_delta_rows,
         )
         tmp = os.path.join(out_dir, f".tmp-v{v}")
-        # parallel write, then sequential file concat: range-partition on
-        # seq so part-00000 < part-00001 in envelope order — no
-        # coalesce(1) single-task sort/encode even when the bootstrap
-        # path pushes a whole snapshot through here (VERDICT r03 #2 /
-        # ADVICE r03). The concat is pure streaming file I/O.
+        # parallel write, range-partitioned on seq so part-00000 <
+        # part-00001 in envelope order — no coalesce(1) single-task
+        # sort/encode even when the bootstrap path pushes a whole
+        # snapshot through here (VERDICT r03 #2 / ADVICE r03)
         n_out = max(1, env.sparkSession.sparkContext.defaultParallelism)
         (
             env.repartitionByRange(n_out, "_seq")
@@ -536,20 +582,82 @@ def export_outbox(
             .write.mode("overwrite")
             .text(tmp)
         )
-        parts = sorted(p for p in os.listdir(tmp) if p.startswith("part-"))
-        n = 0
-        cat = os.path.join(tmp, "_cat.jsonl")
-        with open(cat, "wb") as outf:
-            for p in parts:
-                with open(os.path.join(tmp, p), "rb") as f:
-                    while True:
-                        chunk = f.read(1 << 20)
-                        if not chunk:
-                            break
-                        n += chunk.count(b"\n")
-                        outf.write(chunk)
-        os.replace(cat, os.path.join(out_dir, f"v{v}.jsonl"))
+        parts = [
+            p
+            for p in sorted(os.listdir(tmp))
+            if p.startswith("part-") and os.path.getsize(os.path.join(tmp, p))
+        ]
+        total_bytes = sum(os.path.getsize(os.path.join(tmp, p)) for p in parts)
+        n_parts_published = 0
+        if total_bytes <= max_single_file_bytes:
+            # small delta: one file per version, streamed concat
+            n = 0
+            cat = os.path.join(tmp, "_cat.jsonl")
+            with open(cat, "wb") as outf:
+                for p in parts:
+                    with open(os.path.join(tmp, p), "rb") as f:
+                        while True:
+                            chunk = f.read(1 << 20)
+                            if not chunk:
+                                break
+                            n += chunk.count(b"\n")
+                            outf.write(chunk)
+            os.replace(cat, os.path.join(out_dir, f"v{v}.jsonl"))
+        else:
+            # bootstrap-scale: publish the range-ordered parts directly.
+            # Per-part line counts via one PARALLEL pass (split-parallel
+            # Spark read; no JSON parse), then the manifest's seq ranges
+            # are arithmetic — seqs are dense in file order.
+            from urllib.parse import unquote
+
+            sess = env.sparkSession
+            by_file = {
+                unquote(r["f"].rsplit("/", 1)[-1]): r["n"]
+                for r in sess.read.text(tmp)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            manifest_parts, cum = [], 0
+            for i, p in enumerate(parts):
+                cnt = int(by_file.get(p, 0))
+                name = f"v{v}-part-{i:05d}.jsonl"
+                os.replace(os.path.join(tmp, p), os.path.join(out_dir, name))
+                manifest_parts.append(
+                    {
+                        "file": name,
+                        "count": cnt,
+                        "seq_first": seq + cum,
+                        "seq_last": seq + cum + cnt - 1,
+                    }
+                )
+                cum += cnt
+            n = cum
+            n_parts_published = len(parts)
+            man = {"version": v, "envelopes": n, "parts": manifest_parts}
+            man_tmp = os.path.join(tmp, "_manifest.json")
+            with open(man_tmp, "w") as f:
+                _json.dump(man, f)
+            # manifest lands LAST: its presence == every part published
+            os.replace(man_tmp, os.path.join(out_dir, f"v{v}.manifest.json"))
         _shutil.rmtree(tmp, ignore_errors=True)
+        # heal stale artifacts from a crashed/reconfigured earlier attempt:
+        # the OTHER layout's files for this version, and higher-numbered
+        # parts a wider previous write left behind
+        for f in os.listdir(out_dir):
+            stale = False
+            if f.startswith(f"v{v}-part-") and f.endswith(".jsonl"):
+                try:
+                    idx = int(f[len(f"v{v}-part-") : -len(".jsonl")])
+                except ValueError:
+                    continue
+                stale = idx >= n_parts_published
+            elif f == f"v{v}.jsonl" and n_parts_published:
+                stale = True
+            elif f == f"v{v}.manifest.json" and not n_parts_published:
+                stale = True
+            if stale:
+                os.remove(os.path.join(out_dir, f))
         seq += n
         n_env += n
         exported.append(v)

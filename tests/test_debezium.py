@@ -408,7 +408,11 @@ def test_feed_to_debezium_seq_two_phase_no_global_window(spark):
         [(f"k{i:04d}", "insert", float(i)) for i in range(257)],
         "url string, _change_type string, v double",
     )
-    env = feed_to_debezium(feed, key="url", seq_start=10, n_ranges=8)
+    # small_delta_rows=0 forces the bootstrap-scale path (the fast path
+    # for bounded deltas IS a single-window sort, by design)
+    env = feed_to_debezium(
+        feed, key="url", seq_start=10, n_ranges=8, small_delta_rows=0
+    )
     plan = env._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan
     for line in plan.splitlines():
@@ -454,6 +458,74 @@ def test_export_outbox_bootstrap_parallel_identical_seqs(spark, tmp_path):
     keys = [e["after"]["url"] for e in envs]
     assert keys == sorted(keys)
     assert dp >= 2  # the parallel write exercised > 1 range
+
+
+def test_export_outbox_multifile_bootstrap_contract(spark, tmp_path):
+    """VERDICT r04 #2: a bootstrap export over the single-file size
+    threshold publishes range-ordered v{N}-part-{i}.jsonl files plus a
+    manifest (count + seq range per part, landing last) instead of a
+    driver-side concat. Forced here via max_single_file_bytes=0 and
+    small_delta_rows=0 (two-phase seq path), >= 8 ranges: the multi-file
+    layout must carry the same dense seqs, byte-identical across
+    re-exports, with the manifest agreeing with the files."""
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox
+
+    assert spark.sparkContext.defaultParallelism >= 2
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    rows = [(f"u{i:04d}", i) for i in range(300)]
+    t.merge(spark.createDataFrame(rows, "url string, v int"), batch_id=0)
+    t.merge(
+        spark.createDataFrame([("u0001", -1), ("zz", 99)], "url string, v int"),
+        batch_id=1,
+    )
+    t.expire_snapshots(keep_last=1)  # force the bootstrap 'r' path
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    kw = dict(max_single_file_bytes=0, small_delta_rows=0)
+    ra = export_outbox(t, out_a, **kw)
+    rb = export_outbox(t, out_b, **kw)
+    assert ra["envelopes"] == rb["envelopes"] == 301
+
+    def read_layout(out):
+        parts = sorted(
+            f for f in os.listdir(out) if "-part-" in f and f.endswith(".jsonl")
+        )
+        (man_file,) = [f for f in os.listdir(out) if f.endswith(".manifest.json")]
+        man = json.load(open(os.path.join(out, man_file)))
+        blob = b"".join(
+            open(os.path.join(out, p), "rb").read() for p in parts
+        )
+        return parts, man, blob
+
+    parts_a, man_a, blob_a = read_layout(out_a)
+    parts_b, man_b, blob_b = read_layout(out_b)
+    assert len(parts_a) >= 2  # genuinely parallel layout
+    assert blob_a == blob_b and man_a == man_b  # re-export reproduces
+    assert [p["file"] for p in man_a["parts"]] == parts_a
+    assert man_a["envelopes"] == 301
+    # dense, file-ordered seqs; manifest ranges contiguous and accurate
+    envs = [json.loads(x) for x in blob_a.splitlines()]
+    seqs = [e["source"]["seq"] for e in envs]
+    assert seqs == list(range(301))
+    cum = 0
+    for p in man_a["parts"]:
+        lines = open(os.path.join(out_a, p["file"])).read().splitlines()
+        assert len(lines) == p["count"]
+        assert p["seq_first"] == cum and p["seq_last"] == cum + p["count"] - 1
+        cum += p["count"]
+    # no single-file artifact in the multi-file layout
+    assert not os.path.exists(os.path.join(out_a, "v1.jsonl"))
+    # a later SMALL incremental delta goes back to single-file and heals
+    # nothing (different version namespace)
+    t.merge(
+        spark.createDataFrame([("u0002", -2)], "url string, v int"), batch_id=2
+    )
+    r2 = export_outbox(t, out_a)
+    assert r2["envelopes"] == 1
+    v2 = [f for f in os.listdir(out_a) if f.startswith("v2")]
+    assert v2 == ["v2.jsonl"]
+    (env2,) = [json.loads(x) for x in open(os.path.join(out_a, "v2.jsonl"))]
+    assert env2["source"]["seq"] == 301  # seq continues across layouts
 
 
 def test_write_debezium_ts_ms_timezone_independent(spark, tmp_path):

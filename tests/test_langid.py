@@ -164,6 +164,53 @@ def test_session_jvm_locale_is_pinned(spark):
     assert row.a == "istanbul"
 
 
+def test_score_norms_vectorized_matches_scalar_reference(monkeypatch):
+    """The r05 vectorized scorer (int64-packed trigrams + searchsorted +
+    reduceat) must be bit-identical to the straightforward per-doc
+    formulation on every edge: None, empty, sub-trigram, all-miss text,
+    CJK isolation, and documents straddling the chunk boundary (forced
+    tiny here)."""
+    import numpy as np
+
+    from gnarly_spark.functions import langid as L
+
+    model = L.load_model()
+    vocab, w, _, _ = L._matrix(model)
+    langs = model[0]
+
+    def scalar(t):
+        if t is None:
+            return "und"
+        grams = L._grams(t)
+        if not grams:
+            return "und"
+        ids = np.array([vocab.get(g, len(vocab)) for g in grams])
+        if int((ids != len(vocab)).sum()) == 0:
+            return "und"
+        return langs[int(np.argmax(w[ids].sum(axis=0)))]
+
+    raw = [
+        None,
+        "",
+        "ab",
+        "%%% 123 &&&",  # normalizes to near-empty
+        "zzzzqqqqxxxx zzqq",  # likely all-miss
+        "The quick brown fox jumps over the lazy dog",
+        "El rápido zorro marrón salta sobre el perro perezoso",
+        "Le renard brun rapide saute par-dessus le chien paresseux",
+        "Der schnelle braune Fuchs springt über den faulen Hund",
+        "这是一个中文测试句子用来验证语言识别",
+        "これは日本語のテスト文です",
+        "ISTANBUL İSTANBUL ΣΟΦΟΣ",  # case-fold pin chars
+        "Съешь же ещё этих мягких французских булок",
+    ]
+    norms = [L._norm_py(t) if t is not None else None for t in raw]
+    monkeypatch.setattr(L, "_SCORE_CHUNK_GRAMS", 8)  # force many chunks
+    got = list(L._score_norms(norms, model))
+    want = [scalar(t) for t in norms]
+    assert got == want
+
+
 def test_locale_guard_fails_loud_on_unpinned_cluster(spark):
     """ADVICE r04: builder confs don't reach spark-submit-owned JVMs, so
     get_spark now runtime-asserts the pin. The guard passes on the pinned
@@ -211,7 +258,8 @@ def test_matrix_memo_tracks_model_identity(tmp_path):
     m_default = load_model()
     m_copy = load_model(str(copy))
     assert m_default is not m_copy
-    vocab_a, w_a = _matrix(m_default)
-    vocab_b, w_b = _matrix(m_copy)
+    vocab_a, w_a, keys_a, rows_a = _matrix(m_default)
+    vocab_b, w_b, keys_b, rows_b = _matrix(m_copy)
     assert w_a is not w_b  # per-model entries, no silent reuse
     assert vocab_a == vocab_b and np.array_equal(w_a, w_b)  # same bytes
+    assert np.array_equal(keys_a, keys_b) and np.array_equal(rows_a, rows_b)

@@ -1,28 +1,31 @@
 """A/B: outbox snapshot-bootstrap export — r03 global-window+coalesce(1)
-shape vs the r04 two-phase range sequencing + parallel write + concat.
+shape vs the shipped two-phase range sequencing + parallel write.
 
 Builds a lake table of N keys, expires history so export_outbox must take
 the full-snapshot 'r' path, and times the export. The OLD shape is
 reproduced inline (global row_number + coalesce(1) single-file write) for
-the A/B; the NEW path is the shipped export_outbox. Both must produce
-byte-identical v-files (same seqs, same order).
+the A/B; the NEW path is the shipped export_outbox. Same seqs, same
+envelope order in both.
 
     PYTHONPATH=/root/repo python tools/outbox_bench.py [n_rows]
 
-MEASURED FINDING (round 4, this box): the OLD single-task shape is
-FASTER here (best-of-2 — 1M: 2.7 vs 3.0 s; 4M: 11.3 vs 13.1 s, the
-gap narrowing as the single task's sort/encode grows) — this box has ONE
-virtual disk (CLAUDE.md: parquet I/O ceiling scales 0.29 from 8->32
-cores), so the new path's localCheckpoint + 32-file parallel write +
-sequential concat pays disk costs the single-task CPU encode avoids.
-What the two-phase buys is not wall clock at 10^6-10^7 rows: it removes
-the O(table)-rows-in-ONE-task sort/encode (driver-scale memory ceiling
-and zero parallelism headroom) that makes the old shape a non-starter
-for a 10^10-row snapshot bootstrap on a real cluster, where per-executor
-disks make the parallel write the only viable topology. Unlike the ANN
-rank (see topk_bench.py), WindowGroupLimit can NOT rescue the old shape:
-there is no rank-limit filter, so the global window is a genuine
-SinglePartition exchange of every row."""
+MEASURED FINDING (round 4, this box): with the r04 shape (parallel write
++ DRIVER-SIDE SERIAL CONCAT into one v-file) the OLD single-task shape
+was faster here (best-of-2 — 1M: 2.7 vs 3.0 s; 4M: 11.3 vs 13.1 s) —
+this box has ONE virtual disk (CLAUDE.md: parquet I/O ceiling scales
+0.29 from 8->32 cores), so the new path's localCheckpoint + 32-file
+parallel write + sequential concat paid disk costs the single-task CPU
+encode avoided. ROUND 5 removes the concat: a bootstrap-scale export now
+publishes the range-ordered part files directly plus a manifest
+(export_outbox multi-file layout), so the serial term is gone and the
+remaining jobs are all parallel. What the two-phase buys at any scale is
+the removal of the O(table)-rows-in-ONE-task sort/encode (driver-scale
+memory ceiling and zero parallelism headroom) that makes the old shape a
+non-starter for a 10^10-row snapshot bootstrap on a real cluster, where
+per-executor disks make the parallel write the only viable topology.
+Unlike the ANN rank (see topk_bench.py), WindowGroupLimit can NOT rescue
+the old shape: there is no rank-limit filter, so the global window is a
+genuine SinglePartition exchange of every row."""
 
 from __future__ import annotations
 
@@ -132,10 +135,15 @@ def main():
     out["new_two_phase_sec"] = round(best_new, 3)
     out["speedup"] = round(out["old_single_task_sec"] / out["new_two_phase_sec"], 2)
     assert r["envelopes"] == n_old == n_rows, (r, n_old)
+    files = sorted(os.listdir(os.path.join(work, "outbox_1")))
+    out["new_layout"] = (
+        "multi-file" if any("-part-" in f for f in files) else "single-file"
+    )
+    out["new_n_files"] = sum(1 for f in files if f.endswith(".jsonl"))
     # seqs must be the global key rank in both: spot-check line order
     vfile = next(
         os.path.join(work, "outbox_1", f)
-        for f in sorted(os.listdir(os.path.join(work, "outbox_1")))
+        for f in files
         if f.endswith(".jsonl")
     )
     import itertools
