@@ -301,9 +301,17 @@ class CdcIngestPipeline:
             ]
         df.observe(obs, *stat_exprs).write.mode("overwrite").parquet(path)
         stats = obs.get
+        # on-disk bytes ride along (driver-side listdir, control-plane):
+        # lets burst analysis distinguish "bigger batch" from "slow disk"
+        # when an append's wall time spikes (VERDICT r04 #6)
+        nbytes = sum(
+            e.stat().st_size for e in os.scandir(path) if e.is_file()
+        )
         with open(os.path.join(path, "_stats.json"), "w") as f:
-            json.dump({"max_block": stats["mx"], "n": stats["n"]}, f)
-        return stats
+            json.dump(
+                {"max_block": stats["mx"], "n": stats["n"], "bytes": nbytes}, f
+            )
+        return {**stats, "bytes": nbytes}
 
     def _prune_batched(self, dirpath: str, horizon: int) -> None:
         """Drop partitions entirely older than the retention window
@@ -741,10 +749,23 @@ class CdcIngestPipeline:
                 F.col("_block_hash").alias("_replaced_by_block"),
                 F.col("_block_id").alias("_replaced_by_block_id"),
             )
-            prior = tgt.join(replacing, "url", "inner").select(
+            # broadcast the batch-bounded side: replacing is at most this
+            # trigger's winner urls (capped by max_files_per_trigger),
+            # while tgt is the WHOLE table — a stats-blind sort-merge here
+            # would shuffle O(table) bytes per batch, a growth term the
+            # flatness claim forbids. Inner join, so the broadcast side is
+            # legal (the outer-join gotcha doesn't apply).
+            prior = tgt.join(F.broadcast(replacing), "url", "inner").select(
                 *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
             )
-            self._write_batched(self.undo_dir, prior, batch_id, "_replaced_by_block_id")
+            u_stats = self._write_batched(
+                self.undo_dir, prior, batch_id, "_replaced_by_block_id"
+            )
+            # rows/bytes ride into the batch metrics so an append-time
+            # burst is attributable: flat MB/s + bigger bytes = workload,
+            # sagging MB/s = the disk (VERDICT r04 #6)
+            phases["undo_rows"] = int(u_stats["n"])
+            phases["undo_bytes"] = int(u_stats["bytes"])
         phases["undo_log"] = round(time.monotonic() - t_u, 3)
 
         # lineage: append-only audit rows (volatile ops — never replayed

@@ -114,6 +114,27 @@ def main():
         b["wall_s"] for b in batches[-third:]
     )
 
+    # undo-append burst attribution (VERDICT r04 #6): seconds alone can't
+    # tell "bigger batch" from "slow disk" — rows/bytes now ride in the
+    # metrics, so report per-batch MB/s and the max/median wall ratio.
+    # Note undo_log wall time also absorbs the lazy LWW materialization
+    # (first downstream action), so MB/s is a lower bound on write speed.
+    import statistics
+
+    undo_s = [b["phase_s"].get("undo_log", 0.0) for b in batches]
+    undo_b = [b["phase_s"].get("undo_bytes", 0) for b in batches]
+    undo = None
+    if any(undo_s):
+        med = statistics.median([s for s in undo_s if s]) or 1e-9
+        undo = {
+            "per_batch_s": [round(s, 2) for s in undo_s],
+            "per_batch_mb": [round(x / 1e6, 1) for x in undo_b],
+            "per_batch_mb_per_s": [
+                round(x / 1e6 / max(s, 1e-9), 1) for x, s in zip(undo_b, undo_s)
+            ],
+            "max_over_median_s": round(max(undo_s) / med, 2),
+        }
+
     got = _checksum(p.target.read().select("url", "warc_ts", "text"))
     want = _checksum(
         final_state(spark.read.parquet(changelog)).select("url", "warc_ts", "text")
@@ -129,6 +150,7 @@ def main():
                 "wall_s": round(wall, 2),
                 "events_per_s": round(total / wall, 1),
                 "flatness_last_over_first": round(last / first, 3),
+                "undo_append": undo,
                 "pages": got.n,
                 "pages_checksum": got.chk,
                 "replay_pages": want.n,
