@@ -31,6 +31,12 @@ def main(argv=None):
         "--follow", type=int, default=None, metavar="SECONDS",
         help="poll cadence for a continuous tail (default: one-shot)",
     )
+    ap.add_argument(
+        "--max-single-file-mb", type=int, default=256, metavar="MB",
+        help="versions exporting more than this publish range-ordered "
+        "v{N}-part-*.jsonl files plus a manifest instead of one file "
+        "(the snapshot-bootstrap layout)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,7 +57,12 @@ def main(argv=None):
     total_env, total_versions = 0, 0
     try:
         while True:
-            r = export_outbox(tbl, args.out, source_name=args.source_name)
+            r = export_outbox(
+                tbl,
+                args.out,
+                source_name=args.source_name,
+                max_single_file_bytes=args.max_single_file_mb << 20,
+            )
             total_env += r["envelopes"]
             total_versions += len(r["exported_versions"])
             if args.follow is None:
