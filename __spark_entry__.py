@@ -49,8 +49,20 @@ def _driver_checked() -> set[str]:
         try:
             with open(path) as f:
                 rows = json.load(f)
-            if isinstance(rows, dict):
-                seen.update(rows.keys())
+            if not isinstance(rows, dict):
+                continue
+            for name, rec in rows.items():
+                # only a fully-green prior row counts as verified: a query
+                # the driver FAILED or errored must come around again, not
+                # be demoted out of every future sample
+                if (
+                    isinstance(rec, dict)
+                    and rec.get("err") is None
+                    and rec.get("rows_match")
+                    and rec.get("schema_match") is not False
+                    and rec.get("hash_match") is not False
+                ):
+                    seen.add(name)
         except Exception:
             continue
     return seen

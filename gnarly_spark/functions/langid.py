@@ -420,9 +420,10 @@ def _matrix(model):
     ``c0<<42 | c1<<21 | c2`` — gram lookup becomes np.searchsorted
     instead of a per-gram Python dict probe.
 
-    Keyed by ``id(model)``: _LOADED memoizes one tuple per abspath and
-    never evicts, so model identity and matrix cache cannot diverge even
-    when a process loads several models (previously a constant key let a
+    Keyed by ``id(model)``, with the model tuple itself retained in the
+    memo entry: the strong reference keeps the tuple alive, so CPython
+    can never reuse its id for a different model — safe even for ad-hoc
+    tuples that _LOADED doesn't hold (previously a constant key let a
     second load_model(custom_path) silently reuse the first matrix)."""
     key = id(model)
     if key not in _MATRIX:
@@ -443,8 +444,8 @@ def _matrix(model):
             count=len(vocab),
         )
         order = np.argsort(packed, kind="stable")
-        _MATRIX[key] = (vocab, w, packed[order], order.astype(np.int64))
-    return _MATRIX[key]
+        _MATRIX[key] = (model, vocab, w, packed[order], order.astype(np.int64))
+    return _MATRIX[key][1:]
 
 
 #: grams per vectorized scoring chunk: bounds the (chunk, n_langs) int64

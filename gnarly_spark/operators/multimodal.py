@@ -408,12 +408,20 @@ _VID_MAX_FRAMES = 256
 
 
 def _video_stream_lines(err: str) -> list[tuple[str, int, int]]:
-    """All input video stream lines from an ffmpeg stderr dump, in stream
-    order (== the 0:v:K mapping ordinal), as (line, width, height)."""
+    """All INPUT video stream lines from an ffmpeg stderr dump, in stream
+    order (== the 0:v:K mapping ordinal), as (line, width, height).
+
+    Parsing stops at the Output/Stream-mapping section: ffmpeg also
+    prints the OUTPUT stream (our rawvideo 64x64), and counting it would
+    corrupt the ordinal mapping — e.g. an attached-pic-only container
+    would 'find' a second video stream at ordinal 1 that -map 0:v:1
+    can't resolve."""
     import re
 
     lines = []
     for line in err.splitlines():
+        if line.startswith(("Output #", "Stream mapping:")):
+            break
         m = re.search(
             r"Stream #\d+:\d+.*?: Video: .*?\b(\d{2,5})x(\d{2,5})\b", line
         )

@@ -77,6 +77,15 @@ from gnarly_spark.sinks.lake import ParquetLakeTable
 # winning event — needed so a later revert can re-adjudicate the url)
 TARGET_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "_block_hash", "_block_id", "_op_seq"]
 
+#: undo prior-join broadcast cap (batch event count): below it, the batch's
+#: winner-url relation broadcasts so the target never shuffles for the undo
+#: save; above it (bootstrap-scale triggers) a forced broadcast would OOM
+#: the driver, so the join is left to AQE. 4M keys ~ a few hundred MB of
+#: (url, block) rows — sized to the documented multi-M-batch driver heap
+#: (SPARK_GRAFT_DRIVER_MEM=48g), measured fine at 2.5M keys/batch in the
+#: 20M sustained runs.
+_UNDO_BROADCAST_MAX_KEYS = 4_000_000
+
 
 class CdcIngestPipeline:
     def __init__(
@@ -749,13 +758,19 @@ class CdcIngestPipeline:
                 F.col("_block_hash").alias("_replaced_by_block"),
                 F.col("_block_id").alias("_replaced_by_block_id"),
             )
-            # broadcast the batch-bounded side: replacing is at most this
-            # trigger's winner urls (capped by max_files_per_trigger),
-            # while tgt is the WHOLE table — a stats-blind sort-merge here
-            # would shuffle O(table) bytes per batch, a growth term the
-            # flatness claim forbids. Inner join, so the broadcast side is
-            # legal (the outer-join gotcha doesn't apply).
-            prior = tgt.join(F.broadcast(replacing), "url", "inner").select(
+            # broadcast the batch-bounded side when the batch is actually
+            # bounded: replacing is at most this trigger's winner urls
+            # (<= the batch's event count, known from the log append),
+            # while tgt is the WHOLE table — a stats-blind sort-merge
+            # here would shuffle O(table) bytes per batch, a growth term
+            # the flatness claim forbids. Above the cap (a bootstrap-
+            # scale trigger with millions of keys) a forced broadcast
+            # would OOM the driver instead, so fall back to the plain
+            # join and let AQE decide. Inner join, so the broadcast side
+            # is legal (the outer-join gotcha doesn't apply).
+            if int(log_stats["n"]) <= _UNDO_BROADCAST_MAX_KEYS:
+                replacing = F.broadcast(replacing)
+            prior = tgt.join(replacing, "url", "inner").select(
                 *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
             )
             u_stats = self._write_batched(

@@ -453,11 +453,45 @@ def _fake_ffmpeg_cover_art(tmp_path):
             #!/bin/bash
             echo "  Stream #0:0: Video: mjpeg (Baseline), yuvj420p, 600x600 [SAR 1:1 DAR 1:1], 90k tbr (attached pic)" >&2
             echo "  Stream #0:1: Video: h264 (High), yuv420p, 320x240, 25 fps, 25 tbr" >&2
+            echo "Stream mapping:" >&2
+            echo "Output #0, rawvideo, to 'pipe:1':" >&2
+            echo "  Stream #0:0: Video: rawvideo, gray, 64x64, q=2-31, 25 fps" >&2
             if [[ "$*" == *0:v:1* ]]; then
               python3 -c "import sys; sys.stdout.buffer.write(bytes([128]) * (64*64*10))"
             else
               python3 -c "import sys; sys.stdout.buffer.write(bytes([255]) * (64*64*1))"
             fi
+            """
+        )
+    )
+    sh.chmod(sh.stat().st_mode | stat.S_IEXEC)
+    return str(d)
+
+
+def _fake_ffmpeg_cover_only(tmp_path):
+    """An audio container whose ONLY video stream is the attached cover:
+    the fallback must keep the 0:v:0 decode and report the cover's dims —
+    and must NOT mistake the Output-section rawvideo line for a second
+    input stream (it carries no 'attached pic' marker)."""
+    import stat
+    import textwrap
+
+    d = tmp_path / "bin"
+    d.mkdir()
+    sh = d / "ffmpeg"
+    sh.write_text(
+        textwrap.dedent(
+            """\
+            #!/bin/bash
+            echo "  Stream #0:1: Video: mjpeg (Baseline), yuvj420p, 600x600, 90k tbr (attached pic)" >&2
+            echo "Stream mapping:" >&2
+            echo "Output #0, rawvideo, to 'pipe:1':" >&2
+            echo "  Stream #0:0: Video: rawvideo, gray, 64x64, q=2-31, 25 fps" >&2
+            if [[ "$*" == *0:v:1* ]]; then
+              echo "Stream map '0:v:1' matches no streams." >&2
+              exit 1
+            fi
+            python3 -c "import sys; sys.stdout.buffer.write(bytes([255]) * (64*64*1))"
             """
         )
     )
@@ -478,6 +512,22 @@ def test_ffmpeg_video_skips_attached_pic_stream(tmp_path, monkeypatch):
     n_frames, w, h, luma, fps, trunc = _ffmpeg_video(b"fakemp3withcover")
     assert (n_frames, w, h, fps) == (10, 320, 240, 25.0)
     assert abs(luma - 128 / 255.0) < 1e-6 and not trunc
+
+
+def test_ffmpeg_video_cover_only_container_keeps_cover(tmp_path, monkeypatch):
+    """A cover-art-ONLY container decodes the cover (it IS the visual
+    content) — and the Output-section rawvideo line in stderr must not be
+    miscounted as a second input stream (that -map would fail)."""
+    import os
+
+    from gnarly_spark.operators.multimodal import _ffmpeg_video
+
+    monkeypatch.setenv(
+        "PATH", _fake_ffmpeg_cover_only(tmp_path) + ":" + os.environ["PATH"]
+    )
+    n_frames, w, h, luma, fps, trunc = _ffmpeg_video(b"fakemp3coveronly")
+    assert (n_frames, w, h) == (1, 600, 600)
+    assert abs(luma - 1.0) < 1e-6 and not trunc
 
 
 def test_extract_av_frames_requires_ffmpeg(spark, tmp_path, monkeypatch):
