@@ -1094,9 +1094,10 @@ def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select("url", "last_seq", "last_value")
 
 
-@register(
-    "cdc_outbox_roundtrip",
-    f"""
+# one oracle, two consumer layouts: the envelope stream must replay to the
+# SAME final state whether the export published single files or the
+# bootstrap-scale multi-file + manifest layout
+_OUTBOX_ROUNDTRIP_SQL = f"""
     WITH changelog AS ({_CHANGELOG_SQL}),
     reverted AS (SELECT DISTINCT revert_of_block AS block_hash FROM changelog
                  WHERE op = 'revert' AND revert_of_block IS NOT NULL),
@@ -1108,7 +1109,12 @@ def cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM live)
     SELECT url, op_seq AS last_seq, ROUND(value, 4) AS last_value
     FROM ranked WHERE rn = 1 AND op != 'delete'
-    """,
+    """
+
+
+@register(
+    "cdc_outbox_roundtrip",
+    _OUTBOX_ROUNDTRIP_SQL,
 )
 def cdc_outbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The transactional-outbox loop, oracle-checked end-to-end: the LWW
@@ -1120,16 +1126,47 @@ def cdc_outbox_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-sync / cache-invalidation consumer relies on). Covers
     sources/debezium.py export_outbox + feed_to_debezium + parser in one
     loop."""
+    return _outbox_roundtrip_impl(spark, sf_dir, multifile=False)
+
+
+@register(
+    "cdc_outbox_multifile",
+    _OUTBOX_ROUNDTRIP_SQL,
+)
+def cdc_outbox_multifile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The outbox roundtrip FORCED through the bootstrap-scale layout
+    (VERDICT r04 #2): range-ordered ``v{N}-part-*.jsonl`` files + a
+    manifest landing last, consumed via read_outbox's manifest-verified
+    read — the multi-file stream must replay to the identical final
+    state as the single-file layout (same oracle). Covers the
+    two-phase seq path (small_delta_rows=0), the parallel multi-file
+    publish, and the consumer contract end-to-end."""
+    return _outbox_roundtrip_impl(spark, sf_dir, multifile=True)
+
+
+def _outbox_roundtrip_impl(
+    spark: SparkSession, sf_dir: str, multifile: bool
+) -> DataFrame:
     import tempfile
 
-    from gnarly_spark.sources.debezium import debezium_events, parse_debezium
-    from gnarly_spark.sources.debezium import export_outbox
+    from gnarly_spark.sources.debezium import (
+        debezium_events,
+        export_outbox,
+        parse_debezium,
+        read_outbox,
+    )
 
     t, _v1 = _two_commit_pages(spark, sf_dir, "gnarly_outbox_")
     out = tempfile.mkdtemp(prefix="gnarly_outbox_env_")
-    export_outbox(t, out)
+    if multifile:
+        # force the bootstrap-scale layout: range-ordered part files +
+        # manifest, two-phase seq path — the consumer must replay it to
+        # the same state as the single-file layout
+        export_outbox(t, out, max_single_file_bytes=0, small_delta_rows=0)
+    else:
+        export_outbox(t, out)
     ddl = "op_seq long, op string, url string, last_seq long, last_value double"
-    env = spark.read.text(f"{out}/*.jsonl")
+    env = read_outbox(spark, out)  # manifest-verified, both layouts
     rows = debezium_events(parse_debezium(env, ddl), ddl)
     return (
         rows.groupBy("url")

@@ -673,3 +673,60 @@ def export_outbox(
         "from_version": start + 1,
         "to_version": head,
     }
+
+
+def read_outbox(
+    spark: SparkSession, out_dir: str, verify_manifests: bool = True
+) -> DataFrame:
+    """Consumer-side batch read of an export_outbox directory — BOTH
+    layouts (single ``v{N}.jsonl`` and multi-file ``v{N}-part-*.jsonl``
+    + manifest) — as one DataFrame of raw envelope lines (``value``
+    string; feed into parse_debezium/debezium_events).
+
+    ``verify_manifests`` (default on) enforces the multi-file contract
+    before handing data downstream, driver-side and control-plane only:
+    every part a manifest lists must exist, and no unlisted part of a
+    manifested version may linger (a torn republish / stale wider
+    attempt). Fails loud rather than replaying an incomplete or mixed
+    bootstrap. A version mid-publish (parts but no manifest yet) is
+    skipped the same way a half-written single file is invisible before
+    its rename — the next read picks it up complete.
+
+    Envelope seq remains the idempotency/order key; readers that need
+    all-of-version atomicity gate on the manifest exactly as this does.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import re
+
+    files: list[str] = []
+    part_re = re.compile(r"^v(\d+)-part-(\d+)\.jsonl$")
+    manifested: dict[int, dict] = {}
+    for p in sorted(_glob.glob(os.path.join(out_dir, "v*.manifest.json"))):
+        with open(p) as f:
+            man = _json.load(f)
+        manifested[int(man["version"])] = man
+    parts_on_disk: dict[int, list[str]] = {}
+    for p in sorted(os.listdir(out_dir)):
+        m = part_re.match(p)
+        if m:
+            parts_on_disk.setdefault(int(m.group(1)), []).append(p)
+        elif p.endswith(".jsonl") and not p.startswith("."):
+            files.append(os.path.join(out_dir, p))
+    for v, man in manifested.items():
+        have = set(parts_on_disk.get(v, []))
+        want = [pt["file"] for pt in man["parts"]]
+        missing = [w for w in want if w not in have]
+        extra = sorted(have - set(want))
+        if verify_manifests and (missing or extra):
+            raise ValueError(
+                f"outbox v{v} violates its manifest: missing parts "
+                f"{missing}, unlisted parts {extra}"
+            )
+        files.extend(os.path.join(out_dir, w) for w in want)
+    # parts of a version with no manifest yet (mid-publish) never entered
+    # `files` — skipped, not an error; complete on the next read
+    if not files:
+        return spark.createDataFrame([], "value string")
+    return spark.read.text(files)

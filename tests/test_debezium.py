@@ -528,6 +528,48 @@ def test_export_outbox_multifile_bootstrap_contract(spark, tmp_path):
     assert env2["source"]["seq"] == 301  # seq continues across layouts
 
 
+def test_read_outbox_verifies_manifest(spark, tmp_path):
+    """Consumer contract: read_outbox reads both layouts as one stream,
+    fails loud when a manifested part is missing or an unlisted part
+    lingers, and skips a mid-publish version (parts, no manifest yet)."""
+    import pytest
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox, read_outbox
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    rows = [(f"u{i:04d}", i) for i in range(100)]
+    t.merge(spark.createDataFrame(rows, "url string, v int"), batch_id=0)
+    t.merge(
+        spark.createDataFrame([("u0001", -1)], "url string, v int"), batch_id=1
+    )
+    out = str(tmp_path / "ob")
+    # v0 multi-file (forced), v1 single-file (small delta, default path)
+    export_outbox(t, out, max_single_file_bytes=0, small_delta_rows=0)
+    n_all = read_outbox(spark, out).count()
+    assert n_all == 101  # both layouts in one stream
+    parts = sorted(
+        f for f in os.listdir(out) if "-part-" in f and f.endswith(".jsonl")
+    )
+    assert parts  # multi-file layout actually exercised
+    # missing manifested part -> loud
+    victim = os.path.join(out, parts[0])
+    backup = victim + ".bak"
+    os.rename(victim, backup)
+    with pytest.raises(ValueError, match="missing parts"):
+        read_outbox(spark, out).count()
+    os.rename(backup, victim)
+    # unlisted (stale wider-attempt) part -> loud
+    stray = os.path.join(out, f"v0-part-{len(parts):05d}.jsonl")
+    open(stray, "w").write('{"x":1}\n')
+    with pytest.raises(ValueError, match="unlisted parts"):
+        read_outbox(spark, out).count()
+    os.remove(stray)
+    # mid-publish version (parts, no manifest): skipped, not an error
+    open(os.path.join(out, "v9-part-00000.jsonl"), "w").write('{"x":1}\n')
+    assert read_outbox(spark, out).count() == n_all
+
+
 def test_write_debezium_ts_ms_timezone_independent(spark, tmp_path):
     """ADVICE r03: ts_ms must read the TIMESTAMP_NTZ wall clock AS UTC —
     identical output whatever the session timezone (the old cast-based
