@@ -7,10 +7,17 @@ back out as envelopes (the outbox direction).
 Why: the reference ingests its own RPC JSON and normalizes it at ingestion
 time (packages/gnarly-core/src/ingestion/Web3Api.ts:102-130); real CDC
 deployments instead receive Debezium envelopes from Kafka Connect — every
-Postgres/MySQL/Mongo binlog tail emits this shape. Supporting the envelope
-natively means any existing Debezium topic dump (JSONL files of envelope
-values) replays through this engine with no preprocessing, and the engine's
-own lake changelog can feed downstream Debezium consumers.
+Postgres/MySQL/Mongo binlog tail emits this shape. The engine speaks the
+envelope natively in both directions: its own lake changelog feeds
+downstream Debezium consumers, and seq-carrying envelope dumps (this
+module's own exports, or any topic whose producer stamps a numeric
+``source.seq``) replay with no preprocessing. Scope note: a RAW
+Postgres/MySQL Debezium dump is NOT directly replayable — its ``source``
+block carries ``lsn``/``pos`` and a string ``version`` instead of the
+numeric total-order ``seq`` this engine keys exactly-once on, so such a
+topic needs one preprocessing pass (lsn -> seq projection) before
+ingest; rows without a usable seq dead-letter as ``missing_seq`` rather
+than ingesting unordered.
 
 Envelope (public Debezium format, JSON value without schema wrapper):
 
@@ -111,34 +118,37 @@ def parse_debezium(lines: DataFrame, changelog_ddl: str = CHANGELOG_DDL) -> Data
     Kafka Connect's JsonConverter with ``schemas.enable=true`` wraps every
     value as ``{"schema": {...}, "payload": <envelope>}`` — auto-detected
     and unwrapped here (safe: a bare envelope has no top-level ``payload``
-    key, so get_json_object returns NULL and the raw line parses as-is;
-    still one JVM expression, no second scan)."""
+    key, so the tuple slot comes back NULL and the raw line parses as-is).
+    ONE json_tuple parse feeds both the unwrap and the tombstone
+    predicate — the previous shape paid three independent
+    get_json_object parses per line on top of from_json (they live in
+    separate projection nodes, so no common-subexpression elimination
+    applies), a real term at 10^10 lines."""
     wire = _wire_schema(changelog_ddl)
-    body = F.coalesce(
-        F.get_json_object(F.col("value"), "$.payload"), F.col("value")
-    )
-    parsed = lines.select(
+    tup = lines.select(
         F.col("value").alias("_raw"),
-        F.from_json(
-            body,
-            wire,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt", **JSON_OPTS},
-        ).alias("_r"),
-    ).select("_raw", "_r.*")
+        F.json_tuple(F.col("value"), "schema", "payload").alias(
+            "_schema", "_payload"
+        ),
+    )
     # Kafka tombstone: the value is the literal JSON `null` (compaction
     # marker). from_json files that under _corrupt (a bare null is not a
     # struct), so detection keys on the RAW line — exact, and cheap. A
     # schemas-enabled tombstone arrives as {"schema":..., "payload":null}:
     # schema key present + payload null (a real wrapped envelope always
     # has a non-null payload).
-    return parsed.withColumn(
-        "_tombstone",
-        (F.trim(F.col("_raw")) == F.lit("null"))
-        | (
-            F.get_json_object(F.col("_raw"), "$.schema").isNotNull()
-            & F.get_json_object(F.col("_raw"), "$.payload").isNull()
-        ),
-    )
+    return tup.select(
+        "_raw",
+        F.from_json(
+            F.coalesce(F.col("_payload"), F.col("_raw")),
+            wire,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt", **JSON_OPTS},
+        ).alias("_r"),
+        (
+            (F.trim(F.col("_raw")) == F.lit("null"))
+            | (F.col("_schema").isNotNull() & F.col("_payload").isNull())
+        ).alias("_tombstone"),
+    ).select("_raw", "_r.*", "_tombstone")
 
 
 def _routable_image():
@@ -248,14 +258,19 @@ def stream_debezium(
 # ---------------------------------------------------------------------------
 
 
-def _b64_image(st: StructType, binary_cols: list[str], prefix: F.Column | None = None):
-    """struct(...) of the image columns with binary as base64 — shared by
-    both writers so the wire shape can never diverge."""
+def _b64_image(st: StructType, binary_cols: list[str]):
+    """struct(...) of the DDL image columns with binary as base64
+    (write_debezium's wire image). feed_to_debezium builds its image from
+    a DataFrame's live columns instead of a DDL (arbitrary feed schemas),
+    so it has its own _wire_col — both apply the SAME explicit rule
+    (binary travels base64, everything else as-is), and the base64
+    contract is pinned for both writers by
+    test_outbox_binary_columns_base64_contract."""
     cols = []
     for f in st.fields:
         if f.name in _ENVELOPE_COLS:
             continue
-        src = prefix.getField(f.name) if prefix is not None else F.col(f.name)
+        src = F.col(f.name)
         cols.append(
             F.base64(src).alias(f.name) if f.name in binary_cols else src.alias(f.name)
         )
@@ -534,7 +549,6 @@ def export_outbox(
     {"exported_versions", "envelopes", "from_version", "to_version"}."""
     import json as _json
     import os
-    import shutil as _shutil
 
     os.makedirs(out_dir, exist_ok=True)
     state_path = os.path.join(out_dir, "_outbox_state.json")
@@ -550,129 +564,231 @@ def export_outbox(
         r.version for r in table.snapshots().collect() if r.ref == "main"
     )
     main_set = set(mains)
-    todo = [v for v in mains if v > start]
-    prev = start
     exported, n_env = [], 0
-    for v in todo:
-        if prev >= 0 and prev in main_set:
-            feed = table.changelog(prev, v)
-        else:
-            # no incremental base (fresh outbox, or the cursor's snapshot
-            # expired): full-state snapshot file, rows as 'r'
-            snap = table.read(version=v)
-            feed = snap.select(
-                table.key,
-                F.lit("snapshot").alias("_change_type"),
-                *[c for c in snap.columns if c != table.key],
-            )
-        env = feed_to_debezium(
-            feed, key=table.key, seq_start=seq, source_name=source_name,
-            version=v, with_seq=True, small_delta_rows=small_delta_rows,
-        )
-        tmp = os.path.join(out_dir, f".tmp-v{v}")
-        # parallel write, range-partitioned on seq so part-00000 <
-        # part-00001 in envelope order — no coalesce(1) single-task
-        # sort/encode even when the bootstrap path pushes a whole
-        # snapshot through here (VERDICT r03 #2 / ADVICE r03)
-        n_out = max(1, env.sparkSession.sparkContext.defaultParallelism)
-        (
-            env.repartitionByRange(n_out, "_seq")
-            .sortWithinPartitions("_seq")
-            .select("value")
-            .write.mode("overwrite")
-            .text(tmp)
-        )
-        parts = [
-            p
-            for p in sorted(os.listdir(tmp))
-            if p.startswith("part-") and os.path.getsize(os.path.join(tmp, p))
-        ]
-        total_bytes = sum(os.path.getsize(os.path.join(tmp, p)) for p in parts)
-        n_parts_published = 0
-        if total_bytes <= max_single_file_bytes:
-            # small delta: one file per version, streamed concat
-            n = 0
-            cat = os.path.join(tmp, "_cat.jsonl")
-            with open(cat, "wb") as outf:
-                for p in parts:
-                    with open(os.path.join(tmp, p), "rb") as f:
-                        while True:
-                            chunk = f.read(1 << 20)
-                            if not chunk:
-                                break
-                            n += chunk.count(b"\n")
-                            outf.write(chunk)
-            os.replace(cat, os.path.join(out_dir, f"v{v}.jsonl"))
-        else:
-            # bootstrap-scale: publish the range-ordered parts directly.
-            # Per-part line counts via one PARALLEL pass (split-parallel
-            # Spark read; no JSON parse), then the manifest's seq ranges
-            # are arithmetic — seqs are dense in file order.
-            from urllib.parse import unquote
+    # publisher election (review r05: the CLAUDE.md multi-file-pair lesson
+    # applies here too): two concurrent exporters — the pipeline's
+    # per-batch export plus an ad-hoc outbox_job run — would share the
+    # .tmp-v{N} dirs and the state file. An exclusive flock serializes
+    # them; advisory + local-FS scoped, matching this writer.
+    import fcntl
 
-            sess = env.sparkSession
-            by_file = {
-                unquote(r["f"].rsplit("/", 1)[-1]): r["n"]
-                for r in sess.read.text(tmp)
-                .groupBy(F.input_file_name().alias("f"))
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            manifest_parts, cum = [], 0
-            for i, p in enumerate(parts):
-                cnt = int(by_file.get(p, 0))
-                name = f"v{v}-part-{i:05d}.jsonl"
-                os.replace(os.path.join(tmp, p), os.path.join(out_dir, name))
-                manifest_parts.append(
-                    {
-                        "file": name,
-                        "count": cnt,
-                        "seq_first": seq + cum,
-                        "seq_last": seq + cum + cnt - 1,
-                    }
+    lockfd = os.open(os.path.join(out_dir, ".export.lock"), os.O_CREAT | os.O_RDWR)
+    fcntl.flock(lockfd, fcntl.LOCK_EX)
+    try:
+        # re-read state UNDER the lock: a concurrent exporter may have
+        # advanced the cursor while this one waited
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                state = _json.load(f)
+        start = int(state["cursor"])
+        seq = int(state["next_seq"])
+        todo = [v for v in mains if v > start]
+        prev = start
+        for v in todo:
+            adopted = _adopt_published(out_dir, v, seq)
+            if adopted is not None:
+                # a crash between publish and the state write left a
+                # COMPLETE artifact at our exact seq base: adopt it
+                # instead of regenerating — a consumer may already have
+                # ingested it, and regenerating through a different path
+                # (e.g. incremental base expired since) would bind the
+                # same seqs to different envelopes
+                n = adopted
+            else:
+                if prev >= 0 and prev in main_set:
+                    feed = table.changelog(prev, v)
+                else:
+                    # no incremental base (fresh outbox, or the cursor's
+                    # snapshot expired): full-state snapshot, rows as 'r'
+                    snap = table.read(version=v)
+                    feed = snap.select(
+                        table.key,
+                        F.lit("snapshot").alias("_change_type"),
+                        *[c for c in snap.columns if c != table.key],
+                    )
+                env = feed_to_debezium(
+                    feed, key=table.key, seq_start=seq, source_name=source_name,
+                    version=v, with_seq=True, small_delta_rows=small_delta_rows,
                 )
-                cum += cnt
-            n = cum
-            n_parts_published = len(parts)
-            man = {"version": v, "envelopes": n, "parts": manifest_parts}
-            man_tmp = os.path.join(tmp, "_manifest.json")
-            with open(man_tmp, "w") as f:
-                _json.dump(man, f)
-            # manifest lands LAST: its presence == every part published
-            os.replace(man_tmp, os.path.join(out_dir, f"v{v}.manifest.json"))
-        _shutil.rmtree(tmp, ignore_errors=True)
-        # heal stale artifacts from a crashed/reconfigured earlier attempt:
-        # the OTHER layout's files for this version, and higher-numbered
-        # parts a wider previous write left behind
-        for f in os.listdir(out_dir):
-            stale = False
-            if f.startswith(f"v{v}-part-") and f.endswith(".jsonl"):
-                try:
-                    idx = int(f[len(f"v{v}-part-") : -len(".jsonl")])
-                except ValueError:
-                    continue
-                stale = idx >= n_parts_published
-            elif f == f"v{v}.jsonl" and n_parts_published:
-                stale = True
-            elif f == f"v{v}.manifest.json" and not n_parts_published:
-                stale = True
-            if stale:
-                os.remove(os.path.join(out_dir, f))
-        seq += n
-        n_env += n
-        exported.append(v)
-        prev = v
-        # persist AFTER each version: a crash resumes at the next one
-        # with the right seq base
-        with open(state_path + ".tmp", "w") as f:
-            _json.dump({"cursor": v, "next_seq": seq}, f)
-        os.replace(state_path + ".tmp", state_path)
+                n = _publish_version(env, out_dir, v, seq, max_single_file_bytes)
+            seq += n
+            n_env += n
+            exported.append(v)
+            prev = v
+            # persist AFTER each version: a crash resumes at the next one
+            # with the right seq base (or adopts this one, above)
+            with open(state_path + ".tmp", "w") as f:
+                _json.dump({"cursor": v, "next_seq": seq}, f)
+            os.replace(state_path + ".tmp", state_path)
+    finally:
+        fcntl.flock(lockfd, fcntl.LOCK_UN)
+        os.close(lockfd)
     return {
         "exported_versions": exported,
         "envelopes": n_env,
         "from_version": start + 1,
         "to_version": head,
     }
+
+
+def _adopt_published(out_dir: str, v: int, expected_seq: int):
+    """Envelope count of an already-complete v{v} artifact at exactly
+    ``expected_seq``, else None (regenerate). Adoption fires only in the
+    crash window between a publish and its state write; a mixed layout
+    (both a single file and a manifest — a crash mid-layout-switch) or a
+    seq-base mismatch regenerates instead."""
+    import json as _json
+    import os
+
+    man_p = os.path.join(out_dir, f"v{v}.manifest.json")
+    single_p = os.path.join(out_dir, f"v{v}.jsonl")
+    has_man, has_single = os.path.exists(man_p), os.path.exists(single_p)
+    if has_man == has_single:  # neither, or a mixed crash state
+        return None
+    if has_man:
+        with open(man_p) as f:
+            man = _json.load(f)
+        parts = man.get("parts", [])
+        if not parts or any(
+            not os.path.exists(os.path.join(out_dir, pt["file"])) for pt in parts
+        ):
+            return None
+        if parts[0]["seq_first"] != expected_seq:
+            return None
+        return int(man["envelopes"])
+    # single file: complete by rename-atomicity; verify the seq base from
+    # the first line (files on this path are bounded by
+    # max_single_file_bytes, so the streamed count is cheap)
+    n, first_seq = 0, None
+    with open(single_p, "rb") as f:
+        for line in f:
+            if first_seq is None:
+                try:
+                    first_seq = _json.loads(line)["source"]["seq"]
+                except Exception:
+                    return None
+            n += 1
+    if n and first_seq != expected_seq:
+        return None
+    return n
+
+
+def _publish_version(
+    env: DataFrame, out_dir: str, v: int, seq: int, max_single_file_bytes: int
+) -> int:
+    """Write one version's envelopes and commit them to ``out_dir``,
+    choosing the layout by size. Ordering rule: all stale OTHER-layout
+    artifacts are removed BEFORE the new commit point lands (the single
+    file's rename, or the manifest), so a reader never observes a mixed
+    layout — at worst it sees the version mid-publish (no commit point),
+    which it skips. Returns the envelope count."""
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    tmp = os.path.join(out_dir, f".tmp-v{v}")
+    # parallel write, range-partitioned on seq so part-00000 <
+    # part-00001 in envelope order — no coalesce(1) single-task
+    # sort/encode even when the bootstrap path pushes a whole snapshot
+    # through here (VERDICT r03 #2 / ADVICE r03)
+    n_out = max(1, env.sparkSession.sparkContext.defaultParallelism)
+    (
+        env.repartitionByRange(n_out, "_seq")
+        .sortWithinPartitions("_seq")
+        .select("value")
+        .write.mode("overwrite")
+        .text(tmp)
+    )
+    parts = [
+        p
+        for p in sorted(os.listdir(tmp))
+        if p.startswith("part-") and os.path.getsize(os.path.join(tmp, p))
+    ]
+    total_bytes = sum(os.path.getsize(os.path.join(tmp, p)) for p in parts)
+    man_p = os.path.join(out_dir, f"v{v}.manifest.json")
+    single_p = os.path.join(out_dir, f"v{v}.jsonl")
+
+    def _stale_parts(keep_below: int) -> list[str]:
+        out = []
+        for f in os.listdir(out_dir):
+            if f.startswith(f"v{v}-part-") and f.endswith(".jsonl"):
+                try:
+                    idx = int(f[len(f"v{v}-part-") : -len(".jsonl")])
+                except ValueError:
+                    continue
+                if idx >= keep_below:
+                    out.append(f)
+        return out
+
+    if total_bytes <= max_single_file_bytes:
+        # small delta: one file per version, streamed concat
+        n = 0
+        cat = os.path.join(tmp, "_cat.jsonl")
+        with open(cat, "wb") as outf:
+            for p in parts:
+                with open(os.path.join(tmp, p), "rb") as f:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        n += chunk.count(b"\n")
+                        outf.write(chunk)
+        # other-layout cleanup BEFORE the commit rename: manifest first
+        # (readers fall back to the old single file or see mid-publish),
+        # then its parts, then the atomic single-file replace
+        if os.path.exists(man_p):
+            os.remove(man_p)
+        for f in _stale_parts(0):
+            os.remove(os.path.join(out_dir, f))
+        os.replace(cat, single_p)
+    else:
+        # bootstrap-scale: publish the range-ordered parts directly.
+        # Per-part line counts via one PARALLEL pass (split-parallel
+        # Spark read; no JSON parse), then the manifest's seq ranges are
+        # arithmetic — seqs are dense in file order.
+        from urllib.parse import unquote
+
+        sess = env.sparkSession
+        by_file = {
+            unquote(r["f"].rsplit("/", 1)[-1]): r["n"]
+            for r in sess.read.text(tmp)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        # de-commit the version FIRST (old manifest away -> readers see
+        # mid-publish and skip; old single file away -> no mixed layout),
+        # then land parts, then stale-part cleanup, then the new commit
+        # point (manifest) LAST
+        if os.path.exists(man_p):
+            os.remove(man_p)
+        if os.path.exists(single_p):
+            os.remove(single_p)
+        manifest_parts, cum = [], 0
+        for i, p in enumerate(parts):
+            cnt = int(by_file.get(p, 0))
+            name = f"v{v}-part-{i:05d}.jsonl"
+            os.replace(os.path.join(tmp, p), os.path.join(out_dir, name))
+            manifest_parts.append(
+                {
+                    "file": name,
+                    "count": cnt,
+                    "seq_first": seq + cum,
+                    "seq_last": seq + cum + cnt - 1,
+                }
+            )
+            cum += cnt
+        n = cum
+        for f in _stale_parts(len(parts)):
+            os.remove(os.path.join(out_dir, f))
+        man = {"version": v, "envelopes": n, "parts": manifest_parts}
+        man_tmp = os.path.join(tmp, "_manifest.json")
+        with open(man_tmp, "w") as f:
+            _json.dump(man, f)
+        # manifest lands LAST: its presence == every part published
+        os.replace(man_tmp, man_p)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    return n
 
 
 def read_outbox(
@@ -685,12 +801,20 @@ def read_outbox(
 
     ``verify_manifests`` (default on) enforces the multi-file contract
     before handing data downstream, driver-side and control-plane only:
-    every part a manifest lists must exist, and no unlisted part of a
+    every part a manifest lists must exist, no unlisted part of a
     manifested version may linger (a torn republish / stale wider
-    attempt). Fails loud rather than replaying an incomplete or mixed
-    bootstrap. A version mid-publish (parts but no manifest yet) is
-    skipped the same way a half-written single file is invisible before
-    its rename — the next read picks it up complete.
+    attempt), and a version carrying BOTH layouts (single file AND a
+    manifest — a crash mid-layout-switch; the exporter's commit ordering
+    makes this a narrow window, and the next export heals it) fails loud
+    rather than delivering every envelope twice. A version mid-publish
+    (parts but no manifest yet) is skipped the same way a half-written
+    single file is invisible before its rename — the next read picks it
+    up complete.
+
+    ``verify_manifests=False`` reads best-effort for forensics: existing
+    manifested parts only (a listed-but-missing part is skipped, not a
+    crash), and a both-layouts version contributes only its manifested
+    parts (no double read).
 
     Envelope seq remains the idempotency/order key; readers that need
     all-of-version atomicity gate on the manifest exactly as this does.
@@ -702,18 +826,34 @@ def read_outbox(
 
     files: list[str] = []
     part_re = re.compile(r"^v(\d+)-part-(\d+)\.jsonl$")
+    plain_re = re.compile(r"^v(\d+)\.jsonl$")
     manifested: dict[int, dict] = {}
     for p in sorted(_glob.glob(os.path.join(out_dir, "v*.manifest.json"))):
         with open(p) as f:
             man = _json.load(f)
         manifested[int(man["version"])] = man
     parts_on_disk: dict[int, list[str]] = {}
+    singles: dict[int, str] = {}
     for p in sorted(os.listdir(out_dir)):
         m = part_re.match(p)
         if m:
             parts_on_disk.setdefault(int(m.group(1)), []).append(p)
+            continue
+        m = plain_re.match(p)
+        if m:
+            singles[int(m.group(1))] = p
         elif p.endswith(".jsonl") and not p.startswith("."):
-            files.append(os.path.join(out_dir, p))
+            files.append(os.path.join(out_dir, p))  # foreign jsonl: pass through
+    for v, p in singles.items():
+        if v in manifested:
+            if verify_manifests:
+                raise ValueError(
+                    f"outbox v{v} carries BOTH layouts (v{v}.jsonl and a "
+                    f"manifest) — torn layout switch; re-run the exporter "
+                    f"to heal, or read with verify_manifests=False"
+                )
+            continue  # best-effort: the manifested parts win, no double read
+        files.append(os.path.join(out_dir, p))
     for v, man in manifested.items():
         have = set(parts_on_disk.get(v, []))
         want = [pt["file"] for pt in man["parts"]]
@@ -724,7 +864,9 @@ def read_outbox(
                 f"outbox v{v} violates its manifest: missing parts "
                 f"{missing}, unlisted parts {extra}"
             )
-        files.extend(os.path.join(out_dir, w) for w in want)
+        files.extend(
+            os.path.join(out_dir, w) for w in want if w in have
+        )
     # parts of a version with no manifest yet (mid-publish) never entered
     # `files` — skipped, not an error; complete on the next read
     if not files:

@@ -570,6 +570,68 @@ def test_read_outbox_verifies_manifest(spark, tmp_path):
     assert read_outbox(spark, out).count() == n_all
 
 
+def test_export_outbox_crash_resume_adopts_published_file(spark, tmp_path):
+    """Review r05: a crash BETWEEN publishing v{N} and the state write,
+    followed by snapshot expiry of the incremental base, must NOT rewrite
+    the already-published file as a snapshot bootstrap under the SAME
+    seqs — a consumer may have ingested it, and seq is the idempotency
+    key. The resume run adopts the complete artifact byte-for-byte."""
+    import json as _json
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    t.merge(
+        spark.createDataFrame([("a", 1), ("b", 2)], "url string, v int"),
+        batch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame([("a", 10), ("c", 3)], "url string, v int"),
+        batch_id=1,
+    )
+    out = str(tmp_path / "ob")
+    r = export_outbox(t, out)
+    assert r["envelopes"] == 4  # v0: 2 'r' rows? no — v0 incremental c's
+    v1_bytes = open(os.path.join(out, "v1.jsonl"), "rb").read()
+    state_p = os.path.join(out, "_outbox_state.json")
+    state = _json.load(open(state_p))
+    # simulate the crash window: state says v1 was never exported
+    with open(state_p, "w") as f:
+        _json.dump({"cursor": 0, "next_seq": 2}, f)
+    # and the incremental base for v1 is now gone
+    t.expire_snapshots(keep_last=1)
+    r2 = export_outbox(t, out)
+    assert r2["exported_versions"] == [1]
+    # adopted, not rewritten: identical bytes, NOT a snapshot 'r' file
+    assert open(os.path.join(out, "v1.jsonl"), "rb").read() == v1_bytes
+    assert _json.load(open(state_p)) == state  # cursor/seq fully restored
+
+
+def test_read_outbox_mixed_layout_fails_loud(spark, tmp_path):
+    """A version carrying BOTH layouts (crash mid-layout-switch) must not
+    be read twice: verify raises; best-effort mode reads the manifested
+    parts only."""
+    import pytest as _pytest
+
+    from gnarly_spark.sinks.lake import ParquetLakeTable
+    from gnarly_spark.sources.debezium import export_outbox, read_outbox
+
+    t = ParquetLakeTable(spark, str(tmp_path / "t"), key="url", n_buckets=2)
+    rows = [(f"u{i:03d}", i) for i in range(50)]
+    t.merge(spark.createDataFrame(rows, "url string, v int"), batch_id=0)
+    out = str(tmp_path / "ob")
+    export_outbox(t, out, max_single_file_bytes=0, small_delta_rows=0)
+    n = read_outbox(spark, out).count()
+    assert n == 50
+    # fabricate the torn state: a stale single-file artifact reappears
+    with open(os.path.join(out, "v0.jsonl"), "w") as f:
+        f.write('{"stale": true}\n')
+    with _pytest.raises(ValueError, match="BOTH layouts"):
+        read_outbox(spark, out).count()
+    assert read_outbox(spark, out, verify_manifests=False).count() == n
+
+
 def test_write_debezium_ts_ms_timezone_independent(spark, tmp_path):
     """ADVICE r03: ts_ms must read the TIMESTAMP_NTZ wall clock AS UTC —
     identical output whatever the session timezone (the old cast-based

@@ -211,6 +211,51 @@ def test_score_norms_vectorized_matches_scalar_reference(monkeypatch):
     assert got == want
 
 
+def test_score_norms_property_random_unicode():
+    """Property: vectorized == scalar on RANDOM unicode text (no Spark
+    round trip — pure scorer, so a richer example budget is fine). Draws
+    mix letters across the supported scripts, digits/punct (normalized
+    away), astral-plane chars (the int64 packing must hold to 0x10FFFF),
+    and empty/whitespace strings."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gnarly_spark.functions import langid as L
+
+    model = L.load_model()
+    vocab, w, _, _ = L._matrix(model)
+    langs = model[0]
+
+    def scalar(t):
+        grams = L._grams(t)
+        if not grams:
+            return "und"
+        ids = np.array([vocab.get(g, len(vocab)) for g in grams])
+        if int((ids != len(vocab)).sum()) == 0:
+            return "und"
+        return langs[int(np.argmax(w[ids].sum(axis=0)))]
+
+    text = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+            st.characters(min_codepoint=0x370, max_codepoint=0x4FF),  # el/ru
+            st.characters(min_codepoint=0x4E00, max_codepoint=0x4E7F),  # Han
+            st.characters(min_codepoint=0x10000, max_codepoint=0x100FF),  # astral
+        ),
+        max_size=120,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(text, max_size=8))
+    def check(raws):
+        norms = [L._norm_py(t) for t in raws]
+        got = list(L._score_norms(norms, model))
+        assert got == [scalar(t) for t in norms]
+
+    check()
+
+
 def test_locale_guard_fails_loud_on_unpinned_cluster(spark):
     """ADVICE r04: builder confs don't reach spark-submit-owned JVMs, so
     get_spark now runtime-asserts the pin. The guard passes on the pinned
