@@ -87,6 +87,24 @@ TARGET_COLUMNS = ["url", "warc_ts", "html", "text", "lang", "_block_hash", "_blo
 _UNDO_BROADCAST_MAX_KEYS = 4_000_000
 
 
+def _undo_prior(tgt: DataFrame, replacing: DataFrame, n_replacing: int) -> DataFrame:
+    """Prior target rows being replaced this batch (the undo-log save).
+
+    Broadcasts ``replacing`` when its measured row count is under
+    _UNDO_BROADCAST_MAX_KEYS: ``tgt`` is the WHOLE table, and a
+    stats-blind sort-merge would shuffle O(table) bytes per batch — a
+    growth term the per-batch flatness claim forbids. Above the cap a
+    forced broadcast would OOM the driver instead, so the plain join is
+    left to AQE. Inner join, so broadcasting the small side is legal
+    (the outer-join non-preserved-side gotcha doesn't apply). Plan shape
+    pinned by tests/test_plans.py::test_undo_prior_join_broadcasts_under_cap."""
+    if n_replacing <= _UNDO_BROADCAST_MAX_KEYS:
+        replacing = F.broadcast(replacing)
+    return tgt.join(replacing, "url", "inner").select(
+        *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
+    )
+
+
 class CdcIngestPipeline:
     def __init__(
         self,
@@ -758,21 +776,14 @@ class CdcIngestPipeline:
                 F.col("_block_hash").alias("_replaced_by_block"),
                 F.col("_block_id").alias("_replaced_by_block_id"),
             )
-            # broadcast the batch-bounded side when the batch is actually
-            # bounded: replacing is at most this trigger's winner urls
-            # (<= the batch's event count, known from the log append),
-            # while tgt is the WHOLE table — a stats-blind sort-merge
-            # here would shuffle O(table) bytes per batch, a growth term
-            # the flatness claim forbids. Above the cap (a bootstrap-
-            # scale trigger with millions of keys) a forced broadcast
-            # would OOM the driver instead, so fall back to the plain
-            # join and let AQE decide. Inner join, so the broadcast side
-            # is legal (the outer-join gotcha doesn't apply).
-            if int(log_stats["n"]) <= _UNDO_BROADCAST_MAX_KEYS:
-                replacing = F.broadcast(replacing)
-            prior = tgt.join(replacing, "url", "inner").select(
-                *tgt.columns, "_replaced_by_block", "_replaced_by_block_id"
-            )
+            # The guard must measure REPLACING itself, not the batch's
+            # event count: a single revert event re-adjudicates every
+            # url of the reverted block, so a 1-event batch can carry a
+            # multi-million-row replacing relation (review r05). lww is
+            # persisted, so this count materializes the cache the undo
+            # write reuses — one cheap cached-scan job, an exact bound.
+            n_replacing = replacing.count()
+            prior = _undo_prior(tgt, replacing, n_replacing)
             u_stats = self._write_batched(
                 self.undo_dir, prior, batch_id, "_replaced_by_block_id"
             )

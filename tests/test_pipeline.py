@@ -56,6 +56,16 @@ def test_incremental_equals_replay_linear(spark, tmp_path):
     p = CdcIngestPipeline(spark, str(tmp_path / "work"))
     run_stream(p, src)
     assert len(p.metrics()) >= 2, "must have processed multiple micro-batches"
+    # undo attribution contract (review r05): any batch that saved prior
+    # rows carries rows/bytes in its phase metrics — the keys
+    # tools/sustained_job.py reads for burst attribution
+    undo_batches = [
+        m for m in p.metrics() if m["phase_s"].get("undo_rows") is not None
+    ]
+    assert undo_batches, "later batches must have replaced rows"
+    for m in undo_batches:
+        assert m["phase_s"]["undo_bytes"] > 0
+        assert m["phase_s"]["undo_rows"] > 0
     assert_pdf_equal(_got(p), _want(log))
 
 

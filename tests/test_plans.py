@@ -549,3 +549,36 @@ def test_rank_limit_filter_gets_window_group_limit(spark):
     partial = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l and "Partial" in l]
     exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l]
     assert partial and exch and partial[0] > exch[0], plan
+
+
+def test_undo_prior_join_broadcasts_under_cap(spark):
+    """Review r05 pin: the undo-log prior join must broadcast the
+    measured-small `replacing` side (the whole-table side must never
+    shuffle for the undo save), and must NOT force a broadcast above the
+    cap — a revert batch can carry millions of re-adjudicated urls
+    regardless of the trigger's event count."""
+    from gnarly_spark.streaming import pipeline as P
+
+    tgt = spark.createDataFrame(
+        [(f"u{i}", i, i) for i in range(200)],
+        "url string, _replaced int, v int",
+    ).select("url", "v")
+    rep = spark.createDataFrame(
+        [(f"u{i}", f"b{i}", i) for i in range(10)],
+        "url string, _replaced_by_block string, _replaced_by_block_id long",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so ONLY the explicit hint can produce a
+        # BroadcastHashJoin — isolates the code path under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        under = P._undo_prior(tgt, rep, n_replacing=10)
+        plan = under._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        over = P._undo_prior(tgt, rep, n_replacing=P._UNDO_BROADCAST_MAX_KEYS + 1)
+        plan = over._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    got = {r.url for r in under.collect()}
+    assert got == {f"u{i}" for i in range(10)}
