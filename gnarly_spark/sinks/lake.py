@@ -1180,6 +1180,33 @@ class ParquetLakeTable:
         if up is None and dk is None:
             return False  # nothing to commit (and no batch_id recorded)
 
+        # NULL merge keys are unroutable and must fail LOUD (review r05):
+        # the MOR read's groupBy treats NULLs as equal, silently collapsing
+        # distinct null-key rows to one arbitrary winner, while the COW
+        # survivor anti-join never matches NULL = NULL, so old null rows
+        # survive every merge and duplicate unboundedly. Poison the key
+        # in-plan — the raise_error branch evaluates only when the key IS
+        # null, so validation rides the write job at zero extra scan cost.
+        def _null_poison(rel: DataFrame) -> DataFrame:
+            kt = rel.schema[key].dataType
+            return rel.withColumn(
+                key,
+                F.coalesce(
+                    F.col(key),
+                    F.raise_error(
+                        F.lit(
+                            f"NULL merge key {key!r} in batch — unroutable "
+                            "(filter or key-fill upstream)"
+                        )
+                    ).cast(kt),
+                ),
+            )
+
+        if up is not None:
+            up = _null_poison(up)
+        if dk is not None:
+            dk = _null_poison(dk)
+
         # merged column set (schema evolution): new columns widen the table,
         # and an existing column arriving with a wider type (int->bigint,
         # float->double) widens to Spark's own union-coerced type — computed
@@ -2320,36 +2347,62 @@ class ParquetLakeTable:
         fork_v = node_v
         if bh_v == fork_v:
             return self._latest_committed()  # no branch commits: no-op
-        head_v = self._latest_committed()
-        if head_v == fork_v:
+        if self._latest_committed() == fork_v:
             return self.fast_forward(name)  # not diverged: cheap path
         br = self.branch_handle(name)
         b_delta = br.diff(fork_v, bh_v).localCheckpoint(eager=False)
-        m_delta = self.diff(fork_v, head_v)
-        conflicts = [
-            r[0]
-            for r in b_delta.join(m_delta, self.key, "left_semi")
-            .select(self.key)
-            .limit(20)
-            .collect()
-        ]
-        if conflicts:
-            raise BranchMergeConflict(
-                f"branch {name!r} and main both changed key(s) since "
-                f"v{fork_v}: {conflicts[:10]} — resolve by hand "
-                "(re-create the branch from the new head, or merge the "
-                "keys explicitly)"
-            )
         images = br.changelog(fork_v, bh_v)
         ups = images.where(
             F.col("_change_type").isin("insert", "update_after")
         ).drop("_change_type")
         dels = images.where(F.col("_change_type") == "delete").select(self.key)
-        applied = self.merge(ups, delete_keys=dels, batch_id=batch_id)
-        v = self._latest_committed()
-        if applied:
-            # stamp provenance on the freshly-committed manifest (atomic
-            # in-place rewrite, same primitive purge_keys uses)
+        committed: dict[str, int] = {}
+
+        def attempt() -> bool:
+            # conflict detection and the merge MUST see the same head:
+            # the merge pins the manifest the conflicts were computed
+            # against, so a main commit landing in between trips
+            # _commit's _built_on check and the WHOLE check-then-merge
+            # re-runs here against the new head (the update_where
+            # lost-update pattern) — previously the merge re-read the
+            # head on its own retry and could silently overwrite a
+            # concurrent change to a branch-touched key the stale
+            # conflict check never saw.
+            head_v = self._latest_committed()
+            m_head = self._manifest(head_v)
+            conflicts = [
+                r[0]
+                for r in b_delta.join(
+                    self.diff(fork_v, head_v), self.key, "left_semi"
+                )
+                .select(self.key)
+                .limit(20)
+                .collect()
+            ]
+            if conflicts:
+                raise BranchMergeConflict(
+                    f"branch {name!r} and main both changed key(s) since "
+                    f"v{fork_v}: {conflicts[:10]} — resolve by hand "
+                    "(re-create the branch from the new head, or merge the "
+                    "keys explicitly)"
+                )
+
+            def commit_and_record(man: dict) -> int:
+                committed["v"] = self._commit(man)
+                return committed["v"]
+
+            return self._merge_once(
+                ups, dels, batch_id, commit_fn=commit_and_record,
+                manifest=m_head,
+            )
+
+        applied = self._retrying(attempt)
+        if applied and "v" in committed:
+            # stamp provenance on EXACTLY the manifest this merge
+            # committed (atomic in-place rewrite, same primitive
+            # purge_keys uses) — re-resolving the head here could stamp
+            # a concurrent ingest's snapshot instead
+            v = committed["v"]
             m = self._manifest(v)
             m["merged_from"] = {"branch": name, "version": bh_v, "fork": fork_v}
             mpath = os.path.join(self.path, "_manifests", f"v{v}.json")
@@ -2357,7 +2410,8 @@ class ParquetLakeTable:
             with open(tmp, "w") as f:
                 json.dump(m, f)
             os.replace(tmp, mpath)
-        return v
+            return v
+        return self._latest_committed()
 
     def data_files(self, version: int | None = None) -> DataFrame:
         """Metadata table (Iceberg's ``table.files`` analog): one row per
@@ -2597,7 +2651,12 @@ class ParquetLakeTable:
         seq = 0
         for section in ("buckets", "deltas"):
             for b, fl in m.get(section, {}).items():
-                d = os.path.join(dest, "data", f"{section}-{b}")
+                # v0- prefix: the clone's manifest is v0, and its own
+                # expire_snapshots/orphan_report attribute data dirs by
+                # parsing the v{N}- prefix — an unparseable name would be
+                # treated as in-flight forever, so files the clone later
+                # rewrites would never be reclaimable (review r05)
+                d = os.path.join(dest, "data", f"v0-{section}-{b}")
                 os.makedirs(d, exist_ok=True)
                 for f in fl:
                     # a running sequence prefix, NOT the bare basename:
@@ -2648,7 +2707,7 @@ class ParquetLakeTable:
             mapped = dv.join(remap, "file_path").select(
                 F.col("_new").alias("file_path"), "row_index"
             )
-            dv_dir = os.path.join(dest, "data", "dv-export")
+            dv_dir = os.path.join(dest, "data", "v0-dv-export")
             mapped.coalesce(1).write.mode("overwrite").parquet(dv_dir)
             out["dvs"] = [
                 os.path.realpath(os.path.join(dv_dir, p))
@@ -2705,12 +2764,20 @@ class ParquetLakeTable:
             ref, epoch = self._ref_of(v)
             if ref not in ("main", "?") and live_branches.get(ref) == epoch:
                 branch_keep.add(v)
+        # keep the last N MAIN-CHAIN COMMITS, not the last N version
+        # NUMBERS: refs share one number space, so branch commits
+        # interleaved in the numbering (e.g. main v5, branch v6-v8,
+        # main v9) would otherwise eat the window — keep_last=2 kept
+        # only v9 and deleted v5, main's immediately-previous snapshot,
+        # breaking the promised time travel one commit after head
+        main_vs = sorted(
+            v for v in versions if self._ref_of(v)[0] == "main"
+        )
+        main_recent = set(main_vs[-keep_last:]) if keep_last > 0 else set()
         keep = [
             v
             for v in versions
-            if (v > cur - keep_last and self._ref_of(v)[0] == "main")
-            or v in pinned
-            or v in branch_keep
+            if v in main_recent or v in pinned or v in branch_keep
         ]
         live: set[str] = set()
         for v in keep:
@@ -2834,7 +2901,20 @@ class ParquetLakeTable:
                     for fl in sm.get(section, {}).values():
                         live.update(os.path.realpath(f) for f in fl)
                 live.update(os.path.realpath(f) for f in sm.get("dvs") or [])
+        # same floor rule as expire_snapshots (CLAUDE.md): a LIVE BRANCH
+        # writer names its in-flight dir v{branch_head+1}, which can sit
+        # far BELOW main's head in the shared number space — flooring at
+        # main's cur alone would report a mid-commit branch merge's
+        # files as 'orphan' and invite an operator to delete them
         cur = self.current_version() if self.ref == "main" else None
+        guard_floor = (
+            None
+            if cur is None
+            else min(
+                [cur]
+                + [int(e.get("version", cur)) for e in self._branch_entries()]
+            )
+        )
         rows = []
         data_dir = os.path.join(self.path, "data")
         for d in sorted(os.listdir(data_dir)):
@@ -2849,8 +2929,8 @@ class ParquetLakeTable:
                         continue
                     in_flight = (
                         dir_version is None
-                        or cur is None
-                        or dir_version > cur
+                        or guard_floor is None
+                        or dir_version > guard_floor
                     )
                     try:
                         size = os.path.getsize(p)
@@ -3298,17 +3378,39 @@ class IcebergLakeTable:
         if batch_id is not None and batch_id in self.applied_batch_ids():
             return False
         src = build_merge_source(upserts, delete_keys, self.key, batch_id)
-        src.createOrReplaceTempView("_cdc_src")
-        self.spark.sql(  # pragma: no cover - needs the Iceberg jar
-            build_merge_sql(self.table, self.key, src.columns)
-        )
+        # per-call unique view name: two merges interleaving in ONE Spark
+        # session (two target tables fed by two streaming queries) would
+        # otherwise clobber a shared view between createOrReplaceTempView
+        # and the MERGE execution — rows upserted into the wrong table
+        # with no error (review r05)
+        view = f"_cdc_src_{uuid.uuid4().hex[:12]}"
+        src.createOrReplaceTempView(view)
+        try:  # pragma: no cover - needs the Iceberg jar
+            self.spark.sql(
+                build_merge_sql(self.table, self.key, src.columns, source_view=view)
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         return True
 
     def update_where(self, predicate: str, set_exprs: dict, batch_id=None) -> dict:
         """Predicate update — interface parity with
         ParquetLakeTable.update_where; Iceberg v2 executes UPDATE
         merge-on-read (positional deletes + rewritten rows). SQL via the
-        pure build_update_sql (contract-tested jar-free)."""
+        pure build_update_sql (contract-tested jar-free).
+
+        Refire guard (review r05): with ``batch_id`` the UPDATE also
+        stamps ``_batch_id`` on every row it touches, and a re-delivered
+        batch_id no-ops — previously a foreachBatch refire re-executed
+        the predicate mutation (e.g. double-incrementing a counter).
+        Residual: the guard decays if LATER merges overwrite every
+        touched row's ``_batch_id`` before the refire arrives — the same
+        row-stamp decay merge()'s guard carries; exactly-once beyond it
+        needs the WAP/branch flow."""
+        if batch_id is not None:
+            if batch_id in self.applied_batch_ids():
+                return {"table": self.table, "predicate": predicate, "noop": True}
+            set_exprs = {**set_exprs, "_batch_id": str(int(batch_id))}
         self.spark.sql(  # pragma: no cover - needs the Iceberg jar
             build_update_sql(self.table, predicate, set_exprs)
         )
@@ -3322,7 +3424,18 @@ class IcebergLakeTable:
         scratch) without rewriting data files; compaction
         (rewrite_position_delete_files / rewrite_data_files) folds them,
         exactly mirroring the parquet table's compact() contract. SQL via
-        the pure build_delete_sql (contract-tested jar-free)."""
+        the pure build_delete_sql (contract-tested jar-free).
+
+        Refire caveat (review r05): deleted rows can carry no stamp, so a
+        ``batch_id`` here is checked against applied_batch_ids() (covers
+        mixed update/merge workloads) but CANNOT guarantee a refire
+        no-ops — a re-run re-evaluates the predicate against the current
+        snapshot and may delete rows merged since. For exactly-once
+        predicate deletes on Iceberg use the WAP/branch flow, or express
+        the delete as merge(delete_keys=...) keyed on a snapshot-pinned
+        key set."""
+        if batch_id is not None and batch_id in self.applied_batch_ids():
+            return {"table": self.table, "predicate": predicate, "noop": True}
         self.spark.sql(  # pragma: no cover - needs the Iceberg jar
             build_delete_sql(self.table, predicate)
         )

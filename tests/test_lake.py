@@ -1736,3 +1736,88 @@ def test_maintenance_job_branch_flags(spark, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["fast_forward"]["branch"] == "wip" and out2["drop_branch"]
     assert _pdf(t.read()).url.tolist() == ["a", "z"]
+
+
+def test_merge_rejects_null_keys_loud(spark, table, tmp_path):
+    """Review r05: NULL merge keys must fail LOUD — the MOR read's
+    groupBy collapses distinct null-key rows to one winner, and the COW
+    anti-join never matches NULL = NULL (old null rows would duplicate
+    on every merge). Both modes, both relations."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    with pytest.raises(Exception, match="NULL merge key"):
+        table.merge(mk(spark, [(None, 9), ("b", 2)]), batch_id=1)
+    with pytest.raises(Exception, match="NULL merge key"):
+        table.merge(
+            None,
+            delete_keys=spark.createDataFrame([(None,)], "url string"),
+            batch_id=2,
+        )
+    mor = ParquetLakeTable(
+        spark, str(tmp_path / "mor"), key="url", n_buckets=2, mode="mor"
+    )
+    with pytest.raises(Exception, match="NULL merge key"):
+        mor.merge(mk(spark, [(None, 1)]), batch_id=0)
+    # and valid batches still merge fine after the rejections
+    assert table.merge(mk(spark, [("b", 2)]), batch_id=3)
+    assert table.read().count() == 2
+
+
+def test_expire_keep_last_counts_main_commits_not_version_numbers(
+    spark, table
+):
+    """Review r05: refs share ONE version-number space, so branch commits
+    interleaved in the numbering must not eat the keep_last window —
+    keep_last counts MAIN-CHAIN commits. main v0, branch v1-v2 (then
+    dropped), main v3: keep_last=2 must keep v0 AND v3."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)  # main v0
+    table.create_branch("dev")
+    b = table.branch_handle("dev")
+    b.merge(mk(spark, [("x", 10)]), batch_id=100)  # v1 (branch)
+    b.merge(mk(spark, [("y", 11)]), batch_id=101)  # v2 (branch)
+    table.drop_branch("dev")
+    table.merge(mk(spark, [("a", 2)]), batch_id=1)  # main v3
+    assert table.current_version() == 3
+    table.expire_snapshots(keep_last=2)
+    # v0 is main's immediately-previous snapshot: time travel must hold
+    got = {r.url: r.v for r in table.read(version=0).collect()}
+    assert got == {"a": 1}
+    got = {r.url: r.v for r in table.read(version=3).collect()}
+    assert got == {"a": 2}
+
+
+def test_export_snapshot_clone_dirs_reclaimable(spark, table, tmp_path):
+    """Review r05: the clone's data dirs carry a parseable v0- prefix, so
+    the clone's OWN expire_snapshots can attribute and reclaim them once
+    rewritten — unparseable names were skipped as in-flight forever (an
+    unbounded disk leak for clones used as live tables)."""
+    import os
+
+    table.merge(mk(spark, [("a", 1), ("b", 2)]), batch_id=0)
+    dest = str(tmp_path / "clone")
+    table.export_snapshot(dest)
+    clone = ParquetLakeTable(spark, dest, key="url")
+    assert {r.url for r in clone.read().collect()} == {"a", "b"}
+    for d in os.listdir(os.path.join(dest, "data")):
+        # every clone data dir must parse as version 0
+        assert int(d.split("-", 1)[0].lstrip("v")) == 0, d
+    # rewrite everything, then expire: the exported originals must be
+    # reclaimable (old files actually deleted)
+    clone.merge(mk(spark, [("a", 10), ("b", 20)]), batch_id=1)
+    r = clone.expire_snapshots(keep_last=1)
+    assert r["deleted_files"] > 0, r
+    assert {(x.url, x.v) for x in clone.read().collect()} == {("a", 10), ("b", 20)}
+
+
+def test_merge_branch_provenance_on_its_own_commit(spark, table):
+    """Review r05: merged_from must land on EXACTLY the commit the merge
+    created (returned version), not on whatever the head resolves to
+    afterwards."""
+    table.merge(mk(spark, [("a", 1)]), batch_id=0)
+    table.create_branch("f")
+    b = table.branch_handle("f")
+    b.merge(mk(spark, [("z", 9)]), batch_id=50)
+    table.merge(mk(spark, [("c", 3)]), batch_id=1)  # diverge main
+    v = table.merge_branch("f", batch_id=2)
+    m = table._manifest(v)
+    assert m["merged_from"]["branch"] == "f"
+    assert {r.url for r in table.read().collect()} == {"a", "c", "z"}
