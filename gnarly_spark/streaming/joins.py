@@ -11,8 +11,13 @@ stateful symmetric hash join:
   what lets the engine BOUND state: a buffered view row is evicted as soon
   as the purchase-side watermark passes view_ts + horizon — without the
   range the state is the whole history;
-* rows arriving later than their side's watermark are dropped
-  deterministically (tested) instead of joining into closed state;
+* the guaranteed late-data semantics is STATE EVICTION, not input drop
+  (review r05 docstring fix): a late row can no longer join against
+  closed (evicted) state — tested — but two late rows arriving in the
+  SAME micro-batch may still legitimately join each other, since no
+  closed state is involved (tests/test_stream_join.py pins exactly
+  this); consumers needing a hard "nothing older than the watermark
+  ever emits" must filter on event time downstream;
 * the state store hash-partitions both sides on the equi-key (user), so
   the join is co-located per micro-batch: each trigger shuffles only that
   trigger's rows, never the buffered state.

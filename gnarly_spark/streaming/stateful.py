@@ -35,14 +35,37 @@ def _newer(top, last_seq, last_ts) -> bool:
     (the table path's ORDER BY warc_ts DESC puts nulls last). Plain tuple
     comparison is unusable here: every comparison against NaT is False, so
     a NaT on EITHER side would freeze the head — a null-ts event could
-    hijack the state and then no real event would ever beat it."""
+    hijack the state and then no real event would ever beat it. A null
+    op_seq folds to the -1 sentinel on BOTH sides (a NaN in the tuple
+    would TypeError on a timestamp tie; the table path's op_seq DESC
+    sorts nulls last, so a null loses ties there too)."""
     lo = pd.Timestamp.min
-    new_key = (top.warc_ts if pd.notna(top.warc_ts) else lo, top.op_seq)
+    new_key = (
+        top.warc_ts if pd.notna(top.warc_ts) else lo,
+        int(top.op_seq) if pd.notna(top.op_seq) else -1,
+    )
     old_key = (
         last_ts if last_ts is not None and pd.notna(last_ts) else lo,
-        last_seq,
+        last_seq if last_seq is not None else -1,
     )
     return new_key > old_key
+
+
+def _fold_head(n, last_seq, last_ts, pdfs):
+    """The per-url LWW fold both trackers share (review r05: it was
+    duplicated verbatim in the v1 handler and the v2 processor, so every
+    boundary fix had to land twice). Same total order as the table path:
+    (warc_ts, op_seq); nulls sort FIRST so a NaT/NaN row can't shadow
+    the batch's real maximum, and a winning null op_seq stores the -1
+    sentinel — int(NaN) would kill the query (op_seq is nullable, and
+    ONE null upcasts the pandas column to float64)."""
+    for pdf in pdfs:
+        n += len(pdf)
+        top = pdf.sort_values(["warc_ts", "op_seq"], na_position="first").iloc[-1]
+        if _newer(top, last_seq, last_ts):
+            last_seq = int(top.op_seq) if pd.notna(top.op_seq) else -1
+            last_ts = top.warc_ts
+    return n, last_seq, last_ts
 
 
 def _track_head(
@@ -51,21 +74,14 @@ def _track_head(
     """Fold this trigger's events for one url into (n_events, last_seq,
     last_ts); emit the updated head row."""
     n, last_seq, last_ts = state.get if state.exists else (0, -1, None)
-    for pdf in pdfs:
-        n += len(pdf)
-        # same total order as the table path: (warc_ts, op_seq); nulls
-        # sort FIRST so a NaT row can't shadow the batch's real maximum
-        top = pdf.sort_values(["warc_ts", "op_seq"], na_position="first").iloc[-1]
-        if _newer(top, last_seq, last_ts):
-            last_seq = int(top.op_seq)
-            last_ts = top.warc_ts
+    n, last_seq, last_ts = _fold_head(n, last_seq, last_ts, pdfs)
     state.update((n, last_seq, last_ts))
     yield pd.DataFrame(
         {"url": [key[0]], "n_events": [n], "last_seq": [last_seq], "last_ts": [last_ts]}
     )
 
 
-def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = None):
+def head_tracker_v2(events, output_mode: str = "append", ttl_ms: int | None = None):
     """`head_tracker` on the MODERN stateful API (Spark 4
     transformWithStateInPandas + StatefulProcessor): same per-url
     (n_events, last_seq, last_ts) fold, but state lives in a named
@@ -75,6 +91,18 @@ def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = No
     unbounded; `ttl_ms` evicts urls idle longer than the reorg-retention
     horizon, so the state store tracks the HOT set, not history.
 
+    `output_mode` defaults to 'append' — the SAME default as
+    head_tracker, so the advertised drop-in migration doesn't silently
+    break file sinks (review r05: the defaults had diverged).
+
+    TTL caveat: a TTL needs timeMode='ProcessingTime', and a
+    ProcessingTime query NEVER self-terminates under
+    trigger(availableNow=True) — timer maintenance keeps it alive after
+    the input drains. Drain/backfill jobs should either skip the TTL or
+    poll-and-stop (the pattern tests/test_stateful.py uses); `ttl_ms`
+    must be a positive duration (0 is an invalid store config, rejected
+    here rather than at query start).
+
     Requires the RocksDB state store provider (the only backend
     transformWithState supports):
       spark.sql.streaming.stateStore.providerClass =
@@ -82,6 +110,11 @@ def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = No
     Tests set it per-query via the session; an HDFS-backed store raises at
     start. Semantics vs head_tracker are asserted equal in
     tests/test_stateful.py (same input -> same final heads)."""
+    if ttl_ms is not None and ttl_ms <= 0:
+        raise ValueError(
+            f"ttl_ms must be a positive duration, got {ttl_ms} (pass None "
+            "for no TTL)"
+        )
     import pandas as pd  # noqa: F811 - vectorized path only
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -99,14 +132,7 @@ def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = No
                 n, last_seq, last_ts = self._head.get()
             else:
                 n, last_seq, last_ts = 0, -1, None
-            for pdf in rows:
-                n += len(pdf)
-                top = pdf.sort_values(
-                    ["warc_ts", "op_seq"], na_position="first"
-                ).iloc[-1]
-                if _newer(top, last_seq, last_ts):
-                    last_seq = int(top.op_seq)
-                    last_ts = top.warc_ts
+            n, last_seq, last_ts = _fold_head(n, last_seq, last_ts, rows)
             self._head.update((n, last_seq, last_ts))
             yield pd.DataFrame(
                 {
@@ -128,7 +154,7 @@ def head_tracker_v2(events, output_mode: str = "update", ttl_ms: int | None = No
             outputStructType=OUTPUT_SCHEMA,
             outputMode=output_mode,
             # TTL is clocked by the store, so it needs a time mode
-            timeMode="ProcessingTime" if ttl_ms else "None",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
     )
 

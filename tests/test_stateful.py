@@ -295,3 +295,34 @@ def test_streaming_topk_bounds_and_finds_heavy_hitters(
     # hot urls must hold the top 3
     top3 = set(final.sort_values("est_count", ascending=False).head(3)["item"])
     assert top3 == {"hot-a", "hot-b", "hot-c"}
+
+
+def test_fold_head_null_op_seq_does_not_crash():
+    """Review r05: op_seq is nullable — one NULL upcasts the pandas column
+    to float64, and a winning NaN row killed the query on int(NaN). The
+    shared fold stores the -1 sentinel instead (a null loses timestamp
+    ties, matching the table path's op_seq DESC NULLS LAST)."""
+    import pandas as pd
+
+    from gnarly_spark.streaming.stateful import _fold_head
+
+    t1 = pd.Timestamp("2024-01-01")
+    t2 = pd.Timestamp("2024-01-02")
+    # the max-ts row carries a NULL op_seq: it wins on ts, stores -1
+    pdf = pd.DataFrame({"warc_ts": [t1, t2], "op_seq": [5, None]})
+    n, last_seq, last_ts = _fold_head(0, -1, None, [pdf])
+    assert (n, last_seq, last_ts) == (2, -1, t2)
+    # on a timestamp TIE the null loses to the real seq (and the tuple
+    # compare must not TypeError on the stored sentinel)
+    pdf2 = pd.DataFrame({"warc_ts": [t2, t2], "op_seq": [None, 7]})
+    n, last_seq, last_ts = _fold_head(n, last_seq, last_ts, [pdf2])
+    assert (n, last_seq, last_ts) == (4, 7, t2)
+
+
+def test_head_tracker_v2_rejects_non_positive_ttl():
+    import pytest as _pytest
+
+    from gnarly_spark.streaming.stateful import head_tracker_v2
+
+    with _pytest.raises(ValueError, match="positive"):
+        head_tracker_v2(None, ttl_ms=0)
